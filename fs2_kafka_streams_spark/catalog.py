@@ -1,0 +1,96 @@
+"""Catalog: named access to the driver's parquet tables.
+
+The reference's "catalog" is a Kafka subscription (topic list / regex,
+``client/Subscription.scala:3-7``); here tables are parquet datasets on disk
+registered as temp views so both the DataFrame API and ``spark.sql`` reach
+them. Reads are plain ``spark.read.parquet`` — Catalyst gets predicate
+pushdown, column pruning and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Catalog:
+    """Bind a SparkSession to one scale-factor directory of parquet tables."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return f"{self.sf_dir}/{name}.parquet"
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = self._read(self.path(name))
+        return self._cache[name]
+
+    def _read(self, path: str) -> DataFrame:
+        """Read parquet, normalizing TIMESTAMP(NANOS) columns.
+
+        The driver's parquet stores nanosecond timestamps, which Spark's
+        vectorized reader rejects. We read them as raw nanos
+        (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
+        ``timestamp_ntz`` at microsecond precision — identical to what DuckDB
+        yields for TIMESTAMP_NS, and free of session-timezone ambiguity.
+        Conversion happens inside the scan projection (whole-stage codegen),
+        so pushdown/pruning on all other columns is unaffected.
+        """
+        import pyarrow as pa
+
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        arrow_schema = pq.read_schema(path)
+        nanos_cols = {
+            f.name
+            for f in arrow_schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+        df = self.spark.read.parquet(path)
+        for c in nanos_cols:
+            # timestampadd on an NTZ literal stays NTZ end-to-end — no
+            # LTZ hop, so the result is independent of the session timezone
+            # (the driver's session is not guaranteed to be UTC).
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"timestampadd(MICROSECOND, `{c}` div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        """Register every table as a temp view for the SQL API."""
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def load(spark: SparkSession, sf_dir: str) -> Catalog:
+    return Catalog(spark, sf_dir)

@@ -1,0 +1,31 @@
+"""The local correctness gate: every registered query vs its DuckDB oracle.
+
+Mirrors the driver's t2 compare (row count + schema + order-insensitive
+value multiset) at sf0.001 for speed; `SPARK_GRAFT_TEST_SF` overrides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from fs2_kafka_streams_spark.queries import load_all
+from fs2_kafka_streams_spark.testing import duck_connect, run_compare
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connect(SF)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, duck, name):
+    res = run_compare(spark, SF, REGISTRY[name], con=duck)
+    assert res.ok, f"{name}: {res.detail}"
