@@ -1,16 +1,25 @@
 """Canonicalization helpers for deterministic cross-engine comparison.
 
-Every declared query must hash-match a DuckDB oracle. Floating-point
-aggregation is order-dependent (Spark's partial aggregation sums doubles in
-task order), so aggregates over doubles are computed in DECIMAL (exact,
-associative) and only cast back to double at the end. Round-tripping through
-``decimal(18,4)`` is lossless for the 2-decimal money-like values in the test
-tables and makes Spark and DuckDB produce bit-identical sums regardless of
-partitioning.
+Every declared query must hash-match a DuckDB oracle, so float handling must
+be bit-identical between Spark and DuckDB. Three facts drive the design:
 
-Pattern per aggregate (mirrored in the oracle SQL):
-  sum:  round(cast(sum(cast(x as decimal(18,4))) as double), 2)
-  avg:  round(cast(sum(cast(x as decimal(18,4))) as double) / count(x), 2)
+1. **Summation order differs** (Spark partial aggregation vs DuckDB scan
+   order) → double sums differ in the last ulps.
+2. **`round(double, n)` semantics differ**: Spark rounds the shortest
+   decimal representation, DuckDB the exact binary value.
+3. **double→decimal casts of *computed* values differ too** (verified:
+   36378.064999999995 → 36378.06 in Spark, 36378.07 in DuckDB).
+
+The one safe conversion: double→decimal of a **raw stored column**. Every
+double column in the test tables carries exactly ≤2 decimal digits
+(verified at sf0.1), so `cast(x as decimal(18,2))` is unambiguous — both
+engines recover the same exact decimal. Therefore:
+
+  **Convert raw columns to decimal first; do ALL arithmetic in decimal;
+  cast to double only as the final output step.**
+
+Decimal arithmetic is exact and associative → identical results regardless
+of partitioning, on both engines, with no rounding ties.
 """
 
 from __future__ import annotations
@@ -18,29 +27,59 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(18,4)"
+DEC2 = "decimal(18,2)"
 
 
-def dsum(col: str | Column, scale: int = 2) -> Column:
-    """Order-independent sum of a double column, rounded to ``scale``."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(DEC)).cast("double"), scale)
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
 
 
-def davg(col: str | Column, scale: int = 2) -> Column:
-    """Order-independent mean of a double column, rounded to ``scale``."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), scale)
+def dec2(col: str | Column) -> Column:
+    """Exact decimal view of a raw 2-dp double column."""
+    return _c(col).cast(DEC2)
 
 
-def sql_dsum(expr: str, scale: int = 2) -> str:
-    """DuckDB-side mirror of :func:`dsum`."""
-    return f"round(cast(sum(cast({expr} as decimal(18,4))) as double), {scale})"
+def dsum(col: str | Column) -> Column:
+    """Order-independent sum of a raw 2-dp double column, as double."""
+    return F.sum(dec2(col)).cast("double")
 
 
-def sql_davg(expr: str, scale: int = 2) -> str:
-    """DuckDB-side mirror of :func:`davg`."""
-    return (
-        f"round(cast(sum(cast({expr} as decimal(18,4))) as double)"
-        f" / count({expr}), {scale})"
-    )
+def davg(col: str | Column) -> Column:
+    """Order-independent mean of a raw 2-dp double column, as double."""
+    c = _c(col)
+    return F.sum(dec2(c)).cast("double") / F.count(c)
+
+
+def dsum_expr(expr: Column) -> Column:
+    """Sum of an already-decimal expression, as double."""
+    return F.sum(expr).cast("double")
+
+
+def revenue_expr(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """The TPC-H revenue expression, computed exactly in decimal."""
+    return dec2(price) * (F.lit(1) - dec2(disc))
+
+
+# ---- DuckDB-side mirrors -------------------------------------------------
+
+SQL_REVENUE = (
+    "cast(l_extendedprice as decimal(18,2))"
+    " * (1 - cast(l_discount as decimal(18,2)))"
+)
+
+
+def sql_dec2(expr: str) -> str:
+    return f"cast({expr} as decimal(18,2))"
+
+
+def sql_dsum(expr: str) -> str:
+    return f"cast(sum(cast({expr} as decimal(18,2))) as double)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"cast(sum(cast({expr} as decimal(18,2))) as double) / count({expr})"
+
+
+def sql_dsum_expr(expr: str) -> str:
+    """Sum of an already-decimal SQL expression, as double."""
+    return f"cast(sum({expr}) as double)"
