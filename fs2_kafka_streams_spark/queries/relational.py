@@ -14,6 +14,7 @@ from fs2_kafka_streams_spark.catalog import Catalog
 from fs2_kafka_streams_spark.canonical import (
     SQL_REVENUE,
     davg,
+    dec2,
     dsum,
     dsum_expr,
     revenue_expr,
@@ -467,4 +468,556 @@ def q17_latest_by_key(spark, sf_dir):
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
         value_cols=["event_id", "ts", "event_type", "value", "props"],
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18–Q23: lookups, window functions, top-k, sort/limit
+# --------------------------------------------------------------------------
+
+MULTIGET_KEYS = [0, 1, 2, 3, 42, 999_999_999]
+
+
+@query(
+    "q18_multi_get",
+    oracle=f"""
+    WITH latest AS (
+      SELECT user_id, event_id, ts, event_type, value
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), keys(user_id) AS (VALUES {", ".join(f"({k})" for k in MULTIGET_KEYS)})
+    SELECT CAST(keys.user_id AS BIGINT) AS user_id,
+           latest.event_id, latest.ts, latest.event_type, latest.value
+    FROM keys LEFT JOIN latest ON keys.user_id = latest.user_id
+    """,
+    tags=("core", "lookup"),
+)
+def q18_multi_get(spark, sf_dir):
+    """Multi-get (A11, ``streams/Table.scala:61-62``): batched point lookup
+    preserving requested keys; missing keys surface as NULL rows.
+
+    A broadcast left join from the (tiny) key set against the materialized
+    table — the 100 TB pattern for batched lookups.
+    """
+    events = Catalog(spark, sf_dir).events
+    latest = latest_by_key(
+        events,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_cols=["event_id", "ts", "event_type", "value"],
+    )
+    keys = spark.createDataFrame(
+        [(k,) for k in MULTIGET_KEYS], "user_id bigint"
+    )
+    return keys.join(F.broadcast(latest).hint("broadcast"), "user_id", "left")
+
+
+@query(
+    "q19_window_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w1 AS INTEGER) AS rn,
+           CAST(rank() OVER w2 AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w2 AS INTEGER) AS drnk
+    FROM orders
+    WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    """,
+    tags=("window",),
+)
+def q19_window_ranking(spark, sf_dir):
+    """ROW_NUMBER / RANK / DENSE_RANK per customer by order date."""
+    o = Catalog(spark, sf_dir).orders
+    w1 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w1).alias("rn"),
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+    )
+
+
+@query(
+    "q20_window_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+             AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q20_window_analytic(spark, sf_dir):
+    """LAG / LEAD and a running SUM with an explicit rows frame."""
+    o = Catalog(spark, sf_dir).orders
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(dec2("o_totalprice")).over(wf).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "q21_window_range_frame",
+    oracle="""
+    WITH daily AS (
+      SELECT cast(l_shipdate as date) AS day,
+             sum(cast(l_extendedprice as decimal(18,2))
+                 * (1 - cast(l_discount as decimal(18,2)))) AS rev_dec
+      FROM lineitem GROUP BY 1
+    )
+    SELECT day, cast(rev_dec as double) AS daily_revenue,
+           cast(sum(rev_dec) OVER w as double)
+             / count(rev_dec) OVER w AS avg7
+    FROM daily
+    WINDOW w AS (ORDER BY (day - DATE '1970-01-01')
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def q21_window_range_frame(spark, sf_dir):
+    """Moving 7-day average of daily revenue via a RANGE frame on the date
+    ordinal. The daily pre-aggregation keeps the window input small — at
+    100 TB the window runs over O(days), not O(rows)."""
+    li = Catalog(spark, sf_dir).lineitem
+    daily = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("day")
+    ).agg(F.sum(revenue_expr()).alias("rev_dec"))
+    w = (
+        W.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day",
+        F.col("rev_dec").cast("double").alias("daily_revenue"),
+        (
+            F.sum("rev_dec").over(w).cast("double")
+            / F.count("rev_dec").over(w)
+        ).alias("avg7"),
+    )
+
+
+@query(
+    "q22_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def q22_topk_per_group(spark, sf_dir):
+    """Top-3 orders by price per customer: rank window + filter."""
+    o = Catalog(spark, sf_dir).orders
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q23_sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    tags=("sort",),
+)
+def q23_sort_limit(spark, sf_dir):
+    """Global top-100 — Spark plans a TakeOrderedAndProject: each task keeps
+    its local top-100, the driver merges. No global sort materialized."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q24: set operations
+# --------------------------------------------------------------------------
+
+_SETOP_A = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000"
+_SETOP_B = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+
+def _setop_sides(spark, sf_dir):
+    c = Catalog(spark, sf_dir).customer
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a, b
+
+
+@query(
+    "q24_union_all",
+    oracle=f"{_SETOP_A} UNION ALL {_SETOP_B}",
+    tags=("setop",),
+)
+def q24_union_all(spark, sf_dir):
+    """UNION ALL (bag semantics, no shuffle)."""
+    a, b = _setop_sides(spark, sf_dir)
+    return a.unionAll(b)
+
+
+@query(
+    "q24b_union_distinct",
+    oracle=f"{_SETOP_A} UNION {_SETOP_B}",
+    tags=("setop",),
+)
+def q24b_union_distinct(spark, sf_dir):
+    """UNION (distinct)."""
+    a, b = _setop_sides(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+@query(
+    "q24c_intersect",
+    oracle=f"{_SETOP_A} INTERSECT {_SETOP_B}",
+    tags=("setop",),
+)
+def q24c_intersect(spark, sf_dir):
+    a, b = _setop_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query(
+    "q24d_except_all",
+    oracle=f"{_SETOP_A} EXCEPT ALL {_SETOP_B}",
+    tags=("setop",),
+)
+def q24d_except_all(spark, sf_dir):
+    a, b = _setop_sides(spark, sf_dir)
+    return a.exceptAll(b)
+
+
+# --------------------------------------------------------------------------
+# Q25–Q28: scalar function families
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q25_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up_name,
+           lower(c_mktsegment) AS lo_seg,
+           substring(c_name, 10, 9) AS name_digits,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           trim(concat_ws('-', c_name, c_mktsegment)) AS joined,
+           (c_name LIKE '%001%') AS has_001,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           string_split(c_name, '#') AS parts
+    FROM customer
+    """,
+    tags=("scalar",),
+)
+def q25_string_functions(spark, sf_dir):
+    """upper/lower/substring/trim/concat_ws/like/regexp_extract/split/length."""
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("lo_seg"),
+        F.substring("c_name", 10, 9).alias("name_digits"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.concat_ws("-", "c_name", "c_mktsegment")).alias("joined"),
+        F.col("c_name").like("%001%").alias("has_001"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.split("c_name", "#").alias("parts"),
+    )
+
+
+@query(
+    "q26_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+           cast(o_orderdate as date) + 30 AS plus30,
+           CAST(datediff('day', DATE '1995-01-01', cast(o_orderdate as date))
+                AS INTEGER) AS days_since,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           last_day(cast(o_orderdate as date)) AS month_end
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def q26_date_functions(spark, sf_dir):
+    """year/month/day/date_add/datediff/date_trunc/last_day."""
+    o = Catalog(spark, sf_dir).orders
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_add(od, 30).alias("plus30"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.last_day(od).alias("month_end"),
+    )
+
+
+@query(
+    "q27_math_functions",
+    oracle="""
+    SELECT o_orderkey,
+           abs(o_totalprice - 100000.0) AS abs_diff,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+           CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+           pow(2.0, CAST(o_orderkey % 20 AS DOUBLE)) AS pow2,
+           CAST(floor(ln(o_totalprice) * 100) AS BIGINT) AS ln_centi,
+           sqrt(o_totalprice) AS sqrt_price,
+           CAST(o_orderkey % 7 AS BIGINT) AS pmod7
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def q27_math_functions(spark, sf_dir):
+    """abs/ceil/floor/pow/ln/sqrt/pmod.
+
+    ln is not bit-identical across libm implementations (~1% of values differ
+    by 1 ulp), so the hashed contract is floor(ln*100) — stable under ulp
+    noise. sqrt and pow-of-two are IEEE-exact.
+    """
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - 100000.0).alias("abs_diff"),
+        F.ceil("o_totalprice").alias("ceil_price"),
+        F.floor("o_totalprice").alias("floor_price"),
+        F.pow(F.lit(2.0), (F.col("o_orderkey") % 20).cast("double")).alias("pow2"),
+        F.floor(F.log(F.col("o_totalprice")) * 100).alias("ln_centi"),
+        F.sqrt("o_totalprice").alias("sqrt_price"),
+        F.pmod(F.col("o_orderkey"), F.lit(7)).cast("long").alias("pmod7"),
+    )
+
+
+@query(
+    "q28_conditional_null",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'big'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           (o_orderstatus = 'F') AS is_filled
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def q28_conditional_null(spark, sf_dir):
+    """CASE WHEN / coalesce / nullif / boolean projection."""
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 150000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        (F.col("o_orderstatus") == "F").alias("is_filled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q29–Q32: array / map / json functions and the dead-letter split
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q29_array_functions",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS lns,
+           CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
+           list_contains(list(l_linenumber), 3) AS has_line3
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    tags=("array",),
+)
+def q29_array_functions(spark, sf_dir):
+    """collect_list + sort_array/size/array_contains (arrays canonicalized
+    by sorting — collect order is partition-dependent)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lns"),
+        F.size(F.collect_list("l_linenumber")).alias("n_lines"),
+        F.array_contains(F.collect_list("l_linenumber"), 3).alias("has_line3"),
+    )
+
+
+@query(
+    "q29b_explode_roundtrip",
+    oracle="SELECT l_orderkey, l_linenumber FROM lineitem",
+    tags=("array", "udtf"),
+)
+def q29b_explode_roundtrip(spark, sf_dir):
+    """explode(collect_list(x)) round-trips to the original rows — the
+    UDTF-shaped lateral view."""
+    li = Catalog(spark, sf_dir).lineitem
+    arrs = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_linenumber").alias("lns")
+    )
+    return arrs.select(
+        "l_orderkey", F.explode("lns").alias("l_linenumber")
+    )
+
+
+@query(
+    "q30_map_functions",
+    oracle="""
+    SELECT o_orderpriority,
+           nullif(CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT), 0)
+             AS n_f,
+           nullif(CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT), 0)
+             AS n_o,
+           nullif(CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT), 0)
+             AS n_p,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("map",),
+)
+def q30_map_functions(spark, sf_dir):
+    """map_from_entries / element_at / map_keys over per-group status counts.
+
+    The oracle mirrors the *extracted* values (missing key → NULL), since
+    MAP column ordering is not comparable across engines.
+    """
+    o = Catalog(spark, sf_dir).orders
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    maps = counts.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
+        ).alias("status_map")
+    )
+    return maps.select(
+        "o_orderpriority",
+        F.element_at("status_map", "F").alias("n_f"),
+        F.element_at("status_map", "O").alias("n_o"),
+        F.element_at("status_map", "P").alias("n_p"),
+        F.array_join(F.sort_array(F.map_keys("status_map")), ",").alias(
+            "statuses"
+        ),
+    )
+
+
+@query(
+    "q31_json_functions",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(o_orderkey := o_orderkey,
+                               o_orderstatus := o_orderstatus))::VARCHAR AS j,
+           CAST(json_extract_string(
+             to_json(struct_pack(o_orderkey := o_orderkey,
+                                 o_orderstatus := o_orderstatus)),
+             '$.o_orderkey') AS BIGINT) AS jk,
+           json_extract_string(
+             to_json(struct_pack(o_orderkey := o_orderkey,
+                                 o_orderstatus := o_orderstatus)),
+             '$.o_orderstatus') AS js
+    FROM orders
+    """,
+    tags=("json",),
+)
+def q31_json_functions(spark, sf_dir):
+    """to_json / get_json_object / from_json round-trip — the decode path
+    (A3, ``client/RecordStream.scala:277-278``) in JSON form."""
+    o = Catalog(spark, sf_dir).orders
+    j = F.to_json(F.struct("o_orderkey", "o_orderstatus"))
+    return o.select(
+        "o_orderkey",
+        j.alias("j"),
+        F.get_json_object(j, "$.o_orderkey").cast("bigint").alias("jk"),
+        F.from_json(
+            j, "o_orderkey bigint, o_orderstatus string"
+        )["o_orderstatus"].alias("js"),
+    )
+
+
+@query(
+    "q32_dead_letter_split",
+    oracle="""
+    WITH payloads AS (
+      SELECT event_type,
+             CASE WHEN event_id % 20 = 0 THEN 'x' || props ELSE props END
+               AS payload
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE json_valid(payload)) AS BIGINT)
+             AS n_good,
+           CAST(count(*) FILTER (WHERE NOT json_valid(payload)) AS BIGINT)
+             AS n_bad,
+           CAST(sum(CASE WHEN json_valid(payload)
+                         THEN CAST(json_extract_string(payload, '$.k') AS INTEGER)
+                    END) AS BIGINT) AS sum_k
+    FROM payloads GROUP BY event_type
+    """,
+    tags=("dlq",),
+)
+def q32_dead_letter_split(spark, sf_dir):
+    """Dead-letter split (A5/``Result[A]``): decode errors stay in-band and
+    are counted, never dropped silently (reference ``model/package.scala:16``,
+    ``streams/Tables.scala:24-27``).
+
+    A deterministic 5% of payloads are mangled (leading garbage — Spark's
+    parser tolerates *trailing* garbage that DuckDB rejects) to exercise the
+    corrupt path; `get_json_object` returns NULL on invalid JSON.
+    """
+    e = Catalog(spark, sf_dir).events
+    payload = F.when(
+        F.col("event_id") % 20 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    parsed = F.get_json_object(payload, "$.k")
+    return (
+        e.select("event_type", parsed.cast("int").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_good"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_bad"),
+            F.sum("k").alias("sum_k"),
+        )
     )
