@@ -1,3 +1,139 @@
-"""Time-window queries (SURVEY §2 Q33–Q37): batch-replayed streaming semantics."""
+"""Time-window queries (SURVEY §2 Q33–Q37): streaming-shape semantics,
+batch-replayed deterministically.
+
+`F.window` / `F.session_window` are the same expressions Structured
+Streaming uses for its windowed state — running them in batch gives the
+stream-batch duality the reference's table⇄changelog claim rests on.
+The true streaming paths (file replay + watermark + state store) live in
+:mod:`fs2_kafka_streams_spark.streaming` and are verified to equal these
+batch results in the test suite.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fs2_kafka_streams_spark.catalog import Catalog
+from fs2_kafka_streams_spark.canonical import dsum
+from fs2_kafka_streams_spark.queries import query
+
+
+@query(
+    "q33_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'
+             AS window_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("window", "streaming-shape"),
+)
+def q33_tumbling_window(spark, sf_dir):
+    """Count + sum per 5-minute tumbling window per user."""
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q34_sliding_window",
+    oracle="""
+    WITH two AS (SELECT 0 AS off UNION ALL SELECT 1)
+    SELECT time_bucket(INTERVAL '5 minutes', ts)
+             - off * INTERVAL '5 minutes' AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts)
+             - off * INTERVAL '5 minutes' + INTERVAL '10 minutes' AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events CROSS JOIN two
+    GROUP BY 1, 2, 3
+    """,
+    tags=("window", "streaming-shape"),
+)
+def q34_sliding_window(spark, sf_dir):
+    """Count per 10-minute window sliding every 5 — each event lands in
+    exactly two windows (the oracle materializes both membership copies)."""
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "q35_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    tags=("window", "streaming-shape"),
+)
+def q35_session_window(spark, sf_dir):
+    """Sessionization with a 30-minute inactivity gap (`session_window`);
+    the oracle is the classic gaps-and-islands formulation."""
+    e = Catalog(spark, sf_dir).events
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q37_dedup",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    tags=("dedup", "streaming-shape"),
+)
+def q37_dedup(spark, sf_dir):
+    """Exact dedup by event_id: a doubled stream (events ∪ events)
+    deduplicates back to the original — rows among duplicates are identical,
+    so the kept row is deterministic. Streaming counterpart
+    (`dropDuplicatesWithinWatermark`) is exercised in the streaming tests."""
+    e = Catalog(spark, sf_dir).events.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    return e.unionAll(e).dropDuplicates(["event_id"])

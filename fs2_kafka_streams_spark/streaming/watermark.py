@@ -1,0 +1,101 @@
+"""Watermarked tumbling-window aggregation with late-data drop (Q36).
+
+A real Structured Streaming query over the deterministic file replay:
+because micro-batch k is exactly hash-bucket k of the events table (see
+:mod:`replay`), the watermark trajectory — and therefore which late rows are
+dropped and which windows finalize — is a pure function of the data. The
+SQL model of that trajectory (the Q36 oracle):
+
+- the watermark APPLIED to batch k's input lags one batch behind the
+  one computed from batch k-1's data (verified empirically on Spark 4.1:
+  progress reports wm_k = max(ts over batches < k) − delay, but the
+  late-row filter in batch k uses wm_{k-1}) — so the effective drop
+  threshold for bucket k is max(ts over buckets 0..k-2) − delay
+- a row is DROPPED iff its window's end <= that threshold (the window's
+  state has been evicted; a late row into a still-open window is accepted
+  even if ts < watermark)
+- a window EMITS (append mode) iff window_end <= final watermark
+  = max(all ts) − delay (the trailing no-data batch finalizes state)
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fs2_kafka_streams_spark.canonical import dsum
+from fs2_kafka_streams_spark.streaming.replay import N_FILES, replay_dir
+from fs2_kafka_streams_spark.streaming.stateful import EVENTS_SCHEMA
+
+DELAY = "10 minutes"
+
+
+def tumbling_with_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling counts with a 10-minute watermark, append mode.
+
+    Watermarks require TIMESTAMP (not NTZ), so the parquet µs values are read
+    as session-local instants and the window bounds are cast back to NTZ on
+    output. Interpretation and rendering use the same session timezone, so
+    the result is timezone-neutral (every real UTC offset is a multiple of
+    the 5-minute bucket).
+    """
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA.replace("timestamp_ntz", "timestamp"))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir(sf_dir, "events"))
+    )
+    agg = (
+        src.withWatermark("ts", DELAY)
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "n",
+            "sum_value",
+        )
+    )
+    name = f"q36_sink_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_Q36 = f"""
+WITH tagged AS (
+  SELECT *, event_id % {N_FILES} AS f,
+         time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS w_end
+  FROM events
+), fmax AS (
+  SELECT f, max(ts) AS mx FROM tagged GROUP BY f
+), wm AS (
+  SELECT f, max(mx) OVER (ORDER BY f
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - INTERVAL '10 minutes' AS wm_before
+  FROM fmax
+), kept AS (
+  SELECT t.* FROM tagged t JOIN wm ON t.f = wm.f
+  WHERE wm.wm_before IS NULL OR t.w_end > wm.wm_before
+), final_wm AS (
+  SELECT max(ts) - INTERVAL '10 minutes' AS fw FROM events
+)
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'
+         AS window_end,
+       CAST(count(*) AS BIGINT) AS n,
+       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+FROM kept, final_wm
+GROUP BY 1, 2, fw
+HAVING window_end <= fw
+"""
