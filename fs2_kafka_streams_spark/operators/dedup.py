@@ -1,0 +1,280 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, all DataFrame-native (no Python in the hot path):
+
+- **exact**: content-hash groupBy — one shuffle on the hash, O(n).
+- **n-gram Jaccard** (test-scale exact near-dup): shingle explode +
+  self-join on shared shingles + pair aggregation. O(sum of shingle-bucket
+  squares) — correct but quadratic in the worst case; the oracle-checkable
+  ground truth for the approximate tiers.
+- **MinHash + LSH** (the 100 TB path): k-permutation signatures, banded
+  bucketing, candidate pairs only within buckets → candidate verification.
+  Shuffle volume O(n·bands), never O(n²).
+- **SimHash**: 64-bit sign-of-weighted-sum fingerprint + banded hamming
+  candidate search.
+
+Reference has no dedup operator; mandated by the north star
+(BASELINE.json field 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fs2_kafka_streams_spark.operators.text import shingles, tokens
+
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16  # 16 bands × 4 rows
+# Mersenne-31: keeps a*h + b < 2^62, no int64 overflow under ANSI mode
+MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """One representative (min id) per distinct content hash."""
+    h = F.sha2(F.col(content_col), 256).alias("content_hash")
+    return df.select(h, F.col(id_col)).groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    tok = tokens(text_col)
+    return (
+        df.select(F.col(id_col).alias("_id"), tok.alias("_tok"))
+        .filter(F.size("_tok") >= n)
+        .select("_id", F.explode(shingles(F.col("_tok"), n)).alias("_sh"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise Jaccard over n-gram shingle sets, via shared-shingle
+    self-join (only pairs sharing ≥1 shingle are ever materialized)."""
+    sh = _doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "na", "nb", "jaccard")
+    )
+
+
+def _perm_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for k hash permutations (seeded LCG)."""
+    consts, x = [], 0x9E3779B97F4A7C15
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (MERSENNE - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % MERSENNE
+        consts.append((a, b))
+    return consts
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3,
+    k: int = MINHASH_PERMS,
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Per (doc, shingle) row an array of k permuted hashes is computed JVM-side
+    (xxhash64 + affine mod-Mersenne), then min-reduced per document — one
+    shuffle of k longs per doc.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    h = F.pmod(F.xxhash64("_sh"), F.lit(MERSENNE))
+    perms = F.array(
+        *[
+            F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE))
+            for a, b in _perm_consts(k)
+        ]
+    )
+    per_row = sh.select("_id", perms.alias("_hs"))
+    return per_row.groupBy("_id").agg(
+        F.array(
+            *[F.min(F.element_at("_hs", i + 1)) for i in range(k)]
+        ).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    k: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs at scale: LSH-banded MinHash candidates, then
+    exact Jaccard verification of candidates only.
+
+    With k=64, bands=16 (r=4): P(candidate) = 1-(1-j^4)^16 — ~0.97 at
+    j=0.5. Candidate generation shuffles O(n·bands) rows; verification
+    touches only the candidate set.
+    """
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    r = k // bands
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice("signature", bi * r + 1, r).cast("string")
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bh")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+    # verify candidates with exact jaccard (reuses the shingle sets)
+    sh = _doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    sa = sh.withColumnRenamed("_id", "id_a")
+    sb = sh.select(
+        F.col("_id").alias("_idb"), F.col("_sh").alias("_sh_b")
+    )
+    inter = (
+        cand.join(sa, "id_a")
+        .join(
+            sb,
+            (F.col("id_b") == F.col("_idb"))
+            & (F.col("_sh") == F.col("_sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document: bit j is the sign of the sum over tokens
+    of ±1 according to bit j of the token hash."""
+    tok_df = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
+    )
+    h = F.xxhash64("_t")
+    bit_contrib = F.array(
+        *[
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    per_tok = tok_df.select("_id", bit_contrib.alias("_bits"))
+    summed = per_tok.groupBy("_id").agg(
+        F.array(
+            *[F.sum(F.element_at("_bits", j + 1)) for j in range(64)]
+        ).alias("_sums")
+    )
+    bit_terms = [
+        F.when(
+            F.element_at("_sums", j + 1) >= 0,
+            # bit 63 is the int64 sign bit
+            F.lit(1 << j if j < 63 else -(1 << 63)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(64)
+    ]
+    packed = F.aggregate(
+        F.array(*bit_terms),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+    return summed.select(F.col("_id").alias(id_col), packed.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates by SimHash: band the 64 bits into 4×16-bit chunks
+    (any pair within hamming ≤ 3 shares ≥1 exact chunk — pigeonhole), then
+    verify hamming distance on candidates."""
+    sh = simhash(df, text_col, id_col)
+    chunks = sh.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "simhash", "b.chunk", "b.ck")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,126 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All pure column expressions (whole-stage codegen, no Python in the hot
+path): tokenization, shingling, token counting, language-ID by stopword
+voting, quality scoring, and a polynomial rolling-hash fingerprint that is
+bit-identical in DuckDB (portable md5-based token hashes, exact modular
+integer arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fs2_kafka_streams_spark.functions.hashing import md5_int64
+
+TOKEN_RE = "[a-z0-9]+"
+
+# tiny per-language stopword lists for the n-gram/stopword-voting heuristic;
+# ties break by list order (en, es, de, fr, zh)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+FP_BASE = 1_000_003
+FP_MOD = 2_147_483_647  # 2^31 - 1: keeps b*h + t < 2^62 (no bigint overflow)
+
+
+def tokens(col: str | Column) -> Column:
+    """Lower-cased word tokens (regex extraction — robust to punctuation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles of a token array (requires size >= n)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok, i + k + 1) for k in range(n)]
+            ),
+        )
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def whitespace_token_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(c, " "))
+
+
+def stopword_hits(tok: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tok, lambda t: F.array_contains(words, t)))
+
+
+def lang_id(tok: Column) -> Column:
+    """Argmax of stopword hits across languages, ties by list order.
+
+    A real pipeline would plug a fastText-style model in as a pandas UDF;
+    the heuristic keeps the operator oracle-checkable.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_hits(tok, lang).alias("hits"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(STOPWORDS)
+        ]
+    )
+    return F.array_max(scored)["lang"]
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Deterministic quality heuristic in exact integer/IEEE arithmetic:
+    len_score + stopword_ratio − non_alnum_ratio (all double divisions of
+    exact ints — bit-identical cross-engine)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tok = tokens(c)
+    n_tok = F.size(tok)
+    n_chars = F.length(c)
+    n_alnum = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
+    en_words = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(en_words, t)))
+    return (
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+        + n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+        - (n_chars - n_alnum).cast("double")
+        / F.greatest(n_chars, F.lit(1)).cast("double")
+    )
+
+
+def fingerprint(tok: Column) -> Column:
+    """Polynomial rolling hash of the token sequence (order-sensitive
+    document fingerprint): fold h = (h * B + md5int(t)) mod P.
+
+    Exact modular integer arithmetic — identical in any engine.
+    """
+    return F.aggregate(
+        tok,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * FP_BASE + md5_int64(t) % FP_MOD) % FP_MOD,
+    )
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family."""
+    tok = tokens(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "lang_pred": lang_id(tok),
+            "quality": quality_score(text_col),
+            "fingerprint": fingerprint(tok),
+        }
+    )

@@ -1,3 +1,341 @@
-"""LLM-data-pipeline queries (SURVEY §2 Q41–Q44 + extended dedup/similarity/text)."""
+"""LLM-data-pipeline queries (SURVEY §2 Q39–Q44 + extended suite).
+
+UDF surface (Q39/Q40) plus the training-data operators: exact dedup,
+n-gram Jaccard near-dup (exact ground truth), MinHash-LSH and SimHash
+(scale paths, rows-only checked here, cross-validated against the exact
+tier in the test suite), text analytics, and embedding cosine top-k
+(brute-force oracle-checked; hyperplane-LSH as the scale path).
+"""
 
 from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from fs2_kafka_streams_spark.catalog import Catalog
+from fs2_kafka_streams_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from fs2_kafka_streams_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from fs2_kafka_streams_spark.operators.text import analyze
+from fs2_kafka_streams_spark.queries import query
+
+# ---- Q39/Q40: UDF surface -------------------------------------------------
+
+
+@query(
+    "q39_udf_pandas",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+           o_orderstatus || '-' || CAST(o_orderkey % 10 AS VARCHAR) AS tag
+    FROM orders
+    """,
+    tags=("udf",),
+)
+def q39_udf_pandas(spark, sf_dir):
+    """Vectorized pandas UDF (Arrow-batched) + row UDF, equal to pure SQL.
+
+    The pandas UDF is the sanctioned slow path (A3-style custom decode);
+    the row UDF exists to prove parity but is never the recommendation.
+    """
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def price_bucket(s: pd.Series) -> pd.Series:
+        return pd.Series(np.floor(s / 50000).astype("int64"))
+
+    @F.udf("string")
+    def tag(status: str, key: int) -> str:
+        return f"{status}-{key % 10}"
+
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        price_bucket("o_totalprice").alias("price_bucket"),
+        tag("o_orderstatus", "o_orderkey").alias("tag"),
+    )
+
+
+@query(
+    "q40_udaf_grouped_map",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN mx = mn THEN 0.0
+                ELSE (o_totalprice - mn) / (mx - mn) END AS norm
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             min(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
+             max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+      FROM orders
+    )
+    """,
+    tags=("udf", "udaf"),
+)
+def q40_udaf_grouped_map(spark, sf_dir):
+    """Grouped-map UDAF (`applyInPandas`): per-customer min-max
+    normalization. min/max are exact and the normalization is one IEEE
+    subtract+divide — deterministic regardless of group row order."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
+        if mx == mn:
+            norm = pd.Series(0.0, index=pdf.index)
+        else:
+            norm = (pdf["o_totalprice"] - mn) / (mx - mn)
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "norm": norm,
+            }
+        )
+
+    o = Catalog(spark, sf_dir).orders
+    return o.groupBy("o_custkey").applyInPandas(
+        normalize, schema="o_custkey long, o_orderkey long, norm double"
+    )
+
+
+# ---- Q41/Q42: deduplication ----------------------------------------------
+
+
+@query(
+    "q41_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def q41_exact_dedup(spark, sf_dir):
+    """Exact content dedup: sha256 groupBy, min-id representative.
+    One O(n) shuffle on the hash — the first pass of every pipeline."""
+    return exact_dedup(Catalog(spark, sf_dir).documents, "text", "doc_id")
+
+
+_SHINGLE_SQL = """
+    toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "q42_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n AS BIGINT) AS na,
+           CAST(sb.n AS BIGINT) AS nb,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+          >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def q42_ngram_jaccard(spark, sf_dir):
+    """Exact pairwise Jaccard over 3-gram shingles (shared-shingle
+    self-join). The ground truth the approximate tiers are measured
+    against."""
+    return ngram_jaccard_pairs(
+        Catalog(spark, sf_dir).documents, "text", "doc_id", n=3, threshold=0.5
+    )
+
+
+@query("q42b_minhash_lsh", oracle=None, tags=("llm", "dedup", "scale"))
+def q42b_minhash_lsh(spark, sf_dir):
+    """MinHash(64) + LSH(16 bands) near-dup pairs with exact verification —
+    the 100 TB path (O(n·bands) shuffle, never O(n²)). Rows-only checked by
+    the driver; recall vs q42 is asserted in the test suite."""
+    return minhash_lsh_pairs(
+        Catalog(spark, sf_dir).documents, "text", "doc_id", n=3, threshold=0.5
+    )
+
+
+@query("q42c_simhash", oracle=None, tags=("llm", "dedup", "scale"))
+def q42c_simhash(spark, sf_dir):
+    """SimHash-64 near-dup candidates (banded hamming ≤ 3)."""
+    return simhash_pairs(Catalog(spark, sf_dir).documents, "text", "doc_id")
+
+
+# ---- Q43: text analytics --------------------------------------------------
+
+
+@query(
+    "q43_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT lang, term, count(*) AS cnt FROM tok GROUP BY 1, 2
+    )
+    SELECT lang, term, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY cnt DESC, term) AS rnk
+      FROM counts
+    ) WHERE rnk <= 5
+    """,
+    tags=("llm", "text"),
+)
+def q43_top_terms(spark, sf_dir):
+    """Top-5 terms per language: tokenize → explode → count → rank."""
+    d = Catalog(spark, sf_dir).documents
+    from fs2_kafka_streams_spark.operators.text import tokens
+
+    counts = (
+        d.select("lang", F.explode(tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", "cnt", "rnk")
+    )
+
+
+_STOP_SQL = {
+    "en": "['the','and','of','to','is']",
+    "es": "['el','la','de','que','y']",
+    "de": "['der','die','und','das','ist']",
+    "fr": "['le','la','et','les','des']",
+    "zh": "['de','shi','le','zai','he']",
+}
+_HITS = {
+    lang: f"len(list_filter(t, x -> list_contains({lst}, x)))"
+    for lang, lst in _STOP_SQL.items()
+}
+
+
+@query(
+    "q43b_text_analysis",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, text, t,
+             {_HITS['en']} AS h_en, {_HITS['es']} AS h_es,
+             {_HITS['de']} AS h_de, {_HITS['fr']} AS h_fr,
+             {_HITS['zh']} AS h_zh
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CASE WHEN h_en >= greatest(h_es, h_de, h_fr, h_zh) THEN 'en'
+                WHEN h_es >= greatest(h_de, h_fr, h_zh) THEN 'es'
+                WHEN h_de >= greatest(h_fr, h_zh) THEN 'de'
+                WHEN h_fr >= h_zh THEN 'fr'
+                ELSE 'zh' END AS lang_pred,
+           least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+             + CAST(h_en AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE)
+             - CAST(length(text)
+                    - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                    AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
+             AS quality,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(t, x ->
+                 ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)),
+             (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fingerprint
+    FROM scored
+    """,
+    tags=("llm", "text"),
+)
+def q43b_text_analysis(spark, sf_dir):
+    """Full text-analysis family: token count, stopword-voting language ID,
+    quality score, rolling-hash fingerprint — all exact integer / single-IEEE
+    arithmetic, hash-checkable cross-engine."""
+    d = Catalog(spark, sf_dir).documents
+    return analyze(d, "text").select(
+        "doc_id", "lang", "n_tokens", "lang_pred", "quality", "fingerprint"
+    )
+
+
+# ---- Q44: embedding similarity search ------------------------------------
+
+_N_QUERIES = 3
+
+
+@query(
+    "q44_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), e AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS nv
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> qv[i] * nv[i])) AS DOUBLE)
+             / sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> qv[i] * qv[i])) AS DOUBLE))
+             / sqrt(CAST(list_sum(list_transform(range(1, len(nv) + 1),
+                    i -> nv[i] * nv[i])) AS DOUBLE)) AS cos
+      FROM e CROSS JOIN q
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def q44_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 3 query vectors. Embeddings
+    quantized to integer micro-units so the dot product is exact — the
+    cosine is bit-identical cross-engine."""
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(emb, q, k=5)
+
+
+@query("q44b_lsh_ann", oracle=None, tags=("llm", "similarity", "scale"))
+def q44b_lsh_ann(spark, sf_dir):
+    """Hyperplane-LSH approximate neighbors (8 sign-bits → ~1/256 of the
+    corpus scored per query). Rows-only checked; recall vs q44 asserted in
+    the test suite."""
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return lsh_cosine_topk(emb, q, k=5, bits=8)

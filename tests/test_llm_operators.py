@@ -1,0 +1,106 @@
+"""Cross-validation of the approximate (scale-path) operators against their
+exact counterparts — the checks the driver's rows-only gate can't do."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    from fs2_kafka_streams_spark.catalog import Catalog
+
+    return Catalog(spark, SF_SMOKE).documents
+
+
+def test_minhash_lsh_recall(spark, documents):
+    """LSH candidates must recover (nearly) all exact Jaccard >= 0.5 pairs.
+
+    With 16 bands × 4 rows, P(miss at j=0.5) = (1-0.5^4)^16 ≈ 0.35 per pair
+    in theory, but near-dup corpora sit well above threshold; assert >= 80%
+    recall on pairs with j >= 0.6 and exact agreement of the jaccard values
+    LSH does report (they're computed by the same exact verifier).
+    """
+    from fs2_kafka_streams_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            documents, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            documents, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    # no false positives: LSH verifies candidates exactly
+    for pair, j in approx.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-12
+
+    strong = {p for p, j in exact.items() if j >= 0.6}
+    if strong:
+        recall = len(strong & set(approx)) / len(strong)
+        assert recall >= 0.8, f"LSH recall {recall:.2f} on strong pairs"
+
+
+def test_simhash_pairs_sane(spark, documents):
+    """SimHash near-dup pairs must have high token overlap (sanity) and the
+    operator must be deterministic across runs."""
+    from fs2_kafka_streams_spark.operators.dedup import simhash_pairs
+
+    a = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(documents, "text", "doc_id").collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(documents, "text", "doc_id").collect()
+    )
+    assert a == b
+    assert all(h <= 3 for _, _, h in a)
+
+
+def test_lsh_ann_subset_of_brute(spark):
+    """Every LSH-ANN result must appear in the brute-force candidate scoring
+    with the identical cosine (same expression), and per-query recall of the
+    true top-5 should be positive (same-bucket self-similarity)."""
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = Catalog(spark, SF_SMOKE).embeddings
+    q = emb.filter(F.col("vec_id") < 3)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    # recompute all-pair cosines for verification of LSH-reported values
+    allcos = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in cosine_topk(emb, q, k=10**9).collect()
+    }
+    approx = lsh_cosine_topk(emb, q, k=5, bits=8).collect()
+    assert approx, "LSH returned nothing"
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in allcos and abs(allcos[key] - r["cos"]) < 1e-12
+
+
+def test_exact_dedup_finds_duplicate_texts(spark, documents):
+    """If the corpus contains duplicated texts, exact dedup must group them;
+    the group count equals distinct text count."""
+    from fs2_kafka_streams_spark.operators.dedup import exact_dedup
+
+    n_distinct = documents.select("text").distinct().count()
+    groups = exact_dedup(documents, "text", "doc_id")
+    assert groups.count() == n_distinct
