@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Bench harness — wall-clock per declared query (SURVEY.md §2 Part B).
+
+Runs every query in the registry against ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full plan runs distributed; nothing
+is materialized on the driver), which is the scale-honest way to time a
+query — ``collect()`` would add a driver bottleneck that doesn't exist in
+the 100 TB deployment shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from fs2_kafka_streams_spark.queries import load_all
+    from fs2_kafka_streams_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    registry = load_all()
+
+    # Warm the JVM + parquet footer caches outside the timed region so
+    # per-query numbers reflect steady-state execution, not session startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, spec in registry.items():
+        t0 = time.perf_counter()
+        df = spec.build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_clock_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested: schema contract, Arrow-batched
+``mapInPandas`` operators, partition sizing. The actual media decoding is
+STUBBED (this container ships no image/audio libraries) behind
+``_decode_image_stub`` — a deterministic fake that derives "pixels" from the
+byte content — with the real implementation's seam clearly marked.
+
+Design for 100 TB: binary payloads stay in executor memory only within one
+Arrow batch (bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``);
+metadata-only predicates (width/height/format) prune before any decode; the
+decode runs per-partition with no driver involvement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, fmt string, width int, height int, "
+    "duration_ms int, payload binary"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, byte_mean double, "
+    "feature array<double>"
+)
+
+
+def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a deterministic fake media table from any table (fixture
+    helper): payload = utf-8 bytes of the text, metadata derived from id."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        (F.when(F.col(id_col) % 3 == 0, "image")
+         .when(F.col(id_col) % 3 == 1, "audio")
+         .otherwise("video")).alias("kind"),
+        (F.when(F.col(id_col) % 2 == 0, "raw").otherwise("compressed")).alias("fmt"),
+        (F.col(id_col) % 640 + 16).cast("int").alias("width"),
+        (F.col(id_col) % 480 + 16).cast("int").alias("height"),
+        (F.col(id_col) % 60000).cast("int").alias("duration_ms"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def _decode_image_stub(payload: bytes) -> list[float]:
+    """STUB for the real decoder (PIL/libvips/ffmpeg not in this container).
+
+    Replace with e.g.::
+
+        img = PIL.Image.open(io.BytesIO(payload))   # real path
+        raise NotImplementedError                    # if lib missing
+
+    The deterministic fake hashes byte windows into an 8-dim feature so the
+    plumbing (batching, schema, ordering) is fully testable.
+    """
+    n = max(len(payload), 1)
+    return [
+        sum(payload[i::8]) % 256 / 255.0 for i in range(min(8, n))
+    ] + [0.0] * max(0, 8 - min(8, n))
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched per-partition feature extraction over binary payloads.
+
+    ``mapInPandas``: the iterator yields bounded Arrow batches — constant
+    executor memory regardless of table size.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "byte_mean": payloads.map(
+                        lambda b: float(sum(b)) / max(len(b), 1)
+                    ),
+                    "feature": payloads.map(_decode_image_stub),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: explode sample timestamps from
+    metadata only — no payload decode until a downstream operator needs the
+    actual frame (metadata pruning before decode)."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

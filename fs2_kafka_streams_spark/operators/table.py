@@ -1,0 +1,103 @@
+"""MaterializedTable — API parity with the reference's ReadOnlyTable/Table.
+
+Reference (``streams/Table.scala:10-41``):
+  get(k): F[Option[V]]          → point lookup
+  getAll(ks): F[Map[K,Option[V]]] → multi-get, missing keys → None
+  scan: Stream[F,(K,V)]          → full scan
+  delete(k) / tombstones         → key removal
+  lastCommittedOffset            → recovery bookkeeping
+
+Spark re-expression: the table IS a DataFrame (the latest-by-key
+materialization of a changelog, ``streams/Tables.scala:46-70``). Point and
+multi-get are broadcast joins from the key set (the distributed analogue of
+RocksDB multiGet, ``PolyKVStore.scala:122-133``); scan is the DataFrame
+itself. Tombstones: a NULL value column deletes the key (the reference
+exposes ``delete`` but its shipped materializer never emits it — we support
+both behaviors via ``respect_tombstones``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
+
+
+class MaterializedTable:
+    """A keyed latest-value view of a changelog DataFrame."""
+
+    def __init__(
+        self,
+        changelog: DataFrame,
+        key_cols: Sequence[str],
+        order_cols: Sequence[str],
+        value_cols: Sequence[str] | None = None,
+        tombstone_col: str | None = None,
+    ):
+        self.key_cols = list(key_cols)
+        self.order_cols = list(order_cols)
+        self.value_cols = list(
+            value_cols
+            if value_cols is not None
+            else [c for c in changelog.columns if c not in key_cols]
+        )
+        self._changelog = changelog
+        self._tombstone_col = tombstone_col
+        snap = latest_by_key(changelog, key_cols, order_cols, self.value_cols)
+        if tombstone_col is not None:
+            # a tombstone (NULL value) as the latest write removes the key
+            snap = snap.filter(F.col(tombstone_col).isNotNull())
+        self._snapshot = snap
+
+    # -- reads (A10–A12) ---------------------------------------------------
+
+    def scan(self) -> DataFrame:
+        """Full scan — the materialized view itself (A12)."""
+        return self._snapshot
+
+    def get(self, key: Any | tuple) -> dict | None:
+        """Point lookup (A10). Returns the value row dict or None."""
+        out = self.get_all([key]).collect()[0]
+        d = out.asDict()
+        if all(d[c] is None for c in self.value_cols):
+            return None
+        return {c: d[c] for c in self.value_cols}
+
+    def get_all(self, keys: Sequence[Any | tuple]) -> DataFrame:
+        """Multi-get (A11): preserves requested keys, missing → NULL row —
+        exactly the reference's ``Map[K, Option[V]]`` contract
+        (``streams/Table.scala:61-62``)."""
+        spark = self._snapshot.sparkSession
+        rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+        schema_fields = ", ".join(
+            f"{c} {self._snapshot.schema[c].dataType.simpleString()}"
+            for c in self.key_cols
+        )
+        keys_df = spark.createDataFrame(rows, schema_fields)
+        # Scale path: broadcast the (small) key set INTO the big table first
+        # (a broadcast semi-join prunes the scan), then left-join the pruned
+        # result — now at most |keys| rows — back onto the key list to keep
+        # missing keys as NULL rows. Never broadcasts the table itself.
+        matched = self._snapshot.join(
+            F.broadcast(keys_df), on=self.key_cols, how="left_semi"
+        )
+        return keys_df.join(F.broadcast(matched), on=self.key_cols, how="left")
+
+    def last_committed_offset(self) -> Any:
+        """Highest changelog position applied (A17,
+        ``streams/Table.scala:67-68``) — here max of the first order col."""
+        col = self.order_cols[0]
+        return self._changelog.agg(F.max(col)).collect()[0][0]
+
+
+def join_with(
+    stream: DataFrame, table: MaterializedTable, how: str = "left"
+) -> DataFrame:
+    """Stream–table enrichment join (A14, ``ReadOnlyTableSpec.scala:77-79``):
+    each stream row gains the table's current value for its key; misses stay
+    as NULLs (Option[V] = None)."""
+    return stream.join(table.scan(), on=table.key_cols, how=how)

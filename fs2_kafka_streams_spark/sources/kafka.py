@@ -1,0 +1,120 @@
+"""Kafka source & sink wrappers (A1/A2/A15/A18/A23).
+
+Reference mapping (all consumer mechanics — poll loop, partition demux,
+rebalance, backpressure, commit queue — are *internal* to Spark's Kafka
+source; this wrapper only surfaces the knobs):
+
+- Subscription.Topics / .Pattern (``client/Subscription.scala:3-7``) →
+  ``subscribe`` / ``subscribePattern`` options.
+- Partitioned vs plain stream (``RecordStream.scala:14-18``) → the
+  ``partition`` column; per-partition ordering is preserved into tasks.
+- Backpressure via buffer pause/resume (``RecordStream.scala:110-150``) →
+  ``maxOffsetsPerTrigger`` / ``minOffsetsPerTrigger`` rate limits.
+- Offset recovery (``RecordStream.scala:194-219``) → ``startingOffsets`` +
+  checkpoint recovery (automatic, exactly-once for state).
+- Producer (``client/Producer.scala:37-55``) → ``writeStream.format("kafka")``
+  with key/value binary columns.
+
+This container has no Kafka broker or connector jars, so ``load()`` raises
+a clear error; everything up to the reader construction is plain option
+plumbing and IS unit-tested. The decode layer (``sources/decode.py``) is
+broker-independent and tested against synthetic byte records.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+@dataclass
+class KafkaSourceConfig:
+    bootstrap_servers: str
+    topics: list[str] | None = None
+    pattern: str | None = None
+    starting_offsets: str = "earliest"
+    max_offsets_per_trigger: int | None = None
+    min_offsets_per_trigger: int | None = None
+    fail_on_data_loss: bool = True
+    extra: dict[str, str] = field(default_factory=dict)
+
+    def options(self) -> dict[str, str]:
+        if (self.topics is None) == (self.pattern is None):
+            raise ValueError("exactly one of topics / pattern required")
+        opts = {
+            "kafka.bootstrap.servers": self.bootstrap_servers,
+            "startingOffsets": self.starting_offsets,
+            "failOnDataLoss": str(self.fail_on_data_loss).lower(),
+        }
+        if self.topics is not None:
+            opts["subscribe"] = ",".join(self.topics)
+        else:
+            opts["subscribePattern"] = self.pattern
+        if self.max_offsets_per_trigger is not None:
+            opts["maxOffsetsPerTrigger"] = str(self.max_offsets_per_trigger)
+        if self.min_offsets_per_trigger is not None:
+            opts["minOffsetsPerTrigger"] = str(self.min_offsets_per_trigger)
+        opts.update(self.extra)
+        return opts
+
+
+def read_stream(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
+    """The plain stream (A2): all partitions merged, unordered across
+    partitions — order within a partition preserved."""
+    reader = spark.readStream.format("kafka")
+    for k, v in cfg.options().items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_batch(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
+    """Bounded snapshot read of the same topics (batch Kafka source)."""
+    reader = spark.read.format("kafka")
+    for k, v in cfg.options().items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def encode_for_kafka(
+    df: DataFrame,
+    value_cols: list[str],
+    key_col: str | None = None,
+    topic: str | None = None,
+) -> DataFrame:
+    """KafkaEncoder (A15): payload → JSON value bytes + optional key bytes.
+    Mirrors ``KafkaEncoder.encode: T => (Option[Key], Value)``
+    (``codecs/KafkaEncoder.scala:24-28``)."""
+    out = [F.to_json(F.struct(*value_cols)).cast("binary").alias("value")]
+    if key_col is not None:
+        out.append(F.col(key_col).cast("string").cast("binary").alias("key"))
+    if topic is not None:
+        out.append(F.lit(topic).alias("topic"))
+    return df.select(*out)
+
+
+def write_stream(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    trigger_seconds: int | None = None,
+):
+    """Kafka sink (A15): at-least-once per micro-batch; the commit queue /
+    ack machinery of the reference (A16, ``CommitQueue.scala``) is Spark's
+    checkpoint offset log — one commit per micro-batch, max-offset merge."""
+    writer = (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

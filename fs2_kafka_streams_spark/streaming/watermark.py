@@ -38,10 +38,20 @@ def tumbling_with_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Watermarks require TIMESTAMP (not NTZ), so the parquet µs values are read
     as session-local instants and the window bounds are cast back to NTZ on
-    output. Interpretation and rendering use the same session timezone, so
-    the result is timezone-neutral (every real UTC offset is a multiple of
-    the 5-minute bucket).
+    output. The session timezone is pinned to UTC for the duration of the
+    query (and restored after): under a DST-having zone the naive→instant
+    mapping is non-linear, which would shift watermark arithmetic across DST
+    boundaries relative to the wall-clock SQL oracle.
     """
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return _run_watermark_query(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def _run_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.schema(EVENTS_SCHEMA.replace("timestamp_ntz", "timestamp"))
         .option("maxFilesPerTrigger", 1)

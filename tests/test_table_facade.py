@@ -1,0 +1,184 @@
+"""Reference API parity: MaterializedTable (get/get_all/scan/tombstones),
+stream-table join, decode registry + DLQ, Kafka option plumbing,
+file round-trips, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    # a keyed changelog: (user_id) -> (name), offset = changelog order
+    rows = [
+        (0, "bob", "v1", 1),
+        (0, "bob", "v2", 3),
+        (1, "alice", "v1", 2),
+        (2, "joe", "v1", 4),
+        (2, None, None, 5),  # tombstone for joe
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, name string, payload string, offset long"
+    )
+
+
+def test_table_get_scan_multiget(spark, changelog):
+    from fs2_kafka_streams_spark.operators.table import MaterializedTable
+
+    t = MaterializedTable(
+        changelog.filter(F.col("name").isNotNull()),
+        key_cols=["user_id"],
+        order_cols=["offset"],
+        value_cols=["name", "payload", "offset"],
+    )
+    scan = {r["user_id"]: r["payload"] for r in t.scan().collect()}
+    assert scan == {0: "v2", 1: "v1", 2: "v1"}  # last write wins
+
+    assert t.get(0)["payload"] == "v2"
+    assert t.get(99) is None  # missing -> None (Option[V])
+
+    got = {r["user_id"]: r["payload"] for r in t.get_all([0, 1, 99]).collect()}
+    assert got == {0: "v2", 1: "v1", 99: None}
+    assert t.get_all([0, 1, 99]).count() == 3  # requested keys preserved
+
+    assert t.last_committed_offset() == 4
+
+
+def test_table_tombstones(spark, changelog):
+    from fs2_kafka_streams_spark.operators.table import MaterializedTable
+
+    t = MaterializedTable(
+        changelog,
+        key_cols=["user_id"],
+        order_cols=["offset"],
+        value_cols=["name", "payload", "offset"],
+        tombstone_col="name",
+    )
+    keys = {r["user_id"] for r in t.scan().collect()}
+    assert keys == {0, 1}  # joe deleted by tombstone
+
+
+def test_stream_table_join(spark, changelog):
+    from fs2_kafka_streams_spark.operators.table import (
+        MaterializedTable,
+        join_with,
+    )
+
+    t = MaterializedTable(
+        changelog.filter(F.col("name").isNotNull()),
+        key_cols=["user_id"],
+        order_cols=["offset"],
+        value_cols=["name"],
+    )
+    clicks = spark.createDataFrame(
+        [(0, 100), (1, 101), (7, 102)], "user_id long, click_id long"
+    )
+    out = {r["click_id"]: r["name"] for r in join_with(clicks, t).collect()}
+    assert out == {100: "bob", 101: "alice", 102: None}  # miss -> NULL
+
+
+def test_decode_registry_and_dlq(spark):
+    from fs2_kafka_streams_spark.sources.decode import (
+        DecodeRegistry,
+        JsonFormat,
+        clean_view,
+        dead_letters,
+    )
+
+    records = spark.createDataFrame(
+        [
+            ("t1", 0, 0, b'{"a": 1, "b": "x"}'),
+            ("t1", 0, 1, b"not json at all"),
+            ("t1", 1, 0, b'{"a": 2, "b": "y"}'),
+        ],
+        "topic string, partition int, offset long, value binary",
+    )
+    reg = DecodeRegistry().register("t1", JsonFormat("a int, b string"))
+    decoded = reg.decode(records)
+
+    clean = clean_view(decoded)
+    assert {r["a"] for r in clean.collect()} == {1, 2}
+    assert set(clean.columns) >= {"topic", "partition", "offset", "a", "b"}
+
+    dlq = dead_letters(decoded).collect()
+    assert len(dlq) == 1 and "malformed json" in dlq[0]["decode_error"]
+
+
+def test_kafka_option_plumbing():
+    from fs2_kafka_streams_spark.sources.kafka import KafkaSourceConfig
+
+    cfg = KafkaSourceConfig(
+        bootstrap_servers="broker:9092",
+        topics=["a", "b"],
+        max_offsets_per_trigger=1000,
+    )
+    opts = cfg.options()
+    assert opts["subscribe"] == "a,b"
+    assert opts["maxOffsetsPerTrigger"] == "1000"
+
+    pat = KafkaSourceConfig(bootstrap_servers="x", pattern="topic-.*").options()
+    assert pat["subscribePattern"] == "topic-.*"
+
+    with pytest.raises(ValueError):
+        KafkaSourceConfig(bootstrap_servers="x").options()
+    with pytest.raises(ValueError):
+        KafkaSourceConfig(
+            bootstrap_servers="x", topics=["a"], pattern="b.*"
+        ).options()
+
+
+def test_kafka_encode(spark):
+    from fs2_kafka_streams_spark.sources.kafka import encode_for_kafka
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    out = encode_for_kafka(df, ["id", "s"], key_col="id", topic="out").collect()
+    assert bytes(out[0]["value"]) == b'{"id":1,"s":"x"}'
+    assert bytes(out[0]["key"]) == b"1"
+    assert out[0]["topic"] == "out"
+
+
+def test_file_roundtrip(spark, tmp_path):
+    from fs2_kafka_streams_spark.sources import files
+    from fs2_kafka_streams_spark.catalog import Catalog
+
+    region = Catalog(spark, SF_SMOKE).region
+    for fmt, writer, reader in [
+        ("parquet", files.write_parquet, lambda s, p: files.read_parquet(s, p)),
+        ("csv", files.write_csv,
+         lambda s, p: files.read_csv(s, p, "r_regionkey int, r_name string")),
+        ("json", files.write_json,
+         lambda s, p: files.read_json(s, p, "r_regionkey int, r_name string")),
+    ]:
+        path = str(tmp_path / fmt)
+        writer(region, path)
+        back = reader(spark, path)
+        assert sorted(tuple(r) for r in back.collect()) == sorted(
+            tuple(r) for r in region.collect()
+        ), fmt
+
+
+def test_multimodal_plumbing(spark):
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        synthesize_media,
+    )
+
+    docs = Catalog(spark, SF_SMOKE).documents.limit(50)
+    media = synthesize_media(docs, "doc_id", "text")
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(0 <= v <= 1 for r in rows for v in r["feature"])
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+
+    frames = frame_sample(media, every_ms=10000)
+    fr = frames.groupBy("media_id").count().collect()
+    assert fr and all(r["count"] >= 1 for r in fr)
