@@ -104,14 +104,22 @@ def latest_by_key_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             table[r["user_id"]] = r
 
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_latest_{uuid.uuid4().hex[:8]}_")
-    q = (
-        updates.writeStream.outputMode("update")
-        .foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    from fs2_kafka_streams_spark.streaming.conf import (
+        STREAM_STATE_PARTITIONS,
+        pinned_conf,
     )
-    q.awaitTermination()
+
+    with pinned_conf(
+        spark, {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+    ):
+        q = (
+            updates.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     rows = [
         (

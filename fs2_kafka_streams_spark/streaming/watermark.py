@@ -43,12 +43,19 @@ def tumbling_with_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping is non-linear, which would shift watermark arithmetic across DST
     boundaries relative to the wall-clock SQL oracle.
     """
-    prev_tz = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
+    from fs2_kafka_streams_spark.streaming.conf import (
+        STREAM_STATE_PARTITIONS,
+        pinned_conf,
+    )
+
+    with pinned_conf(
+        spark,
+        {
+            "spark.sql.session.timeZone": "UTC",
+            "spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS,
+        },
+    ):
         return _run_watermark_query(spark, sf_dir)
-    finally:
-        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 def _run_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
