@@ -90,6 +90,88 @@ def cosine_topk(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact tier): every unordered
+    pair with cosine >= threshold. O(n²/2) scored pairs — the correctness
+    baseline that :func:`embedding_neardup_pairs_lsh` is validated against.
+    Exact integer dot products (see module docstring) keep it hash-checkable
+    cross-engine."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits_per_band: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup, 100 TB path: banded hyperplane LSH.
+
+    Each vector gets `bands` small signatures (``bits_per_band`` sign-bits
+    each); candidate pairs share at least one band signature — an equi-join
+    per band (shuffle O(n·bands)), never the O(n²) cross join. Candidates
+    are then verified with the exact cosine, so precision is 1; recall is
+    probabilistic (two vectors at cosine θ collide in one band with prob
+    (1 − arccos(θ)/π)^bits, amplified across bands) and is asserted against
+    the exact tier in the test suite."""
+    sigs = [
+        lsh_bucket_band(F.col(vec_col), dim, bits_per_band, band)
+        for band in range(bands)
+    ]
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.array(*sigs).alias("sigs"),
+    )
+    tagged = e.select(
+        "id", "v", F.posexplode("sigs").alias("band", "sig")
+    )
+    cand = (
+        tagged.alias("a")
+        .join(
+            tagged.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.sig") == F.col("b.sig"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    ).filter(F.col("cos") >= threshold)
+
+
 def _hyperplanes(dim: int, bits: int) -> list[list[int]]:
     """Deterministic ±1 pseudo-random hyperplanes (seeded LCG)."""
     planes, x = [], 0x2545F4914F6CDD1D
@@ -100,6 +182,24 @@ def _hyperplanes(dim: int, bits: int) -> list[list[int]]:
             row.append(1 if (x >> 32) & 1 else -1)
         planes.append(row)
     return planes
+
+
+def lsh_bucket_band(
+    col: Column, dim: int, bits: int, band: int
+) -> Column:
+    """Band signature for banded LSH: `bits` sign-bits from the band's own
+    slice of the deterministic hyperplane sequence."""
+    q = quantized(col)
+    planes = _hyperplanes(dim, bits * (band + 1))[band * bits :]
+    acc = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        coeffs = F.array(*[F.lit(c) for c in plane])
+        d = dot_int(q, coeffs)
+        bit = F.when(d >= 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        acc = acc.bitwiseXOR(bit)
+    return acc
 
 
 def lsh_bucket(col: Column, dim: int = 64, bits: int = 16) -> Column:

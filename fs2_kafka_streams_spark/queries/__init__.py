@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         windows,
         stateful,
+        streaming_ext,
         llm,
     )
 

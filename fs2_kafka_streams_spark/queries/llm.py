@@ -331,6 +331,63 @@ def q44_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, q, k=5)
 
 
+@query(
+    "q44c_embedding_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[i] * b.v[i])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[i] * a.v[i])) AS DOUBLE))
+           / sqrt(CAST(list_sum(list_transform(range(1, len(b.v) + 1),
+                  i -> b.v[i] * b.v[i])) AS DOUBLE)) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[i] * b.v[i])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[i] * a.v[i])) AS DOUBLE))
+           / sqrt(CAST(list_sum(list_transform(range(1, len(b.v) + 1),
+                  i -> b.v[i] * b.v[i])) AS DOUBLE)) >= 0.4
+    """,
+    tags=("llm", "similarity", "dedup"),
+)
+def q44c_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact tier, cosine >= 0.4).
+    The quantized-integer cosine makes the pair set bit-identical
+    cross-engine. Scale path: q44d (banded LSH, candidates verified)."""
+    from fs2_kafka_streams_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(
+        Catalog(spark, sf_dir).embeddings, threshold=0.4
+    )
+
+
+@query(
+    "q44d_embedding_neardup_lsh",
+    oracle=None,
+    tags=("llm", "similarity", "dedup", "scale"),
+)
+def q44d_embedding_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup via banded hyperplane LSH + exact verification —
+    O(n·bands) shuffle instead of O(n²) pairs. Precision 1 by construction;
+    recall vs q44c asserted in the test suite."""
+    from fs2_kafka_streams_spark.operators.similarity import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    return embedding_neardup_pairs_lsh(
+        Catalog(spark, sf_dir).embeddings, threshold=0.4
+    )
+
+
 @query("q44b_lsh_ann", oracle=None, tags=("llm", "similarity", "scale"))
 def q44b_lsh_ann(spark, sf_dir):
     """Hyperplane-LSH approximate neighbors (8 sign-bits → ~1/256 of the

@@ -1,0 +1,43 @@
+"""Run a streaming DataFrame to completion and return the sink contents.
+
+The harness pattern: ``availableNow`` trigger + memory sink + fresh
+checkpoint = a deterministic, bounded replay of the file stream (see
+:mod:`fs2_kafka_streams_spark.streaming.replay`). Production uses the same
+plan with a Kafka/parquet sink and a durable checkpoint instead.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fs2_kafka_streams_spark.streaming.conf import (
+    STREAM_STATE_PARTITIONS,
+    pinned_conf,
+)
+
+
+def run_to_memory(
+    spark: SparkSession,
+    df: DataFrame,
+    name_prefix: str,
+    output_mode: str = "append",
+    extra_conf: dict[str, str] | None = None,
+) -> DataFrame:
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    confs = {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+    confs.update(extra_conf or {})
+    with pinned_conf(spark, confs):
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

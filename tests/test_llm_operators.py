@@ -96,6 +96,32 @@ def test_lsh_ann_subset_of_brute(spark):
         assert key in allcos and abs(allcos[key] - r["cos"]) < 1e-12
 
 
+def test_embedding_neardup_lsh_vs_exact(spark):
+    """Banded-LSH near-dup: no false positives (exact verifier), recall
+    >= 0.7 vs the exact tier at threshold 0.4 (8 bands x 3 bits gives
+    ~0.9 expected collision prob at cosine 0.4, higher above it)."""
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = Catalog(spark, SF_SMOKE).embeddings
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_neardup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    for pair, c in approx.items():
+        assert pair in exact and abs(exact[pair] - c) < 1e-12
+    if exact:
+        recall = len(set(approx) & set(exact)) / len(exact)
+        assert recall >= 0.7, f"banded-LSH recall {recall:.2f}"
+
+
 def test_exact_dedup_finds_duplicate_texts(spark, documents):
     """If the corpus contains duplicated texts, exact dedup must group them;
     the group count equals distinct text count."""
