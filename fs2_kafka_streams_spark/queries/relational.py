@@ -471,6 +471,37 @@ def q17_latest_by_key(spark, sf_dir):
     )
 
 
+@query(
+    "q17b_latest_by_key_partitioned",
+    oracle="""
+    SELECT part, user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT event_id % 4 AS part, user_id, event_id, ts, event_type, value,
+             row_number() OVER (
+               PARTITION BY event_id % 4, user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("core", "agg"),
+)
+def q17b_latest_by_key_partitioned(spark, sf_dir):
+    """Per-partition table materialization (A8): one independent latest-by-key
+    table per source partition (``streams/Tables.scala:17-44``). The Kafka
+    partition becomes part of the grouping key — state stays co-partitioned
+    with the source, exactly the reference's partition-local tables. Here the
+    synthetic partition is the replay bucket (event_id % 4)."""
+    events = Catalog(spark, sf_dir).events.withColumn(
+        "part", F.col("event_id") % 4
+    )
+    return latest_by_key(
+        events,
+        key_cols=["part", "user_id"],
+        order_cols=["ts", "event_id"],
+        value_cols=["event_id", "ts", "event_type", "value"],
+    )
+
+
 # --------------------------------------------------------------------------
 # Q18–Q23: lookups, window functions, top-k, sort/limit
 # --------------------------------------------------------------------------

@@ -47,3 +47,32 @@ def q38_stateful_latest(spark, sf_dir):
     stream-table duality, the reference's core claim (A7/A9,
     ``streams/Tables.scala:110-138``)."""
     return latest_by_key_streaming(spark, sf_dir)
+
+
+from fs2_kafka_streams_spark.streaming.stateful import HAS_TWS  # noqa: E402
+
+if HAS_TWS:  # pragma: no cover — needs google.protobuf (absent here)
+
+    @query(
+        "q38b_stateful_latest_tws",
+        oracle="""
+        SELECT user_id, event_id, ts, event_type, value, props
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+        """,
+        tags=("streaming", "stateful", "core"),
+    )
+    def q38b_stateful_latest_tws(spark, sf_dir):
+        """Same contract on the Spark 4 ``transformWithStateInPandas`` API
+        with a typed ValueState handle — the closest analogue of the
+        reference's typed RocksDB table (``Table.scala:115-137``,
+        ``Key.scala:3-17``). Registered only where the API's protobuf
+        dependency exists (falls back to q38 otherwise)."""
+        from fs2_kafka_streams_spark.streaming.stateful import (
+            latest_by_key_tws,
+        )
+
+        return latest_by_key_tws(spark, sf_dir)

@@ -77,33 +77,99 @@ def _latest_update(key, pdf_iter, state: GroupState):
         )
 
 
-def latest_by_key_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the changelog→table materialization as a real streaming query and
-    return the final materialized view (equals batch Q17 — stream-table
-    duality)."""
+try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
+    # The API's state server speaks protobuf — require it up front so an
+    # environment without it (like this test container) degrades to
+    # applyInPandasWithState instead of crashing the driver worker.
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class LatestProcessor(StatefulProcessor):
+        """StatefulProcessor for ``transformWithStateInPandas``: the same
+        last-write-wins upsert as :func:`_latest_update`, on the newer
+        arbitrary-state API with a typed ValueState handle — the closest
+        Spark analogue of the reference's typed RocksDB table
+        (``streams/Table.scala:115-137``, ``Key.scala:3-17``)."""
+
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("latest", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            best = tuple(self._state.get()) if self._state.exists() else None
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                ts_us = pdf["ts"].astype("int64") // 1000
+                idx = (
+                    pd.DataFrame({"t": ts_us, "e": pdf["event_id"]})
+                    .sort_values(["t", "e"])
+                    .index[-1]
+                )
+                row = pdf.loc[idx]
+                cand = (
+                    int(row["event_id"]),
+                    int(ts_us.loc[idx]),
+                    str(row["event_type"]),
+                    float(row["value"]),
+                    str(row["props"]),
+                )
+                if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+                    best = cand
+            if best is not None:
+                self._state.update(best)
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "event_id": [best[0]],
+                        "ts": [pd.to_datetime(best[1], unit="us")],
+                        "event_type": [best[2]],
+                        "value": [best[3]],
+                        "props": [best[4]],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    HAS_TWS = False
+
+
+def latest_by_key_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A9 on ``transformWithStateInPandas`` — returns the final view
+    (must equal batch Q17; cross-checked by the driver oracle as q38b)."""
+    if not HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0"
+        )
+    proc = LatestProcessor()
+
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(replay_dir(sf_dir, "events"))
     )
-    updates = src.groupBy("user_id").applyInPandasWithState(
-        _latest_update,
+    updates = src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
         outputStructType=_OUTPUT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        outputMode="Update",
+        timeMode="None",
     )
+    return _run_upsert_sink(spark, updates)
 
+
+def _run_upsert_sink(spark: SparkSession, updates: DataFrame) -> DataFrame:
+    """Drive the update stream to completion; assemble the materialized view
+    with a driver-side keyed upsert (the harness stand-in for a compacted
+    Kafka topic / KV sink)."""
     table: dict[int, tuple] = {}
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        # In production this is the keyed sink (Kafka compacted topic /
-        # key-value store). For the harness the key domain is small, so a
-        # driver-side upsert assembles the view.
         for r in batch_df.collect():
             table[r["user_id"]] = r
 
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_latest_{uuid.uuid4().hex[:8]}_")
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_tws_{uuid.uuid4().hex[:8]}_")
     from fs2_kafka_streams_spark.streaming.conf import (
         STREAM_STATE_PARTITIONS,
         pinned_conf,
@@ -129,3 +195,22 @@ def latest_by_key_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in table.values()
     ]
     return spark.createDataFrame(rows, _OUTPUT_SCHEMA)
+
+
+def latest_by_key_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the changelog→table materialization as a real streaming query and
+    return the final materialized view (equals batch Q17 — stream-table
+    duality)."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir(sf_dir, "events"))
+    )
+    updates = src.groupBy("user_id").applyInPandasWithState(
+        _latest_update,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_upsert_sink(spark, updates)
