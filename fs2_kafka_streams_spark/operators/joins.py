@@ -1,0 +1,85 @@
+"""Scale-path join strategies: bucketed co-located joins and skew salting.
+
+These are the two techniques the 100 TB deployment leans on when the
+built-in strategies (broadcast for small dims, AQE skew splitting) aren't
+enough:
+
+- **Bucketed co-located join** — both fact tables written bucketed by the
+  join key: every join on that key is then shuffle-free (bucket k joins
+  bucket k locally). At 100 TB the shuffle IS the cost; bucketing pays it
+  once at write time and amortizes it over every subsequent join/agg on the
+  same key.
+- **Salted join** — for a skewed build side that is too big to broadcast:
+  explode the small side's hot keys into S salted copies and scatter the
+  big side's hot rows across the S salts, turning one straggler partition
+  into S even ones. (AQE's skew-join split handles sort-merge cases
+  automatically; explicit salting covers aggregations and the cases AQE
+  can't re-plan, e.g. a skewed stream-side stateful op.)
+
+The reference has no distributed shuffle at all (single-consumer,
+per-partition streams — ``client/RecordStream.scala:14-18``), so both are
+new-engine capabilities mandated by the 100 TB design point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed table.
+
+    Subsequent equi-joins/aggregations on ``bucket_cols`` between tables
+    bucketed the same way run WITHOUT a shuffle (verified by the test suite
+    via the physical plan). Sorting within buckets additionally enables
+    shuffle-free sort-merge joins.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket key — shuffle-free."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join a skew-heavy big side against a non-broadcastable small
+    side by salting: the big side scatters each row to one of ``salt``
+    sub-keys, the small side replicates each row to all ``salt`` sub-keys,
+    so a hot key's rows spread over ``salt`` partitions instead of one.
+
+    Correctness: every big row meets exactly one copy of its matching small
+    row (its salt), so multiplicities are preserved for inner/left joins.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (small side is replicated)")
+    big_s = big.withColumn(
+        "_salt", (F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt))).cast("int")
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = big_s.join(small_s, on=[key, "_salt"], how=how)
+    return out.drop("_salt")
