@@ -13,7 +13,12 @@ Two tiers:
   within-bucket (or neighboring-band) pairs are scored. Shuffle volume
   O(n·bands) instead of O(n·q).
 
-No UDFs: `zip_with`/`aggregate` keep everything in whole-stage codegen.
+Pairwise scoring stays JVM-side (`zip_with`/`aggregate` in codegen, with
+per-row quantized vectors + norms precomputed so each pair costs exactly one
+dot product). The one Python hop is :func:`band_signatures` — an
+Arrow-batched pandas UDF computing all LSH sign-bits as a single numpy
+int64 matmul per batch, ~100× cheaper than the same dots as interpreted
+higher-order functions.
 """
 
 from __future__ import annotations
@@ -50,6 +55,30 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_precomputed(qa: Column, qb: Column, na2: Column, nb2: Column) -> Column:
+    """Cosine when the quantized vectors and squared norms are already
+    columns: one cross dot per pair instead of three (the self-norms are
+    computed once per ROW, not once per PAIR — at n rows and O(n²) pairs
+    that's the difference between 2n + p and 3p dot products). Bit-identical
+    to :func:`cosine`."""
+    return (
+        dot_int(qa, qb).cast("double")
+        / F.sqrt(na2.cast("double"))
+        / F.sqrt(nb2.cast("double"))
+    )
+
+
+def with_quantized(
+    df: DataFrame, vec_col: str, id_col: str, prefix: str
+) -> DataFrame:
+    """Project (id, quantized vector, squared norm) — the per-row
+    precomputation shared by every pairwise-cosine operator."""
+    q = quantized(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(f"{prefix}id"), q.alias(f"{prefix}q")
+    ).withColumn(f"{prefix}n2", dot_int(F.col(f"{prefix}q"), F.col(f"{prefix}q")))
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -63,19 +92,17 @@ def cosine_topk(
     the rank filter. This is the O(n·q) baseline ANN — correct by
     construction, used to validate the LSH tier.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
-    )
+    q = with_quantized(queries, vec_col, id_col, "q_")
+    e = with_quantized(embeddings, vec_col, id_col, "n_")
     scored = (
         e.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(F.col("n_id") != F.col("q_id"))
         .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"),
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            cosine_precomputed(
+                F.col("q_q"), F.col("n_q"), F.col("q_n2"), F.col("n_n2")
+            ).alias("cos"),
         )
     )
     from pyspark.sql import Window as W
@@ -101,19 +128,17 @@ def embedding_neardup_pairs(
     baseline that :func:`embedding_neardup_pairs_lsh` is validated against.
     Exact integer dot products (see module docstring) keep it hash-checkable
     cross-engine."""
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
+    a = with_quantized(embeddings, vec_col, id_col, "a_")
+    b = with_quantized(embeddings, vec_col, id_col, "b_")
     return (
         a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("a_id") < F.col("b_id"))
         .select(
-            "id_a",
-            "id_b",
-            cosine(F.col("va"), F.col("vb")).alias("cos"),
+            F.col("a_id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
+            cosine_precomputed(
+                F.col("a_q"), F.col("b_q"), F.col("a_n2"), F.col("b_n2")
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -125,8 +150,8 @@ def embedding_neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits_per_band: int = 3,
-    bands: int = 8,
+    bits_per_band: int = 8,
+    bands: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-dup, 100 TB path: banded hyperplane LSH.
 
@@ -134,20 +159,20 @@ def embedding_neardup_pairs_lsh(
     each); candidate pairs share at least one band signature — an equi-join
     per band (shuffle O(n·bands)), never the O(n²) cross join. Candidates
     are then verified with the exact cosine, so precision is 1; recall is
-    probabilistic (two vectors at cosine θ collide in one band with prob
-    (1 − arccos(θ)/π)^bits, amplified across bands) and is asserted against
-    the exact tier in the test suite."""
-    sigs = [
-        lsh_bucket_band(F.col(vec_col), dim, bits_per_band, band)
-        for band in range(bands)
-    ]
+    probabilistic: two vectors at cosine θ collide in one band with prob
+    (1 − arccos(θ)/π)^bits, amplified across bands — with 8×16 defaults
+    that is ≈0.996 at θ=0.9 (the regime real near-dups live in) but small
+    at θ≈0.4. Band width must scale with corpus size (2^bits buckets per
+    band bounds expected candidates at n²/2^bits per band); 8 bits suits
+    10³–10⁵ rows, 16–20 suits 10⁸+. Candidate-set reduction and recall are
+    asserted against the exact tier in the test suite."""
     e = embeddings.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.array(*sigs).alias("sigs"),
-    )
+        quantized(F.col(vec_col)).alias("q"),
+        band_signatures(vec_col, dim, bits_per_band, bands).alias("sigs"),
+    ).withColumn("n2", dot_int(F.col("q"), F.col("q")))
     tagged = e.select(
-        "id", "v", F.posexplode("sigs").alias("band", "sig")
+        "id", "q", "n2", F.posexplode("sigs").alias("band", "sig")
     )
     cand = (
         tagged.alias("a")
@@ -162,13 +187,19 @@ def embedding_neardup_pairs_lsh(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
+            F.col("a.q").alias("qa"),
+            F.col("b.q").alias("qb"),
+            F.col("a.n2").alias("na2"),
+            F.col("b.n2").alias("nb2"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        "id_a",
+        "id_b",
+        cosine_precomputed(
+            F.col("qa"), F.col("qb"), F.col("na2"), F.col("nb2")
+        ).alias("cos"),
     ).filter(F.col("cos") >= threshold)
 
 
@@ -184,37 +215,39 @@ def _hyperplanes(dim: int, bits: int) -> list[list[int]]:
     return planes
 
 
-def lsh_bucket_band(
-    col: Column, dim: int, bits: int, band: int
+def band_signatures(
+    vec_col: str, dim: int, bits: int, bands: int
 ) -> Column:
-    """Band signature for banded LSH: `bits` sign-bits from the band's own
-    slice of the deterministic hyperplane sequence."""
-    q = quantized(col)
-    planes = _hyperplanes(dim, bits * (band + 1))[band * bits :]
-    acc = F.lit(0).cast("bigint")
-    for j, plane in enumerate(planes):
-        coeffs = F.array(*[F.lit(c) for c in plane])
-        d = dot_int(q, coeffs)
-        bit = F.when(d >= 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        acc = acc.bitwiseXOR(bit)
-    return acc
+    """All band signatures in one vectorized pass: an Arrow-batched pandas
+    UDF computing sign-bits of Q·Pᵀ with a single int64 matmul per batch.
 
+    This is the engine's one sanctioned Python hop in the similarity family:
+    `bands × bits` hyperplane dot products per row as interpreted Catalyst
+    higher-order functions cost ~100× more than one numpy matmul (and the
+    literal-heavy expression tree slows planning itself). Determinism:
+    quantization is floor(float64(x)·1e6) — identical IEEE ops to the SQL
+    tier — and the hyperplanes are the same seeded ±1 matrix on every
+    executor. Returns array<bigint> of length `bands`.
+    """
+    import numpy as np
+    import pandas as pd
 
-def lsh_bucket(col: Column, dim: int = 64, bits: int = 16) -> Column:
-    """Random-hyperplane signature: an integer bucket id from `bits`
-    sign-bits of ±1-hyperplane dot products over the quantized vector."""
-    q = quantized(col)
-    acc = F.lit(0).cast("bigint")
-    for j, plane in enumerate(_hyperplanes(dim, bits)):
-        coeffs = F.array(*[F.lit(c) for c in plane])
-        d = dot_int(q, coeffs)
-        bit = F.when(d >= 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        acc = acc.bitwiseXOR(bit)
-    return acc
+    planes = np.array(_hyperplanes(dim, bits * bands), dtype=np.int64)
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    def _sigs(v):
+        mat = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in v]
+        )  # (n, dim)
+        q = np.floor(mat * QUANT).astype(np.int64)
+        bits_mat = (q @ planes.T >= 0).astype(np.int64)  # (n, bands*bits)
+        packed = (
+            bits_mat.reshape(len(v), bands, bits) * weights
+        ).sum(axis=2)  # (n, bands)
+        return pd.Series(list(packed))
+
+    sigs = F.pandas_udf(_sigs, returnType="array<bigint>")
+    return sigs(F.col(vec_col))
 
 
 def lsh_cosine_topk(
@@ -230,23 +263,26 @@ def lsh_cosine_topk(
     bucket. With `bits` sign-bits, expected candidate fraction is 2^-bits of
     the corpus per bucket — the IVF-style scale path. Recall is probabilistic;
     validated against :func:`cosine_topk` in the test suite."""
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("n_vec"),
-        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
-    )
+    def prep(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            quantized(F.col(vec_col)).alias(f"{prefix}q"),
+            band_signatures(vec_col, dim, bits, bands=1)[0].alias("bucket"),
+        ).withColumn(
+            f"{prefix}n2", dot_int(F.col(f"{prefix}q"), F.col(f"{prefix}q"))
+        )
+
+    e = prep(embeddings, "n_")
+    q = prep(queries, "q_")
     scored = (
         e.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(F.col("n_id") != F.col("q_id"))
         .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_vec"), F.col("n_vec")).alias("cos"),
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            cosine_precomputed(
+                F.col("q_q"), F.col("n_q"), F.col("q_n2"), F.col("n_n2")
+            ).alias("cos"),
         )
     )
     from pyspark.sql import Window as W
