@@ -57,6 +57,22 @@ def whitespace_token_count(col: str | Column) -> Column:
     return F.size(F.split(c, " "))
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs capped at 3 (the GPT-style
+# numeric chunking), punctuation runs, whitespace runs. Deliberately
+# lookahead-free so the same pattern runs in Java regex (Spark) and RE2
+# (DuckDB oracle).
+BPE_RE = r"[a-z]+|[0-9]{1,3}|[^a-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Approximate BPE token count via the pre-tokenizer regex — the cheap
+    in-engine stand-in for a real tokenizer when budgeting token counts
+    over a 100 TB corpus (a real BPE would be a pandas UDF over the same
+    partitioning)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_RE), 0))
+
+
 def stopword_hits(tok: Column, lang: str) -> Column:
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(tok, lambda t: F.array_contains(words, t)))

@@ -284,6 +284,54 @@ def q43b_text_analysis(spark, sf_dir):
     )
 
 
+@query(
+    "q43c_token_budget",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]{1,3}|[^a-z0-9\s]+|\s+')) AS INTEGER)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q43c_token_budget(spark, sf_dir):
+    """Token budgeting: whitespace count + BPE-ish pre-tokenizer count per
+    document — the two token-count estimators every training-data pipeline
+    carries (fast regex tier; a real BPE plugs in as a pandas UDF over the
+    same plan)."""
+    from fs2_kafka_streams_spark.operators.text import (
+        bpe_token_count,
+        whitespace_token_count,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@query("q47_multimodal_features", oracle=None, tags=("multimodal",))
+def q47_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing as a first-class query: documents → synthetic
+    binary media table → Arrow-batched mapInPandas feature extraction
+    (decode stubbed deterministically — no media libs in the container; the
+    schema/batching/partitioning are the real 100 TB shape). Rows-only
+    checked (binary payloads aren't SQL-expressible); determinism is
+    asserted in the test suite."""
+    from fs2_kafka_streams_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    media = synthesize_media(docs, "doc_id", "text")
+    return extract_features(media)
+
+
 # ---- Q44: embedding similarity search ------------------------------------
 
 _N_QUERIES = 3
