@@ -54,6 +54,95 @@ def q45_stream_table_join(spark, sf_dir):
 
 
 @query(
+    "q35b_session_window_streaming",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window", "session"),
+)
+def q35b_session_window_streaming(spark, sf_dir):
+    """Sessionization as a REAL streaming query: `session_window` state
+    merges sessions across micro-batches; complete output mode (no
+    watermark, full state) makes the final table equal batch
+    sessionization exactly — the streaming-batch duality check for session
+    state. At scale the same plan runs in append mode with a watermark
+    bounding state; complete mode here isolates the session-merge logic
+    from watermark-trajectory modeling (that part is covered by q36)."""
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(spark, agg, "q35b_sink", output_mode="complete")
+
+
+@query(
+    "q48_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           a.event_type AS type_a, b.event_type AS type_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND b.ts BETWEEN a.ts - INTERVAL '5 minutes'
+                  AND a.ts + INTERVAL '5 minutes'
+    """,
+    tags=("streaming", "join"),
+)
+def q48_stream_stream_join(spark, sf_dir):
+    """Stream–stream inner join (self-join on user within ±5 minutes) as a
+    real streaming query. No watermark → unbounded join state → the emitted
+    multiset equals the batch join exactly regardless of arrival order
+    (inner joins emit each match once, whenever both sides have arrived).
+    The 100 TB deployment adds watermarks + time-range state eviction; the
+    correctness-vs-batch contract then holds for on-time data."""
+    a = _events_stream(spark, sf_dir).alias("a")
+    b = _events_stream(spark, sf_dir).alias("b")
+    joined = a.join(
+        b,
+        on=[
+            F.col("a.user_id") == F.col("b.user_id"),
+            F.col("a.event_id") < F.col("b.event_id"),
+            F.col("b.ts").between(
+                F.col("a.ts") - F.expr("INTERVAL 5 MINUTES"),
+                F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"),
+            ),
+        ],
+    ).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    )
+    return run_to_memory(spark, joined, "q48_sink")
+
+
+@query(
     "q46_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     tags=("streaming", "dedup"),
