@@ -443,6 +443,62 @@ def q16b_cube(spark, sf_dir):
 
 
 @query(
+    "q13b_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.50) AS median_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q13b_percentiles(spark, sf_dir):
+    """Exact percentiles (sort-based) per group. Cross-engine determinism:
+    the probes are power-of-two fractions and l_quantity is integer-valued,
+    so linear interpolation is exact IEEE on both engines regardless of the
+    algebraic form each uses. At 100 TB prefer `approx_percentile`
+    (t-digest-style sketch, one pass, mergeable) — exact percentile
+    requires a per-group sort."""
+    li = _cat(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+        F.expr("percentile(l_quantity, 0.50)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@query(
+    "q16c_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           cast(sum(cast(o_totalprice as decimal(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') as double) AS F,
+           cast(sum(cast(o_totalprice as decimal(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') as double) AS O,
+           cast(sum(cast(o_totalprice as decimal(18,2)))
+                FILTER (WHERE o_orderstatus = 'P') as double) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def q16c_pivot(spark, sf_dir):
+    """Pivot (long→wide conditional aggregation). The pivot values are
+    declared explicitly — at scale an undeclared pivot needs an extra
+    distinct pass to discover columns."""
+    o = _cat(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+    )
+
+
+@query(
     "q17_latest_by_key",
     oracle="""
     SELECT user_id, event_id, ts, event_type, value, props
