@@ -160,3 +160,28 @@ def test_exact_dedup_finds_duplicate_texts(spark, documents):
     n_distinct = documents.select("text").distinct().count()
     groups = exact_dedup(documents, "text", "doc_id")
     assert groups.count() == n_distinct
+
+
+def test_q40_arrow_equals_pandas_grouped_map(spark):
+    """q40's applyInArrow grouped-map must equal the applyInPandas twin
+    bit-for-bit (same IEEE ops, different transport)."""
+    from fs2_kafka_streams_spark.queries import load_all
+    from fs2_kafka_streams_spark.queries.llm import normalize_pandas
+    from fs2_kafka_streams_spark.catalog import Catalog
+
+    arrow_rows = sorted(
+        map(tuple, load_all()["q40_udaf_grouped_map"].build(spark, SF_SMOKE).collect())
+    )
+    o = Catalog(spark, SF_SMOKE).orders
+    pandas_rows = sorted(
+        map(
+            tuple,
+            o.groupBy("o_custkey")
+            .applyInPandas(
+                normalize_pandas,
+                schema="o_custkey long, o_orderkey long, norm double",
+            )
+            .collect(),
+        )
+    )
+    assert arrow_rows == pandas_rows
