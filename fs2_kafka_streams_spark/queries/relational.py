@@ -1108,3 +1108,106 @@ def q32_dead_letter_split(spark, sf_dir):
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Extended SQL surface: distribution windows, SQL front-end, unpivot
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q19b_window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w1 AS INTEGER) AS quartile,
+           percent_rank() OVER w1 AS pr,
+           cume_dist() OVER w1 AS cd
+    FROM orders
+    WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q19b_window_distribution(spark, sf_dir):
+    """Distribution window functions: NTILE / PERCENT_RANK / CUME_DIST per
+    customer by price. Both engines compute pr = (rank-1)/(n-1) and
+    cd = rank_from_end/n as single IEEE divisions of exact ints."""
+    o = Catalog(spark, sf_dir).orders
+    w1 = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w1).alias("quartile"),
+        F.percent_rank().over(w1).alias("pr"),
+        F.cume_dist().over(w1).alias("cd"),
+    )
+
+
+_Q49_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+"""
+
+
+@query("q49_exists_subquery", oracle=_Q49_SQL, tags=("sql", "subquery"))
+def q49_exists_subquery(spark, sf_dir):
+    """SQL front-end parity: correlated EXISTS / NOT EXISTS run through
+    ``spark.sql`` verbatim — Catalyst decorrelates both into semi/anti
+    joins (the same physical plan as Q09/Q10)."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_Q49_SQL)
+
+
+_Q49B_SQL = """
+WITH big_orders AS (
+  SELECT o_custkey, cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+           AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_big_spenders
+FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
+WHERE b.total_spend > (SELECT avg(total_spend) FROM big_orders)
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("q49b_cte_scalar_subquery", oracle=_Q49B_SQL, tags=("sql", "subquery"))
+def q49b_cte_scalar_subquery(spark, sf_dir):
+    """CTE + uncorrelated scalar subquery through ``spark.sql``: the scalar
+    aggregate becomes a one-row broadcast; the CTE is inlined and optimized
+    like any DataFrame expression. The spend sums are exact decimals, so the
+    avg threshold compare is deterministic cross-engine."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_Q49B_SQL)
+
+
+@query(
+    "q16d_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DOUBLE) AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nationkey
+      FROM customer
+    ) UNPIVOT (val FOR metric IN (acctbal, nationkey))
+    """,
+    tags=("reshape",),
+)
+def q16d_unpivot(spark, sf_dir):
+    """Unpivot (wide→long melt) — the inverse of Q16c's pivot. Both engines
+    drop NULL values by default; the unpivoted columns are pre-cast to a
+    common type as unpivot requires."""
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
