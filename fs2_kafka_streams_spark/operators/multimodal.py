@@ -89,6 +89,46 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, width int, height int, "
+    "out_w int, out_h int, payload binary"
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
+    """Resize plan for image rows: metadata filter prunes non-images before
+    any Python hop; the resize itself is a bounded Arrow-batched
+    ``mapInPandas``. The pixel resample is STUBBED (no PIL/libvips here) by
+    a deterministic byte re-sampling with the same contract — replace the
+    marked line with `PIL.Image.resize` when the lib exists. Aspect-ratio
+    metadata (out_w/out_h) is computed JVM-side so downstream metadata-only
+    queries never touch payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = out_w * out_h
+        for pdf in batches:
+            def fake_resize(b: bytes) -> bytes:
+                # STUB — real path: PIL.Image.open(...).resize((out_w, out_h))
+                n = max(len(b), 1)
+                return bytes(b[(i * n) // target] for i in range(target))
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "payload": pdf["payload"].map(fake_resize),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: explode sample timestamps from
     metadata only — no payload decode until a downstream operator needs the

@@ -117,6 +117,9 @@ def cosine_topk(
     )
 
 
+MAX_BRUTE_CORPUS = 1_000_000  # broadcast build-side bound for the exact tier
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -124,23 +127,54 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact tier): every unordered
-    pair with cosine >= threshold. O(n²/2) scored pairs — the correctness
-    baseline that :func:`embedding_neardup_pairs_lsh` is validated against.
-    Exact integer dot products (see module docstring) keep it hash-checkable
-    cross-engine."""
-    a = with_quantized(embeddings, vec_col, id_col, "a_")
-    b = with_quantized(embeddings, vec_col, id_col, "b_")
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            F.col("a_id").alias("id_a"),
-            F.col("b_id").alias("id_b"),
-            cosine_precomputed(
-                F.col("a_q"), F.col("b_q"), F.col("a_n2"), F.col("b_n2")
-            ).alias("cos"),
+    pair with cosine >= threshold — the correctness baseline that
+    :func:`embedding_neardup_pairs_lsh` is validated against.
+
+    Execution: blocked matrix multiply. The corpus is broadcast (exactly a
+    broadcast hash join's build side — the exact tier is BY DEFINITION
+    bounded by what brute force can score, larger corpora use the LSH
+    tier); each Arrow batch of rows scores against the whole corpus with
+    one BLAS dgemm. Exactness: quantized values are ≤1e6, so every product
+    (≤1e12) and 64-term sum (≤6.4e13) is an integer below 2^53 — float64
+    accumulation is EXACT in any order, bit-identical to the bigint SQL
+    formulation (asserted in tests + the q44c oracle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    rows = embeddings.select(id_col, vec_col).collect()
+    if len(rows) > MAX_BRUTE_CORPUS:
+        raise ValueError(
+            f"exact tier caps at {MAX_BRUTE_CORPUS} vectors; "
+            "use embedding_neardup_pairs_lsh"
         )
-        .filter(F.col("cos") >= threshold)
+    ids_c = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.floor(
+        np.array([r[1] for r in rows], dtype=np.float64) * QUANT
+    )
+    n2_c = np.einsum("ij,ij->i", C, C)
+    bc = spark.sparkContext.broadcast((ids_c, C, n2_c))
+
+    def run(batches):
+        b_ids, b_C, b_n2 = bc.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            Q = np.floor(
+                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                * QUANT
+            )
+            n2_q = np.einsum("ij,ij->i", Q, Q)
+            cos = (Q @ b_C.T) / np.sqrt(n2_q)[:, None] / np.sqrt(b_n2)[None, :]
+            ii, jj = np.nonzero(
+                (cos >= threshold) & (q_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {"id_a": q_ids[ii], "id_b": b_ids[jj], "cos": cos[ii, jj]}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema="id_a long, id_b long, cos double"
     )
 
 

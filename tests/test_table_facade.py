@@ -182,3 +182,12 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(media, every_ms=10000)
     fr = frames.groupBy("media_id").count().collect()
     assert fr and all(r["count"] >= 1 for r in fr)
+
+    from fs2_kafka_streams_spark.operators.multimodal import resize_images
+
+    resized = resize_images(media, out_w=8, out_h=4).collect()
+    assert resized, "no image rows resized"
+    assert all(len(bytes(r["payload"])) == 32 for r in resized)
+    assert all(r["out_w"] == 8 and r["out_h"] == 4 for r in resized)
+    # non-images pruned before the Python hop
+    assert all(r["kind"] == "image" for r in resized)
