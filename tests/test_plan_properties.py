@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the scale properties SCALE.md claims —
+filter pushdown, column pruning, broadcast choice, partial aggregation,
+top-k without global sort — asserted on the actual executed plans so a
+refactor can't silently regress them."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _registry():
+    from fs2_kafka_streams_spark.queries import load_all
+
+    return load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q02's conjunctive predicates must appear as PushedFilters on the
+    parquet scan (at 100 TB this is the difference between reading row
+    groups and skipping them)."""
+    plan = _plan(_registry()["q02_filter_conjunctive"].build(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_narrows_read_schema(spark):
+    """q01 projects 2 of region's columns — ReadSchema must contain exactly
+    those, not the full table."""
+    import re
+
+    plan = _plan(_registry()["q01_scan_project"].build(spark, SF_SMOKE))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [f.split(":")[0] for f in m.group(1).split(",")]
+    assert cols == ["r_regionkey", "r_name"], cols
+
+
+def test_small_dims_broadcast(spark):
+    """q06 (nation ⋈ region) and q07 (multiway) must use broadcast joins for
+    dims — never a shuffle of the big side against a tiny table."""
+    reg = _registry()
+    assert "BroadcastHashJoin" in _plan(reg["q06_join_broadcast"].build(spark, SF_SMOKE))
+    q07 = _plan(reg["q07_join_multiway"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in q07
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """q13 (TPC-H Q1 shape) must plan map-side partial aggregation: two
+    HashAggregate nodes around the exchange, so shuffle volume is O(groups)."""
+    plan = _plan(_registry()["q13_agg_tpch_q1"].build(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_avoids_global_sort(spark):
+    """q23 (ORDER BY ... LIMIT 100) must plan TakeOrderedAndProject — a
+    per-partition top-k then merge, never a full global sort."""
+    plan = _plan(_registry()["q23_sort_limit"].build(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_latest_by_key_is_single_aggregation(spark):
+    """q17 (the reference's core op) must be one aggregation pass (max_by),
+    not a window + filter over the full table (which would sort every
+    partition)."""
+    plan = _plan(_registry()["q17_latest_by_key"].build(spark, SF_SMOKE))
+    assert "Window" not in plan
+
+
+def test_multiget_never_broadcasts_the_table(spark):
+    """q18's key-list lookup must broadcast the KEYS into the table scan
+    (semi-join pruning), never the materialized table toward the keys."""
+    plan = _plan(_registry()["q18_multi_get"].build(spark, SF_SMOKE))
+    assert "LeftSemi" in plan or "BroadcastHashJoin" in plan
