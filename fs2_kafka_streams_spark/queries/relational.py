@@ -394,6 +394,38 @@ def q15_approx_count_distinct(spark, sf_dir):
 
 
 @query(
+    "q15b_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_exact,
+           true AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "percentile"),
+)
+def q15b_approx_percentile(spark, sf_dir):
+    """Sketch-based percentile (the one-pass mergeable 100 TB path; exact
+    percentile needs a per-group sort). Sketches differ across engines, so
+    the hash-checked contract mirrors q15: (exact median, approx within 5%)."""
+    li = _cat(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_exact"),
+            F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "median_exact",
+            (
+                F.abs(F.col("_approx") - F.col("median_exact"))
+                <= 0.05 * F.greatest(F.col("median_exact"), F.lit(1.0))
+            ).alias("within_tol"),
+        )
+    )
+
+
+@query(
     "q16_rollup",
     oracle=f"""
     SELECT r_name, n_name,
