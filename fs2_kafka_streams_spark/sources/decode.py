@@ -59,6 +59,47 @@ class CsvFormat:
         return decoded, err
 
 
+@dataclass
+class BinaryFormat:
+    """Arbitrary bytes→T decoder — the full ``KafkaDecoder`` typeclass
+    parity (``codecs/KafkaDecoder.scala:50-52``): any user Python function
+    over the raw payload, run as an Arrow-batched pandas UDF, errors
+    in-band (a raising decoder dead-letters the row, never kills the
+    stream — ``Result[A]`` semantics, ``model/package.scala:16``).
+
+    ``fn(bytes) -> dict`` must return values for every field in ``schema``
+    (a flat DDL string like ``"a int, b string"``).
+    """
+
+    schema: str
+    fn: object  # Callable[[bytes], dict]
+
+    def decode(self, value: Column) -> tuple[Column, Column]:
+        import pandas as pd
+
+        field_names = [
+            f.strip().split()[0] for f in self.schema.split(",")
+        ]
+        user_fn = self.fn
+
+        def _decode(s):
+            rows = []
+            for b in s:
+                try:
+                    d = user_fn(bytes(b) if b is not None else b"")
+                    rows.append({**{k: d.get(k) for k in field_names}, "_err": None})
+                except Exception as ex:  # noqa: BLE001 — in-band by design
+                    rows.append(
+                        {**{k: None for k in field_names},
+                         "_err": f"{type(ex).__name__}: {ex}"[:128]}
+                    )
+            return pd.DataFrame(rows)
+
+        udf = F.pandas_udf(_decode, returnType=f"{self.schema}, _err string")
+        out = udf(value)
+        return out.dropFields("_err"), out.getField("_err")
+
+
 class DecodeRegistry:
     """Per-topic decoder registry (the engine's KafkaDecoder table)."""
 

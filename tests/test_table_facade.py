@@ -107,6 +107,39 @@ def test_decode_registry_and_dlq(spark):
     assert len(dlq) == 1 and "malformed json" in dlq[0]["decode_error"]
 
 
+def test_binary_format_custom_decoder(spark):
+    """BinaryFormat: arbitrary user bytes->T decoder with in-band errors —
+    the full KafkaDecoder typeclass parity. A raising decoder dead-letters
+    the row; good rows decode with metadata retained."""
+    from fs2_kafka_streams_spark.sources.decode import (
+        BinaryFormat,
+        DecodeRegistry,
+        clean_view,
+        dead_letters,
+    )
+
+    def pipe_decoder(b: bytes) -> dict:
+        uid, name = b.decode("utf-8").split("|")
+        return {"uid": int(uid), "name": name}
+
+    records = spark.createDataFrame(
+        [
+            ("t2", 0, 0, b"7|bob"),
+            ("t2", 0, 1, b"not-pipe-separated"),
+            ("t2", 1, 0, b"9|alice"),
+        ],
+        "topic string, partition int, offset long, value binary",
+    )
+    reg = DecodeRegistry().register(
+        "t2", BinaryFormat("uid long, name string", pipe_decoder)
+    )
+    decoded = reg.decode(records)
+    clean = {r["uid"]: r["name"] for r in clean_view(decoded).collect()}
+    assert clean == {7: "bob", 9: "alice"}
+    dlq = dead_letters(decoded).collect()
+    assert len(dlq) == 1 and "ValueError" in dlq[0]["decode_error"]
+
+
 def test_kafka_option_plumbing():
     from fs2_kafka_streams_spark.sources.kafka import KafkaSourceConfig
 
