@@ -361,7 +361,12 @@ def q14_count_distinct(spark, sf_dir):
     """COUNT(DISTINCT) per month — Spark expands to a two-stage aggregate."""
     li = _cat(spark, sf_dir).lineitem
     return li.groupBy(
-        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month")
+        # cast to NTZ: date_trunc yields TIMESTAMP_LTZ, whose collected
+        # rendering depends on the process timezone; NTZ is the
+        # wall-clock value the oracle computes, in any TZ
+        F.date_trunc("month", F.col("l_shipdate"))
+        .cast("timestamp_ntz")
+        .alias("ship_month")
     ).agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -908,7 +913,9 @@ def q26_date_functions(spark, sf_dir):
         F.dayofmonth("o_orderdate").alias("dom"),
         F.date_add(od, 30).alias("plus30"),
         F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("timestamp_ntz")
+        .alias("order_month"),  # NTZ: process-TZ-independent rendering
         F.last_day(od).alias("month_end"),
     )
 
