@@ -399,6 +399,55 @@ def q15_approx_count_distinct(spark, sf_dir):
 
 
 @query(
+    "q13c_stats_aggregates",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx,
+             cast(sum(cast(l_quantity as decimal(18,2))
+                      * cast(l_quantity as decimal(18,2))) as double) AS sxx,
+             cast(sum(cast(l_discount as decimal(18,2))) as double) AS sy,
+             cast(sum(cast(l_quantity as decimal(18,2))
+                      * cast(l_discount as decimal(18,2))) as double) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_disc
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def q13c_stats_aggregates(spark, sf_dir):
+    """Statistics aggregates (variance/stddev/covariance) computed from
+    EXACT decimal cross-sums, so the final values are single IEEE chains —
+    hash-checkable cross-engine. The built-in `var_samp`/`covar_samp`
+    accumulate in floats (partial-aggregation order changes last ulps), so
+    the exact-sum formulation is also the 100 TB-correct one: the decimal
+    sums are associative, partial aggregation can't perturb them."""
+    li = _cat(spark, sf_dir).lineitem
+    q, d = dec2("l_quantity"), dec2("l_discount")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(d).cast("double").alias("sy"),
+        F.sum(q * d).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "sxy"])
+    var = (sxx - sx * sx / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_disc"),
+    )
+
+
+@query(
     "q15b_approx_percentile",
     oracle="""
     SELECT l_returnflag,
