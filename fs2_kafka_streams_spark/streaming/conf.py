@@ -15,7 +15,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
-STREAM_STATE_PARTITIONS = "8"
+STREAM_STATE_PARTITIONS = "4"  # harness scale; a real cluster sets O(cores)
 
 
 @contextmanager
