@@ -97,14 +97,21 @@ def _perm_consts(k: int) -> list[tuple[int, int]]:
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3,
     k: int = MINHASH_PERMS,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
     Per (doc, shingle) row an array of k permuted hashes is computed JVM-side
     (xxhash64 + affine mod-Mersenne), then min-reduced per document — one
-    shuffle of k longs per doc.
+    shuffle of k longs per doc. Pass ``shingle_df`` to reuse an
+    already-materialized shingle set (LSH builds it once for signatures AND
+    verification).
     """
-    sh = _doc_shingles(df, text_col, id_col, n)
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else _doc_shingles(df, text_col, id_col, n)
+    )
     h = F.pmod(F.xxhash64("_sh"), F.lit(MERSENNE))
     perms = F.array(
         *[
@@ -136,7 +143,11 @@ def minhash_lsh_pairs(
     j=0.5. Candidate generation shuffles O(n·bands) rows; verification
     touches only the candidate set.
     """
-    sig = minhash_signatures(df, text_col, id_col, n, k)
+    # One shingle materialization feeds both the signatures and the exact
+    # verification — persisted (memory-and-disk, spills at scale) because
+    # re-tokenizing + re-shingling the corpus is the dominant repeated cost.
+    sh_shared = _doc_shingles(df, text_col, id_col, n).persist()
+    sig = minhash_signatures(df, text_col, id_col, n, k, shingle_df=sh_shared)
     r = k // bands
     banded = sig.select(
         "_id",
@@ -167,8 +178,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verify candidates with exact jaccard (reuses the shingle sets)
-    sh = _doc_shingles(df, text_col, id_col, n)
+    # verify candidates with exact jaccard (reuses the persisted shingles)
+    sh = sh_shared
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     sa = sh.withColumnRenamed("_id", "id_a")
     sb = sh.select(
