@@ -24,10 +24,10 @@ from fs2_kafka_streams_spark.streaming.run import run_to_memory
 from fs2_kafka_streams_spark.streaming.stateful import EVENTS_SCHEMA
 
 
-def _events_stream(spark, sf_dir):
+def _events_stream(spark, sf_dir, files_per_trigger: int = 1):
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(replay_dir(sf_dir, "events"))
     )
 
@@ -120,8 +120,10 @@ def q48_stream_stream_join(spark, sf_dir):
     (inner joins emit each match once, whenever both sides have arrived).
     The 100 TB deployment adds watermarks + time-range state eviction; the
     correctness-vs-batch contract then holds for on-time data."""
-    a = _events_stream(spark, sf_dir).alias("a")
-    b = _events_stream(spark, sf_dir).alias("b")
+    # 2 files/trigger: still multiple micro-batches (cross-batch join state
+    # is the semantic under test) at half the per-batch machinery cost
+    a = _events_stream(spark, sf_dir, files_per_trigger=2).alias("a")
+    b = _events_stream(spark, sf_dir, files_per_trigger=2).alias("b")
     joined = a.join(
         b,
         on=[
