@@ -201,9 +201,12 @@ def latest_by_key_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the changelog→table materialization as a real streaming query and
     return the final materialized view (equals batch Q17 — stream-table
     duality)."""
+    # 2 files/trigger: multiple micro-batches (cross-batch state is the
+    # semantic under test — latest-by-key is batching-insensitive) at half
+    # the per-batch machinery cost
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(replay_dir(sf_dir, "events"))
     )
     updates = src.groupBy("user_id").applyInPandasWithState(
