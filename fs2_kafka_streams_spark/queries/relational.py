@@ -1299,3 +1299,88 @@ def q16d_unpivot(spark, sf_dir):
         F.col("c_acctbal").cast("double").alias("acctbal"),
         F.col("c_nationkey").cast("double").alias("nationkey"),
     ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+
+
+@query(
+    "q20b_window_value_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def q20b_window_value_functions(spark, sf_dir):
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE over an explicit full-partition
+    frame (the default frame differs between engines for last_value — the
+    explicit frame removes the ambiguity)."""
+    o = Catalog(spark, sf_dir).orders
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@query(
+    "q25b_string_functions_ext",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_mktsegment, 'BUILDING') AS lev,
+           translate(c_name, '#0', '_O') AS translated,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           reverse(c_mktsegment) AS rev,
+           repeat(substr(c_mktsegment, 1, 2), 3) AS rep
+    FROM customer
+    """,
+    tags=("scalar",),
+)
+def q25b_string_functions_ext(spark, sf_dir):
+    """Extended string surface: levenshtein / translate / lpad / reverse /
+    repeat — all exact string/integer ops, identical cross-engine."""
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev"),
+        F.translate("c_name", "#0", "_O").alias("translated"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("rep"),
+    )
+
+
+@query(
+    "q27b_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS all_and,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS all_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS all_xor,
+           CAST(sum(o_orderkey & 255) AS BIGINT) AS sum_low_byte,
+           CAST(sum(o_orderkey >> 4) AS BIGINT) AS sum_shifted
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("scalar", "agg"),
+)
+def q27b_bitwise(spark, sf_dir):
+    """Bitwise scalar ops + bitwise aggregates — exact integer semantics."""
+    o = Catalog(spark, sf_dir).orders
+    k = F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and(k).alias("all_and"),
+        F.bit_or(k).alias("all_or"),
+        F.bit_xor(k).alias("all_xor"),
+        F.sum(k.bitwiseAND(F.lit(255))).alias("sum_low_byte"),
+        F.sum(F.shiftright(k, 4)).alias("sum_shifted"),
+    )
