@@ -1384,3 +1384,51 @@ def q27b_bitwise(spark, sf_dir):
         F.sum(k.bitwiseAND(F.lit(255))).alias("sum_low_byte"),
         F.sum(F.shiftright(k, 4)).alias("sum_shifted"),
     )
+
+
+@query(
+    "q29c_array_hof",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           list_transform(qtys, x -> x * 2) AS doubled,
+           list_filter(qtys, x -> x > 25) AS big,
+           CAST(len(list_filter(qtys, x -> x > 45)) > 0 AS BOOLEAN)
+             AS any_huge,
+           CAST(len(list_filter(qtys, x -> x > 0)) = len(qtys) AS BOOLEAN)
+             AS all_positive,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), qtys),
+                       (acc, x) -> acc + x) AS total
+    FROM per_order
+    """,
+    tags=("array", "hof"),
+)
+def q29c_array_hof(spark, sf_dir):
+    """Array higher-order functions — transform / filter / exists / forall /
+    aggregate over per-order quantity lists (ordered by (line number,
+    quantity) — the synthetic data has duplicate line numbers, so the
+    tie-break makes the arrays deterministic; quantities are integer-valued
+    doubles so the fold is exact)."""
+    li = _cat(spark, sf_dir).lineitem
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("_pairs")
+    ).select(
+        "l_orderkey",
+        F.transform("_pairs", lambda p: p["l_quantity"]).alias("qtys"),
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.transform("qtys", lambda x: x * 2).alias("doubled"),
+        F.filter("qtys", lambda x: x > 25).alias("big"),
+        F.exists("qtys", lambda x: x > 45).alias("any_huge"),
+        F.forall("qtys", lambda x: x > 0).alias("all_positive"),
+        F.aggregate(
+            "qtys", F.lit(0.0), lambda acc, x: acc + x
+        ).alias("total"),
+    )
