@@ -1432,3 +1432,80 @@ def q29c_array_hof(spark, sf_dir):
             "qtys", F.lit(0.0), lambda acc, x: acc + x
         ).alias("total"),
     )
+
+
+@query(
+    "q26b_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+           CAST(o_orderdate AS DATE) - 90 AS minus90d,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS woy
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def q26b_date_arithmetic(spark, sf_dir):
+    """Extended date arithmetic: add_months (end-of-month clamping matches
+    INTERVAL MONTH), date_sub, quarter, dayofweek (Spark is 1=Sunday;
+    DuckDB 0=Sunday — oracle adds 1), ISO week."""
+    o = Catalog(spark, sf_dir).orders
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(od, 3).alias("plus3mo"),
+        F.date_sub(od, 90).alias("minus90d"),
+        F.quarter(od).alias("qtr"),
+        F.dayofweek(od).alias("dow"),
+        F.weekofyear(od).alias("woy"),
+    )
+
+
+@query(
+    "q28b_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'P') AS maybe_status,
+             nullif(o_orderpriority, '3-MEDIUM') AS maybe_prio
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(maybe_status IS NOT DISTINCT FROM 'F' AS BOOLEAN) AS eqns_f,
+           CAST(maybe_status IS DISTINCT FROM maybe_status AS BOOLEAN)
+             AS self_distinct,
+           coalesce(maybe_status, 'unknown') AS status_filled,
+           CASE WHEN maybe_prio IS NULL THEN 'was-medium'
+                ELSE 'has-prio' END AS prio_class,
+           CAST(count(maybe_status) OVER () AS BIGINT) AS n_nonnull,
+           CAST(count(*) OVER () AS BIGINT) AS n_all
+    FROM t
+    """,
+    tags=("scalar", "null"),
+)
+def q28b_null_semantics(spark, sf_dir):
+    """Null semantics end-to-end: nullif to create NULLs, null-safe equality
+    (<=> ≙ IS NOT DISTINCT FROM), coalesce, NULL-aware CASE, and the
+    count(col)-skips-NULLs vs count(*) distinction."""
+    o = Catalog(spark, sf_dir).orders
+    t = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("maybe_status"),
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("maybe_prio"),
+    )
+    w = W.partitionBy()
+    return t.select(
+        "o_orderkey",
+        F.col("maybe_status").eqNullSafe(F.lit("F")).alias("eqns_f"),
+        (~F.col("maybe_status").eqNullSafe(F.col("maybe_status"))).alias(
+            "self_distinct"
+        ),
+        F.coalesce("maybe_status", F.lit("unknown")).alias("status_filled"),
+        F.when(F.col("maybe_prio").isNull(), "was-medium")
+        .otherwise("has-prio")
+        .alias("prio_class"),
+        F.count("maybe_status").over(w).alias("n_nonnull"),
+        F.count(F.lit(1)).over(w).alias("n_all"),
+    )
