@@ -102,6 +102,41 @@ def q35b_session_window_streaming(spark, sf_dir):
 
 
 @query(
+    "q33b_tumbling_window_streaming",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'
+             AS window_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+)
+def q33b_tumbling_window_streaming(spark, sf_dir):
+    """Tumbling windows as a REAL streaming aggregation (complete mode —
+    window state accumulates across micro-batches; the final table equals
+    the batch q33 exactly). The append-mode + watermark variant with
+    late-data drops is q36."""
+    from fs2_kafka_streams_spark.canonical import dsum
+
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.groupBy(F.window("ts", "5 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_memory(spark, agg, "q33b_sink", output_mode="complete")
+
+
+@query(
     "q48_stream_stream_join",
     oracle="""
     SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
