@@ -1509,3 +1509,39 @@ def q28b_null_semantics(spark, sf_dir):
         F.count("maybe_status").over(w).alias("n_nonnull"),
         F.count(F.lit(1)).over(w).alias("n_all"),
     )
+
+
+@query(
+    "q07b_tpch_q5_shape",
+    oracle=f"""
+    SELECT n_name, {sql_dsum_expr(SQL_REVENUE)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q07b_tpch_q5_shape(spark, sf_dir):
+    """TPC-H Q5 shape: six-way join (two fact-fact shuffles + broadcast
+    dims) with the local-supplier condition (customer and supplier in the
+    same nation) and a region filter that prunes before the joins."""
+    c = _cat(spark, sf_dir)
+    return (
+        c.customer.join(c.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(c.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            c.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(c.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("n_name")
+        .agg(dsum_expr(revenue_expr()).alias("revenue"))
+    )
