@@ -1545,3 +1545,42 @@ def q07b_tpch_q5_shape(spark, sf_dir):
         .groupBy("n_name")
         .agg(dsum_expr(revenue_expr()).alias("revenue"))
     )
+
+
+@query(
+    "q23b_pagination",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 50 OFFSET 100
+    """,
+    tags=("sort", "pagination"),
+)
+def q23b_pagination(spark, sf_dir):
+    """Keyset-free pagination: total ORDER BY + OFFSET + LIMIT. Spark's
+    offset() pushes into the same TakeOrdered machinery (top-150 kept, 100
+    skipped) — no full sort. Deterministic because the order is total."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        .offset(100)
+        .limit(50)
+    )
+
+
+@query(
+    "q24e_except_distinct",
+    oracle=f"{_SETOP_A} EXCEPT {_SETOP_B}",
+    tags=("setop",),
+)
+def q24e_except_distinct(spark, sf_dir):
+    """EXCEPT (distinct) — set difference with dedup, vs q24d's EXCEPT ALL
+    multiset semantics."""
+    a, b = _setop_sides(spark, sf_dir)
+    return a.subtract(b)
