@@ -1584,3 +1584,81 @@ def q24e_except_distinct(spark, sf_dir):
     multiset semantics."""
     a, b = _setop_sides(spark, sf_dir)
     return a.subtract(b)
+
+
+@query(
+    "q28c_try_cast",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           TRY_CAST(o_orderdate AS DATE) AS as_date
+    FROM orders
+    """,
+    tags=("scalar", "cast"),
+)
+def q28c_try_cast(spark, sf_dir):
+    """try_cast: failed casts yield NULL instead of errors (ANSI-safe
+    ingestion path — '1-URGENT' is not an int, its first char is)."""
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("prio_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias(
+            "prio_digit"
+        ),
+        F.col("o_orderdate").try_cast("date").alias("as_date"),
+    )
+
+
+@query(
+    "q29d_string_agg",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ','
+                      ORDER BY l_linenumber, l_quantity) AS lines,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    tags=("array", "agg"),
+)
+def q29d_string_agg(spark, sf_dir):
+    """Ordered string aggregation (listagg shape): collect, sort by
+    (linenumber, quantity) for determinism under duplicate line numbers,
+    join with a delimiter."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("l_linenumber", "l_quantity"))
+                ),
+                lambda p: p["l_linenumber"].cast("string"),
+            ),
+            ",",
+        ).alias("lines"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q31b_hash_functions",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS md5_hex,
+           sha256(c_name) AS sha_hex,
+           CAST(length(md5(c_name)) AS INTEGER) AS md5_len
+    FROM customer
+    """,
+    tags=("scalar", "hash"),
+)
+def q31b_hash_functions(spark, sf_dir):
+    """Cryptographic hash functions over strings — byte-identical
+    cross-engine (the fingerprint/dedup building blocks)."""
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("md5_hex"),
+        F.sha2("c_name", 256).alias("sha_hex"),
+        F.length(F.md5("c_name")).alias("md5_len"),
+    )
