@@ -1662,3 +1662,59 @@ def q31b_hash_functions(spark, sf_dir):
         F.sha2("c_name", 256).alias("sha_hex"),
         F.length(F.md5("c_name")).alias("md5_len"),
     )
+
+
+@query(
+    "q30b_map_hof",
+    oracle="""
+    SELECT event_type, CAST(count(*) * 2 AS BIGINT) AS doubled
+    FROM events GROUP BY event_type HAVING count(*) * 2 > 100
+    """,
+    tags=("map", "hof"),
+)
+def q30b_map_hof(spark, sf_dir):
+    """Map higher-order functions: build a status→count map, double the
+    values (transform_values), drop small entries (map_filter), explode
+    back to rows. The oracle computes the same result relationally — the
+    HOFs are the Spark surface under test."""
+    e = Catalog(spark, sf_dir).events
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    as_map = counts.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    transformed = as_map.select(
+        F.map_filter(
+            F.transform_values("m", lambda k, v: v * 2),
+            lambda k, v: v > 100,
+        ).alias("m")
+    )
+    return transformed.select(
+        F.explode(F.map_entries("m")).alias("e")
+    ).select(
+        F.col("e.key").alias("event_type"),
+        F.col("e.value").alias("doubled"),
+    )
+
+
+_Q49C_SQL_SPARK = """
+SELECT o_orderkey, tag
+FROM orders
+LATERAL VIEW explode(array(o_orderstatus, o_orderpriority)) t AS tag
+"""
+
+
+@query(
+    "q49c_lateral_view",
+    oracle="""
+    SELECT o_orderkey, unnest([o_orderstatus, o_orderpriority]) AS tag
+    FROM orders
+    """,
+    tags=("sql", "udtf"),
+)
+def q49c_lateral_view(spark, sf_dir):
+    """LATERAL VIEW explode through the SQL front-end (the UDTF join
+    shape); the oracle is DuckDB's unnest."""
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_Q49C_SQL_SPARK)
