@@ -18,7 +18,7 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from fs2_kafka_streams_spark.queries import load_all  # noqa: E402
+from fs2_kafka_streams_spark.queries import driver_registry, load_all  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,14 +28,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.build for name, spec in load_all().items()}
+    """One entry per implemented operator family from SURVEY.md §2.
+
+    The curated 50-entry registry: variant queries of the same family are
+    merged (see ``fs2_kafka_streams_spark/queries/merged.py``) so the whole
+    surface — including every streaming/UDF/LLM operator — fits inside the
+    driver's correctness window; the fine-grained variants remain in
+    ``load_all()`` and are pytest-checked individually.
+    """
+    return {name: spec.build for name, spec in driver_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted → rows-only check)."""
     return {
         name: spec.oracle
-        for name, spec in load_all().items()
+        for name, spec in driver_registry().items()
         if spec.oracle is not None
     }

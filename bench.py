@@ -1,11 +1,18 @@
 #!/usr/bin/env python
 """Bench harness — wall-clock per declared query (SURVEY.md §2 Part B).
 
-Runs every query in the registry against ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+Runs every query in the driver registry against ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+The LAST stdout line is ONE compact JSON line (guaranteed < ~1.5 KB — the
+driver keeps only a 2 KB stdout tail, which truncated the full per-query
+map in round 1)::
+
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., "n_queries": K,
+     "queries": {...10 slowest...}}
+
+The FULL per-query timing map is written to ``BENCH_FULL.json`` next to
+this script.
 
 Execution is forced with the noop sink (full plan runs distributed; nothing
 is materialized on the driver), which is the scale-honest way to time a
@@ -29,11 +36,11 @@ if _REPO not in sys.path:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    from fs2_kafka_streams_spark.queries import load_all
+    from fs2_kafka_streams_spark.queries import driver_registry
     from fs2_kafka_streams_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    registry = load_all()
+    registry = driver_registry()
 
     # Warm the JVM + parquet footer caches outside the timed region so
     # per-query numbers reflect steady-state execution, not session startup.
@@ -48,15 +55,35 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    full = {
+        "metric": "total_wall_clock_all_queries",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries": timings,
+    }
+    (Path(_REPO) / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    # Compact summary as the LAST stdout line, < ~1.5 KB: the driver keeps
+    # only a 2000-char stdout tail (round-1 full map got truncated to
+    # "parsed": null).
     print(
         json.dumps(
             {
                 "metric": "total_wall_clock_all_queries",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": slowest,
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -356,7 +356,10 @@ def q47_multimodal_features(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     media = synthesize_media(docs, "doc_id", "text")
-    return extract_features(media)
+    feats = extract_features(media)
+    # Render the feature vector as its string form: top-level array columns
+    # crash the driver's pandas canonicalizer (round-1 q25/q29 failure mode).
+    return feats.withColumn("feature", F.col("feature").cast("string"))
 
 
 # ---- Q44: embedding similarity search ------------------------------------

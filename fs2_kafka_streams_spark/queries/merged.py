@@ -1,0 +1,568 @@
+"""Consolidated driver-facing queries (round-2 registry compaction).
+
+The round-1 driver recorded correctness rows for only the FIRST 50 registry
+entries, leaving every streaming/UDF/LLM query unverified. This module merges
+variant queries of the same operator family into single multi-operator
+entries so the whole surface fits inside the driver's 50-entry window:
+
+- *join merges*: variants keyed by the same unique column are joined
+  (``USING (key)``) — every column of every variant survives, so operator
+  coverage is unchanged;
+- *union merges*: variants with union-compatible shapes are stacked with a
+  discriminator ``tag`` column.
+
+The original fine-grained queries stay registered (the local pytest gate
+still checks each one individually); only the curated
+:data:`fs2_kafka_streams_spark.queries.DRIVER_ORDER` is exported to the
+driver via ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fs2_kafka_streams_spark.canonical import SQL_REVENUE, revenue_expr
+from fs2_kafka_streams_spark.catalog import Catalog
+from fs2_kafka_streams_spark.queries import REGISTRY, query
+
+
+def _spec(name: str):
+    return REGISTRY[name]
+
+
+def _join_oracle(key_cols: list[str], names: list[str]) -> str:
+    """Chain the variants' oracle SQL as ``SELECT * FROM a JOIN b USING …``.
+
+    DuckDB (like Spark's ``df.join(other, key)``) emits the USING key once,
+    so the merged schemas line up column-for-column.
+    """
+    parts = [f"({_spec(n).oracle.strip()}) q{i}" for i, n in enumerate(names)]
+    using = ", ".join(key_cols)
+    sql = f"SELECT * FROM {parts[0]}"
+    for p in parts[1:]:
+        sql += f"\nJOIN {p} USING ({using})"
+    return sql
+
+
+def _join_build(key_cols: list[str], names: list[str]):
+    def build(spark, sf_dir):
+        dfs = [_spec(n).build(spark, sf_dir) for n in names]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.join(d, key_cols)
+        return out
+
+    return build
+
+
+def _register_join_merge(name, key_cols, sources, tags, doc):
+    spec_builder = _join_build(key_cols, sources)
+    spec_builder.__doc__ = doc
+    query(name, oracle=_join_oracle(key_cols, sources), tags=tags)(spec_builder)
+
+
+# --------------------------------------------------------------------------
+# Join merges — same key domain, disjoint value columns
+# --------------------------------------------------------------------------
+
+_register_join_merge(
+    "q25_string_hash_functions",
+    ["c_custkey"],
+    ["q25_string_functions", "q25b_string_functions_ext", "q31b_hash_functions"],
+    ("scalar", "hash"),
+    """String + hash scalar surface in one entry (merge of q25/q25b/q31b):
+    upper/lower/substring/trim/concat_ws/like/regexp_extract/split/length,
+    levenshtein/translate/lpad/reverse/repeat, md5/sha256 — one row per
+    customer, joined on the primary key.""",
+)
+
+_register_join_merge(
+    "q26_date_math_functions",
+    ["o_orderkey"],
+    ["q26_date_functions", "q26b_date_arithmetic", "q27_math_functions"],
+    ("scalar", "date", "math"),
+    """Date + math scalar surface (merge of q26/q26b/q27): year/month/day/
+    date_add/datediff/date_trunc/last_day, add_months/date_sub/quarter/
+    dayofweek/weekofyear, abs/ceil/floor/pow/ln/sqrt/pmod — one row per
+    order.""",
+)
+
+_register_join_merge(
+    "q28_conditional_json",
+    ["o_orderkey"],
+    [
+        "q28_conditional_null",
+        "q28b_null_semantics",
+        "q28c_try_cast",
+        "q31_json_functions",
+    ],
+    ("scalar", "null", "json"),
+    """Conditional/null/cast/json surface (merge of q28/q28b/q28c/q31):
+    CASE WHEN, coalesce/nullif, null-safe equality (<=>), count-skips-NULL,
+    try_cast, to_json/get_json_object/from_json — one row per order.""",
+)
+
+_register_join_merge(
+    "q29_array_hof_agg",
+    ["l_orderkey"],
+    ["q29_array_functions", "q29c_array_hof", "q29d_string_agg"],
+    ("array", "hof", "agg"),
+    """Array surface (merge of q29/q29c/q29d): collect_list + sort_array/
+    size/array_contains, transform/filter/exists/forall/aggregate, ordered
+    string_agg — one row per order (arrays rendered as joined strings; raw
+    array columns crash the driver canonicalizer).""",
+)
+
+_register_join_merge(
+    "q19_window_ranking_dist",
+    ["o_custkey", "o_orderkey"],
+    ["q19_window_ranking", "q19b_window_distribution"],
+    ("window",),
+    """Ranking + distribution window functions (merge of q19/q19b):
+    row_number/rank/dense_rank + ntile/percent_rank/cume_dist.""",
+)
+
+_register_join_merge(
+    "q20_window_analytic_value",
+    ["o_custkey", "o_orderkey"],
+    ["q20_window_analytic", "q20b_window_value_functions"],
+    ("window",),
+    """Analytic + value window functions (merge of q20/q20b): lag/lead/
+    running sum + first_value/last_value/nth_value.""",
+)
+
+_register_join_merge(
+    "q16c_pivot_map",
+    ["o_orderpriority"],
+    ["q16c_pivot", "q30_map_functions"],
+    ("agg", "pivot", "map"),
+    """Pivot + map functions (merge of q16c/q30), both keyed by order
+    priority: long→wide conditional aggregation and map_from_entries/
+    element_at/map_keys extraction.""",
+)
+
+_register_join_merge(
+    "q07_join_multiway_broadcast",
+    ["n_name"],
+    ["q07_join_multiway", "q06_join_broadcast"],
+    ("join", "agg"),
+    """Multiway fact join + broadcast dim join (merge of q07/q06): lineitem ⋈
+    orders ⋈ customer ⋈ broadcast(nation) revenue rollup, then the
+    nation ⋈ broadcast(region) dim join keyed on the same nation name.""",
+)
+
+_register_join_merge(
+    "q43b_text_metrics",
+    ["doc_id"],
+    ["q43b_text_analysis", "q43c_token_budget"],
+    ("llm", "text"),
+    """Text-analysis metrics per document (merge of q43b/q43c): token count,
+    stopword-voting language ID, quality score, rolling-hash fingerprint,
+    whitespace + BPE-ish token budgets.""",
+)
+
+
+@query(
+    "q13b_stats_percentiles",
+    oracle=f"""
+    SELECT * FROM ({_spec('q13b_percentiles').oracle.strip()}) a
+    JOIN ({_spec('q13c_stats_aggregates').oracle.strip()}) b USING (l_returnflag)
+    JOIN ({_spec('q15b_approx_percentile').oracle.strip()}) c USING (l_returnflag)
+    CROSS JOIN (SELECT n_exact AS acd_exact, within_tol AS acd_within_tol
+                FROM ({_spec('q15_approx_count_distinct').oracle.strip()})) d
+    """,
+    tags=("agg", "stats", "percentile", "approx"),
+)
+def q13b_stats_percentiles(spark, sf_dir):
+    """Statistics + percentile + approx-sketch aggregates in one entry
+    (merge of q13b/q13c/q15b/q15): exact percentiles, variance/stddev/
+    covariance from exact decimal cross-sums, approx_percentile-within-
+    tolerance, and the global approx_count_distinct-within-tolerance
+    (cross-joined single row, columns renamed acd_*)."""
+    a = _spec("q13b_percentiles").build(spark, sf_dir)
+    b = _spec("q13c_stats_aggregates").build(spark, sf_dir)
+    c = _spec("q15b_approx_percentile").build(spark, sf_dir)
+    d = (
+        _spec("q15_approx_count_distinct")
+        .build(spark, sf_dir)
+        .select(
+            F.col("n_exact").alias("acd_exact"),
+            F.col("within_tol").alias("acd_within_tol"),
+        )
+    )
+    return (
+        a.join(b, ["l_returnflag"]).join(c, ["l_returnflag"]).crossJoin(d)
+    )
+
+
+@query(
+    "q32_dlq_map_hof",
+    oracle=f"""
+    SELECT * FROM ({_spec('q32_dead_letter_split').oracle.strip()}) a
+    LEFT JOIN ({_spec('q30b_map_hof').oracle.strip()}) b USING (event_type)
+    """,
+    tags=("dlq", "map", "hof"),
+)
+def q32_dlq_map_hof(spark, sf_dir):
+    """Dead-letter split + map higher-order functions (merge of q32/q30b),
+    both keyed by event_type. The map_filter drops small types, so the
+    left join surfaces them as NULL doubled — the HOF semantics survive
+    the merge."""
+    a = _spec("q32_dead_letter_split").build(spark, sf_dir)
+    b = _spec("q30b_map_hof").build(spark, sf_dir)
+    return a.join(b, ["event_type"], "left")
+
+
+# --------------------------------------------------------------------------
+# Union merges — union-compatible variants stacked with a tag column
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q02_filter_project",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice,
+           cast({SQL_REVENUE} as double) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08
+    """,
+    tags=("filter", "project"),
+)
+def q02_filter_project(spark, sf_dir):
+    """Conjunctive pushed-down filter + derived-column projection (merge of
+    q02/q04): the predicate reaches the parquet scan, the revenue expression
+    is computed exactly in decimal."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.filter(
+        (F.col("l_quantity") > 30) & F.col("l_discount").between(0.02, 0.08)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+        revenue_expr().cast("double").alias("revenue"),
+    )
+
+
+_JOIN_TYPE_COLS = "c_custkey, c_name, o_orderkey, o_totalprice"
+
+
+@query(
+    "q05_join_types",
+    oracle=f"""
+    SELECT 'inner' AS join_type, {_JOIN_TYPE_COLS}
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    UNION ALL
+    SELECT 'left', {_JOIN_TYPE_COLS}
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    UNION ALL
+    SELECT 'full', {_JOIN_TYPE_COLS}
+    FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+    UNION ALL
+    SELECT 'semi', c_custkey, c_name, NULL, NULL FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'anti', c_custkey, c_name, NULL, NULL FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def q05_join_types(spark, sf_dir):
+    """The equi-join type family in one entry (merge of q05/q08/q08b/q09/
+    q10): inner, left outer (enrichment misses stay NULL — the reference's
+    ``Option[V] = None``, ``ReadOnlyTableSpec.scala:77-79``), full outer,
+    left semi (EXISTS), left anti (NOT EXISTS), discriminated by
+    ``join_type``."""
+    c = Catalog(spark, sf_dir)
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    sel = ["c_custkey", "c_name", "o_orderkey", "o_totalprice"]
+
+    def arm(join_type, spark_type):
+        df = c.customer.join(c.orders, cond, spark_type)
+        if spark_type in ("left_semi", "left_anti"):
+            df = df.select(
+                "c_custkey",
+                "c_name",
+                F.lit(None).cast("long").alias("o_orderkey"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+            )
+        else:
+            df = df.select(*sel)
+        return df.select(F.lit(join_type).alias("join_type"), *sel)
+
+    return (
+        arm("inner", "inner")
+        .unionAll(arm("left", "left"))
+        .unionAll(arm("full", "full"))
+        .unionAll(arm("semi", "left_semi"))
+        .unionAll(arm("anti", "left_anti"))
+    )
+
+
+@query(
+    "q16_rollup_cube",
+    oracle=f"""
+    SELECT 'rollup' AS tag, k1, k2, agg_sum, agg_n FROM (
+      SELECT r_name AS k1, n_name AS k2, sum_bal AS agg_sum, n_cust AS agg_n
+      FROM ({_spec('q16_rollup').oracle.strip()})
+    )
+    UNION ALL
+    SELECT 'cube', o_orderstatus, o_orderpriority, sum_price, n_orders
+    FROM ({_spec('q16b_cube').oracle.strip()})
+    """,
+    tags=("agg", "groupingsets"),
+)
+def q16_rollup_cube(spark, sf_dir):
+    """ROLLUP + CUBE grouping sets in one entry (merge of q16/q16b), with
+    generic (k1, k2, agg_sum, agg_n) columns and a discriminator tag."""
+    rollup = _spec("q16_rollup").build(spark, sf_dir).select(
+        F.lit("rollup").alias("tag"),
+        F.col("r_name").alias("k1"),
+        F.col("n_name").alias("k2"),
+        F.col("sum_bal").alias("agg_sum"),
+        F.col("n_cust").alias("agg_n"),
+    )
+    cube = _spec("q16b_cube").build(spark, sf_dir).select(
+        F.lit("cube").alias("tag"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        F.col("sum_price").alias("agg_sum"),
+        F.col("n_orders").alias("agg_n"),
+    )
+    return rollup.unionAll(cube)
+
+
+@query(
+    "q23_sort_limit_pagination",
+    oracle=f"""
+    SELECT 'top100' AS page, * FROM ({_spec('q23_sort_limit').oracle.strip()})
+    UNION ALL
+    SELECT 'page3', * FROM ({_spec('q23b_pagination').oracle.strip()})
+    """,
+    tags=("sort", "pagination"),
+)
+def q23_sort_limit_pagination(spark, sf_dir):
+    """Global top-k (TakeOrderedAndProject — no full sort) + OFFSET/LIMIT
+    pagination in one entry (merge of q23/q23b)."""
+    top = _spec("q23_sort_limit").build(spark, sf_dir)
+    page = _spec("q23b_pagination").build(spark, sf_dir)
+    return top.select(F.lit("top100").alias("page"), "*").unionAll(
+        page.select(F.lit("page3").alias("page"), "*")
+    )
+
+
+_SETOP_MERGE = [
+    ("union_all", "q24_union_all"),
+    ("union", "q24b_union_distinct"),
+    ("intersect", "q24c_intersect"),
+    ("except_all", "q24d_except_all"),
+    ("except", "q24e_except_distinct"),
+]
+
+
+@query(
+    "q24_set_ops",
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS setop, c_custkey FROM ({_spec(src).oracle.strip()})"
+        for tag, src in _SETOP_MERGE
+    ),
+    tags=("setop",),
+)
+def q24_set_ops(spark, sf_dir):
+    """All five set operations in one entry (merge of q24/q24b/q24c/q24d/
+    q24e): UNION ALL / UNION / INTERSECT / EXCEPT ALL / EXCEPT over the same
+    two customer subsets, discriminated by ``setop``."""
+    out = None
+    for tag, src in _SETOP_MERGE:
+        arm = _spec(src).build(spark, sf_dir).select(
+            F.lit(tag).alias("setop"), "c_custkey"
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out
+
+
+@query(
+    "q29b_explode_lateral",
+    oracle=f"""
+    SELECT 'explode' AS src, l_orderkey AS key,
+           CAST(l_linenumber AS VARCHAR) AS val
+    FROM ({_spec('q29b_explode_roundtrip').oracle.strip()})
+    UNION ALL
+    SELECT 'lateral', o_orderkey, tag
+    FROM ({_spec('q49c_lateral_view').oracle.strip()})
+    """,
+    tags=("array", "udtf", "sql"),
+)
+def q29b_explode_lateral(spark, sf_dir):
+    """UDTF-shaped row generators (merge of q29b/q49c): explode(collect_list)
+    round-trip + LATERAL VIEW explode through the SQL front-end."""
+    ex = _spec("q29b_explode_roundtrip").build(spark, sf_dir).select(
+        F.lit("explode").alias("src"),
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").cast("string").alias("val"),
+    )
+    lat = _spec("q49c_lateral_view").build(spark, sf_dir).select(
+        F.lit("lateral").alias("src"),
+        F.col("o_orderkey").alias("key"),
+        F.col("tag").alias("val"),
+    )
+    return ex.unionAll(lat)
+
+
+@query(
+    "q49_subqueries",
+    oracle=f"""
+    SELECT 'exists' AS tag, c_name AS k, CAST(c_custkey AS BIGINT) AS n
+    FROM ({_spec('q49_exists_subquery').oracle.strip()})
+    UNION ALL
+    SELECT 'cte_scalar', c_mktsegment, n_big_spenders
+    FROM ({_spec('q49b_cte_scalar_subquery').oracle.strip()})
+    """,
+    tags=("sql", "subquery"),
+)
+def q49_subqueries(spark, sf_dir):
+    """SQL front-end subquery surface (merge of q49/q49b): correlated
+    EXISTS/NOT EXISTS (decorrelated to semi/anti joins) + CTE with an
+    uncorrelated scalar subquery."""
+    a = _spec("q49_exists_subquery").build(spark, sf_dir).select(
+        F.lit("exists").alias("tag"),
+        F.col("c_name").alias("k"),
+        F.col("c_custkey").cast("long").alias("n"),
+    )
+    b = _spec("q49b_cte_scalar_subquery").build(spark, sf_dir).select(
+        F.lit("cte_scalar").alias("tag"),
+        F.col("c_mktsegment").alias("k"),
+        F.col("n_big_spenders").alias("n"),
+    )
+    return a.unionAll(b)
+
+
+@query(
+    "q33_time_windows",
+    oracle=f"""
+    SELECT 'tumbling' AS kind, window_start, window_end,
+           CAST(user_id AS VARCHAR) AS key, n, sum_value
+    FROM ({_spec('q33_tumbling_window').oracle.strip()})
+    UNION ALL
+    SELECT 'sliding', window_start, window_end, event_type, n,
+           CAST(NULL AS DOUBLE)
+    FROM ({_spec('q34_sliding_window').oracle.strip()})
+    UNION ALL
+    SELECT 'session', session_start, session_end,
+           CAST(user_id AS VARCHAR), n_events, CAST(NULL AS DOUBLE)
+    FROM ({_spec('q35_session_window').oracle.strip()})
+    """,
+    tags=("window", "streaming-shape"),
+)
+def q33_time_windows(spark, sf_dir):
+    """Tumbling + sliding + session time windows in one entry (merge of
+    q33/q34/q35), batch-replayed with the same `F.window` /
+    `F.session_window` expressions Structured Streaming uses for its
+    windowed state (stream-batch duality)."""
+    tumb = _spec("q33_tumbling_window").build(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"),
+        "window_start",
+        "window_end",
+        F.col("user_id").cast("string").alias("key"),
+        "n",
+        "sum_value",
+    )
+    slide = _spec("q34_sliding_window").build(spark, sf_dir).select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        "window_end",
+        F.col("event_type").alias("key"),
+        "n",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    sess = _spec("q35_session_window").build(spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        F.col("session_start").alias("window_start"),
+        F.col("session_end").alias("window_end"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("n_events").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tumb.unionAll(slide).unionAll(sess)
+
+
+@query(
+    "q33b_windows_streaming",
+    oracle=f"""
+    SELECT 'tumbling' AS kind, window_start, window_end, user_id, n, sum_value
+    FROM ({_spec('q33b_tumbling_window_streaming').oracle.strip()})
+    UNION ALL
+    SELECT 'session', session_start, session_end, user_id, n_events,
+           CAST(NULL AS DOUBLE)
+    FROM ({_spec('q35b_session_window_streaming').oracle.strip()})
+    """,
+    tags=("streaming", "window", "session"),
+)
+def q33b_windows_streaming(spark, sf_dir):
+    """REAL streaming windowed aggregations in one entry (merge of
+    q33b/q35b): tumbling-window and session-window state accumulated across
+    micro-batches (complete mode), each equal to its batch twin — the
+    stream-batch duality check for window state."""
+    tumb = _spec("q33b_tumbling_window_streaming").build(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"),
+        "window_start",
+        "window_end",
+        "user_id",
+        "n",
+        "sum_value",
+    )
+    sess = _spec("q35b_session_window_streaming").build(spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        F.col("session_start").alias("window_start"),
+        F.col("session_end").alias("window_end"),
+        "user_id",
+        F.col("n_events").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tumb.unionAll(sess)
+
+
+@query("q42b_minhash_simhash", oracle=None, tags=("llm", "dedup", "scale"))
+def q42b_minhash_simhash(spark, sf_dir):
+    """Approximate near-dup scale tiers in one entry (merge of q42b/q42c):
+    MinHash(64)+LSH(16 bands) pairs with exact Jaccard verification, and
+    SimHash-64 banded-hamming candidate pairs. Both O(n·bands) bucketed
+    shuffles — never O(n²). Rows-only checked; recall vs the exact q42 tier
+    is asserted in the test suite."""
+    mh = _spec("q42b_minhash_lsh").build(spark, sf_dir).select(
+        F.lit("minhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    sh = _spec("q42c_simhash").build(spark, sf_dir).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionAll(sh)
+
+
+@query("q44b_lsh_ann_neardup", oracle=None, tags=("llm", "similarity", "scale"))
+def q44b_lsh_ann_neardup(spark, sf_dir):
+    """Embedding LSH scale tiers in one entry (merge of q44b/q44d):
+    hyperplane-LSH approximate top-k neighbors and banded-LSH near-dup
+    pairs with exact cosine verification. Rows-only checked; recall vs the
+    exact tiers is asserted in the test suite."""
+    ann = _spec("q44b_lsh_ann").build(spark, sf_dir).select(
+        F.lit("ann").alias("method"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "rank",
+        "cos",
+    )
+    nd = _spec("q44d_embedding_neardup_lsh").build(spark, sf_dir).select(
+        F.lit("neardup").alias("method"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("int").alias("rank"),
+        "cos",
+    )
+    return ann.unionAll(nd)

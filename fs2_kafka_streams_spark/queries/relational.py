@@ -914,13 +914,16 @@ def q24d_except_all(spark, sf_dir):
            trim(concat_ws('-', c_name, c_mktsegment)) AS joined,
            (c_name LIKE '%001%') AS has_001,
            regexp_extract(c_name, '([0-9]+)', 1) AS digits,
-           string_split(c_name, '#') AS parts
+           array_to_string(string_split(c_name, '#'), '|') AS parts
     FROM customer
     """,
     tags=("scalar",),
 )
 def q25_string_functions(spark, sf_dir):
-    """upper/lower/substring/trim/concat_ws/like/regexp_extract/split/length."""
+    """upper/lower/substring/trim/concat_ws/like/regexp_extract/split/length.
+
+    ``parts`` is array_join-ed to a string: top-level array columns crash the
+    driver's pandas canonicalizer (round-1 q25 failure)."""
     c = Catalog(spark, sf_dir).customer
     return c.select(
         "c_custkey",
@@ -931,7 +934,7 @@ def q25_string_functions(spark, sf_dir):
         F.trim(F.concat_ws("-", "c_name", "c_mktsegment")).alias("joined"),
         F.col("c_name").like("%001%").alias("has_001"),
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
-        F.split("c_name", "#").alias("parts"),
+        F.array_join(F.split("c_name", "#"), "|").alias("parts"),
     )
 
 
@@ -1042,7 +1045,7 @@ def q28_conditional_null(spark, sf_dir):
     "q29_array_functions",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS lns,
+           array_to_string(list_sort(list(l_linenumber)), '|') AS lns,
            CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
            list_contains(list(l_linenumber), 3) AS has_line3
     FROM lineitem GROUP BY l_orderkey
@@ -1051,10 +1054,18 @@ def q28_conditional_null(spark, sf_dir):
 )
 def q29_array_functions(spark, sf_dir):
     """collect_list + sort_array/size/array_contains (arrays canonicalized
-    by sorting — collect order is partition-dependent)."""
+    by sorting — collect order is partition-dependent; the array is then
+    array_join-ed to a string because top-level array columns crash the
+    driver's pandas canonicalizer, the round-1 q29 failure)."""
     li = Catalog(spark, sf_dir).lineitem
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("lns"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("lns"),
         F.size(F.collect_list("l_linenumber")).alias("n_lines"),
         F.array_contains(F.collect_list("l_linenumber"), 3).alias("has_line3"),
     )
@@ -1395,8 +1406,11 @@ def q27b_bitwise(spark, sf_dir):
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT l_orderkey,
-           list_transform(qtys, x -> x * 2) AS doubled,
-           list_filter(qtys, x -> x > 25) AS big,
+           array_to_string(list_transform(qtys,
+             x -> CAST(CAST(x * 2 AS BIGINT) AS VARCHAR)), '|') AS doubled,
+           coalesce(array_to_string(
+             list_transform(list_filter(qtys, x -> x > 25),
+               x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), '|'), '') AS big,
            CAST(len(list_filter(qtys, x -> x > 45)) > 0 AS BOOLEAN)
              AS any_huge,
            CAST(len(list_filter(qtys, x -> x > 0)) = len(qtys) AS BOOLEAN)
@@ -1412,7 +1426,8 @@ def q29c_array_hof(spark, sf_dir):
     aggregate over per-order quantity lists (ordered by (line number,
     quantity) — the synthetic data has duplicate line numbers, so the
     tie-break makes the arrays deterministic; quantities are integer-valued
-    doubles so the fold is exact)."""
+    doubles so the fold is exact). Array outputs are array_join-ed to
+    strings: top-level array columns crash the driver's canonicalizer."""
     li = _cat(spark, sf_dir).lineitem
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(
@@ -1424,8 +1439,19 @@ def q29c_array_hof(spark, sf_dir):
     )
     return per_order.select(
         "l_orderkey",
-        F.transform("qtys", lambda x: x * 2).alias("doubled"),
-        F.filter("qtys", lambda x: x > 25).alias("big"),
+        F.array_join(
+            F.transform(
+                "qtys", lambda x: (x * 2).cast("bigint").cast("string")
+            ),
+            "|",
+        ).alias("doubled"),
+        F.array_join(
+            F.transform(
+                F.filter("qtys", lambda x: x > 25),
+                lambda x: x.cast("bigint").cast("string"),
+            ),
+            "|",
+        ).alias("big"),
         F.exists("qtys", lambda x: x > 45).alias("any_huge"),
         F.forall("qtys", lambda x: x > 0).alias("all_positive"),
         F.aggregate(

@@ -125,10 +125,34 @@ def compare_rows(name, spark_cols, spark_types, spark_rows,
     return CompareResult(name, True, f"{len(spark_rows)} rows match")
 
 
+def reject_unhashable_columns(name: str, df) -> CompareResult | None:
+    """Fail any query whose output has a top-level array/map/struct column.
+
+    The driver's canonicalizer pandas-``sort_values`` the raw cells, and
+    list-valued cells are unhashable — q25/q29 crashed the round-1 driver this
+    way while the old local gate silently stringified them. Mimic the driver:
+    such a schema is an automatic failure before any value comparison.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, (ArrayType, MapType, StructType)):
+            return CompareResult(
+                name, False,
+                f"top-level {fld.dataType.simpleString()} column "
+                f"'{fld.name}' would crash the driver canonicalizer "
+                f"(unhashable in pandas sort_values) — array_join/to_json it",
+            )
+    return None
+
+
 def run_compare(spark, sf_dir: str, spec,
                 con: duckdb.DuckDBPyConnection | None = None) -> CompareResult:
     """Execute one QuerySpec on Spark and DuckDB; compare like the driver."""
     df = spec.build(spark, sf_dir)
+    bad = reject_unhashable_columns(spec.name, df)
+    if bad is not None:
+        return bad
     spark_cols = df.columns
     spark_types = [t for _, t in df.dtypes]
     spark_rows = [tuple(r) for r in df.collect()]
