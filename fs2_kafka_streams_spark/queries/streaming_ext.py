@@ -24,11 +24,18 @@ from fs2_kafka_streams_spark.streaming.run import run_to_memory
 from fs2_kafka_streams_spark.streaming.stateful import EVENTS_SCHEMA
 
 
-def _events_stream(spark, sf_dir, files_per_trigger: int = 1):
+def _events_stream(
+    spark,
+    sf_dir,
+    files_per_trigger: int = 1,
+    time_ordered: bool = False,
+    ts_type: str = "timestamp_ntz",
+):
+    kwargs = {"order_col": "ts"} if time_ordered else {}
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA.replace("timestamp_ntz", ts_type))
         .option("maxFilesPerTrigger", files_per_trigger)
-        .parquet(replay_dir(sf_dir, "events"))
+        .parquet(replay_dir(sf_dir, "events", **kwargs))
     )
 
 
@@ -136,29 +143,42 @@ def q33b_tumbling_window_streaming(spark, sf_dir):
     return run_to_memory(spark, agg, "q33b_sink", output_mode="complete")
 
 
-@query(
-    "q48_stream_stream_join",
-    oracle="""
+_Q48_ORACLE = """
     SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
            a.event_type AS type_a, b.event_type AS type_b
     FROM events a JOIN events b
       ON a.user_id = b.user_id AND a.event_id < b.event_id
      AND b.ts BETWEEN a.ts - INTERVAL '5 minutes'
                   AND a.ts + INTERVAL '5 minutes'
-    """,
-    tags=("streaming", "join"),
-)
-def q48_stream_stream_join(spark, sf_dir):
-    """Stream–stream inner join (self-join on user within ±5 minutes) as a
-    real streaming query. No watermark → unbounded join state → the emitted
-    multiset equals the batch join exactly regardless of arrival order
-    (inner joins emit each match once, whenever both sides have arrived).
-    The 100 TB deployment adds watermarks + time-range state eviction; the
-    correctness-vs-batch contract then holds for on-time data."""
+"""
+
+
+def _stream_stream_join(spark, sf_dir, watermark: str | None):
+    """Self-join on user within ±5 minutes; optionally watermarked.
+
+    Watermarks require TIMESTAMP (not NTZ), so the watermarked variant reads
+    ts as session-local instants with the session timezone pinned to UTC
+    (the q36 pattern — under a DST zone the naive→instant mapping is
+    non-linear, which would bend the ±interval arithmetic relative to the
+    wall-clock SQL oracle). The output carries no timestamp columns, so
+    nothing needs casting back.
+    """
     # 2 files/trigger: still multiple micro-batches (cross-batch join state
     # is the semantic under test) at half the per-batch machinery cost
-    a = _events_stream(spark, sf_dir, files_per_trigger=2).alias("a")
-    b = _events_stream(spark, sf_dir, files_per_trigger=2).alias("b")
+    ordered = watermark is not None
+    ts_type = "timestamp" if watermark is not None else "timestamp_ntz"
+    a = _events_stream(
+        spark, sf_dir, files_per_trigger=2, time_ordered=ordered,
+        ts_type=ts_type,
+    )
+    b = _events_stream(
+        spark, sf_dir, files_per_trigger=2, time_ordered=ordered,
+        ts_type=ts_type,
+    )
+    if watermark is not None:
+        a = a.withWatermark("ts", watermark)
+        b = b.withWatermark("ts", watermark)
+    a, b = a.alias("a"), b.alias("b")
     joined = a.join(
         b,
         on=[
@@ -176,7 +196,40 @@ def q48_stream_stream_join(spark, sf_dir):
         F.col("a.event_type").alias("type_a"),
         F.col("b.event_type").alias("type_b"),
     )
-    return run_to_memory(spark, joined, "q48_sink")
+    extra = (
+        {"spark.sql.session.timeZone": "UTC"} if watermark is not None else {}
+    )
+    return run_to_memory(spark, joined, "q48_sink", extra_conf=extra)
+
+
+@query(
+    "q48_stream_stream_join",
+    oracle=_Q48_ORACLE,
+    tags=("streaming", "join", "watermark"),
+)
+def q48_stream_stream_join(spark, sf_dir):
+    """Stream–stream inner join (self-join on user within ±5 minutes) as a
+    real WATERMARKED streaming query — the 100 TB deployment shape:
+    ``withWatermark`` on both sides + the event-time range condition bound
+    the join state, and Spark evicts rows once the watermark passes
+    ``ts + 5 minutes`` (unbounded state was round-1's named scale-killer
+    here).
+
+    Correctness contract: replay is time-ordered (contiguous time-range
+    files), so with delay (10m) ≥ join range (5m) no on-time match is ever
+    evicted before its partner arrives — the emitted multiset equals the
+    batch join exactly. The unbounded variant (arrival-order-independent
+    but O(stream) state) stays available as
+    :func:`stream_stream_join_unbounded` and is equality-tested in the
+    suite."""
+    return _stream_stream_join(spark, sf_dir, watermark="10 minutes")
+
+
+def stream_stream_join_unbounded(spark, sf_dir):
+    """The no-watermark variant: unbounded join state, exact under any
+    arrival order. Test-only — at scale the watermarked q48 is the
+    deployment shape."""
+    return _stream_stream_join(spark, sf_dir, watermark=None)
 
 
 @query(

@@ -3,12 +3,22 @@
 The reference's tests replay known data through a real Kafka broker and
 assert multiset equality (``RecordStreamSpec.scala:93-141``). Without a
 broker, the deterministic equivalent is the file stream source: the table is
-split into N parquet files by a hash of a stable id column, written with
-strictly increasing modification times, and consumed with
-``maxFilesPerTrigger=1`` — so micro-batch k contains exactly bucket k, in a
-fixed order, on every run. Watermark advancement between batches is then a
-pure function of the data, which is what makes Q36 (late-data drop)
-hash-checkable against a SQL oracle.
+split into N parquet files, written with strictly increasing modification
+times, and consumed with ``maxFilesPerTrigger=1`` — so micro-batch k
+contains exactly bucket k, in a fixed order, on every run. Watermark
+advancement between batches is then a pure function of the data, which is
+what makes Q36 (late-data drop) hash-checkable against a SQL oracle.
+
+Two splits are offered:
+
+- **hash buckets** (default): bucket = id % n — every file spans the full
+  time range, so replay interleaves event times across batches (the
+  out-of-order shape watermark tests need);
+- **time-ordered** (``order_col=...``): rows sorted by (order_col, id) and
+  cut into contiguous chunks — file k's max time ≤ file k+1's min time, so
+  a watermark never retro-drops data. This is the Kafka-with-
+  roughly-ordered-producers shape the watermarked stream-stream join (q48)
+  assumes.
 """
 
 from __future__ import annotations
@@ -20,29 +30,47 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-CACHE_ROOT = "/root/repo/.cache/replay"
+CACHE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".cache",
+    "replay",
+)
 N_FILES = 4
+
+
+def _source_stamp(path: str) -> str:
+    st = os.stat(path)
+    return f"{st.st_size}:{int(st.st_mtime)}"
 
 
 def replay_dir(
     sf_dir: str, table: str = "events", id_col: str = "event_id",
-    n_files: int = N_FILES,
+    n_files: int = N_FILES, order_col: str | None = None,
 ) -> str:
-    """Split ``{sf_dir}/{table}.parquet`` into ``n_files`` hash buckets with
-    ordered mtimes; idempotent (cached per (sf, table, n)).
+    """Split ``{sf_dir}/{table}.parquet`` into ``n_files`` replay files with
+    ordered mtimes; idempotent (cached per (sf, table, n, order)), with the
+    cache keyed on the source parquet's (size, mtime) so a changed fixture
+    invalidates it.
 
     Timestamps are coerced to microseconds so Spark's file source reads them
     natively as TIMESTAMP_NTZ (the driver parquet is TIMESTAMP(NANOS), which
     Spark rejects).
     """
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    stamp = _source_stamp(src)
     sf_name = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(CACHE_ROOT, f"{sf_name}_{table}_{n_files}")
+    suffix = f"_by_{order_col}" if order_col else ""
+    out = os.path.join(CACHE_ROOT, f"{sf_name}_{table}_{n_files}{suffix}")
     marker = os.path.join(out, "_SPARK_GRAFT_READY")
     if os.path.exists(marker):
-        return out
+        with open(marker) as fh:
+            if fh.read().strip() == stamp:
+                return out
 
     os.makedirs(out, exist_ok=True)
-    t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"))
+    for old in os.listdir(out):  # stale cache: rebuild from scratch
+        os.remove(os.path.join(out, old))
+    t = pq.read_table(src)
     # nanos → micros, truncating: DuckDB's TIMESTAMP (µs) does the same on
     # read, and the batch catalog divides nanos by 1000 — all three paths see
     # identical µs values.
@@ -58,14 +86,20 @@ def replay_dir(
         cols.append(col)
     t = pa.table(cols, names=[f.name for f in t.schema])
 
-    ids = t.column(id_col).to_numpy()
-    bucket = ids % n_files
     base = time.time() - 3600
-    for k in range(n_files):
-        part = t.filter(pa.array(bucket == k))
+    if order_col is not None:
+        t = t.sort_by([(order_col, "ascending"), (id_col, "ascending")])
+        n = t.num_rows
+        chunk = (n + n_files - 1) // n_files
+        parts = [t.slice(k * chunk, chunk) for k in range(n_files)]
+    else:
+        ids = t.column(id_col).to_numpy()
+        bucket = ids % n_files
+        parts = [t.filter(pa.array(bucket == k)) for k in range(n_files)]
+    for k, part in enumerate(parts):
         path = os.path.join(out, f"part-{k:04d}.parquet")
         pq.write_table(part, path)
         os.utime(path, (base + 10 * k, base + 10 * k))
     with open(marker, "w") as fh:
-        fh.write("ok")
+        fh.write(stamp)
     return out

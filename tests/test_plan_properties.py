@@ -73,6 +73,11 @@ def test_latest_by_key_is_single_aggregation(spark):
 
 def test_multiget_never_broadcasts_the_table(spark):
     """q18's key-list lookup must broadcast the KEYS into the table scan
-    (semi-join pruning), never the materialized table toward the keys."""
+    (semi-join pruning), never the materialized table toward the keys.
+
+    The wrong-direction plan (round-1 verdict: key list joined against a
+    broadcast of the whole materialized table) contains no semi join at all,
+    so requiring the LeftSemi prune distinguishes the two shapes.
+    """
     plan = _plan(_registry()["q18_multi_get"].build(spark, SF_SMOKE))
-    assert "LeftSemi" in plan or "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan, plan

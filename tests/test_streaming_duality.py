@@ -93,3 +93,20 @@ def test_streaming_complete_agg_equals_batch(spark):
         .collect()
     }
     assert out == batch
+
+
+def test_watermarked_join_equals_unbounded(spark):
+    """The watermarked q48 (time-ordered replay, state evicted past the
+    watermark) must emit exactly the multiset the unbounded-state variant
+    emits — i.e. watermarking loses no on-time matches."""
+    from fs2_kafka_streams_spark.queries.streaming_ext import (
+        q48_stream_stream_join,
+        stream_stream_join_unbounded,
+    )
+
+    wm = q48_stream_stream_join(spark, SF_SMOKE)
+    ub = stream_stream_join_unbounded(spark, SF_SMOKE)
+    key = ["id_a", "id_b", "user_id", "type_a", "type_b"]
+    wm_rows = sorted(tuple(r) for r in wm.select(*key).collect())
+    ub_rows = sorted(tuple(r) for r in ub.select(*key).collect())
+    assert wm_rows == ub_rows and len(wm_rows) > 0
