@@ -72,11 +72,21 @@ def salted_join(
 
     Correctness: every big row meets exactly one copy of its matching small
     row (its salt), so multiplicities are preserved for inner/left joins.
+
+    The salt is a DETERMINISTIC function of the row
+    (``xxhash64(all columns)``): task/stage retries after a shuffle-fetch
+    failure recompute the same salt, so no join row is lost or duplicated —
+    ``spark_partition_id``/``monotonically_increasing_id`` salts are
+    nondeterministic across recomputation, the classic
+    nondeterministic-repartition hazard, exactly in the at-scale regime this
+    operator targets. Heavily duplicated identical rows hash to one salt;
+    that residual skew is bounded by the duplicate count of a single value
+    combination.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side is replicated)")
     big_s = big.withColumn(
-        "_salt", (F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt))).cast("int")
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int")
     )
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -42,7 +42,15 @@ class JsonFormat:
 
 @dataclass
 class CsvFormat:
-    """Delimited payload with a declared schema."""
+    """Delimited payload with a declared schema.
+
+    Corrupt-row detection uses ``columnNameOfCorruptRecord``: in PERMISSIVE
+    mode ``from_csv`` returns a non-null struct with null fields for
+    malformed input (never a null struct), so a naive ``decoded.isNull()``
+    check lets corrupt rows masquerade as successfully-decoded all-null rows
+    — breaking the ``Result[A]``/DLQ contract (the reference drops Lefts
+    explicitly, ``streams/Tables.scala:24-27``).
+    """
 
     schema: str
     sep: str = ","
@@ -50,13 +58,19 @@ class CsvFormat:
     def decode(self, value: Column) -> tuple[Column, Column]:
         s = value.cast("string")
         decoded = F.from_csv(
-            s, F.lit(self.schema), {"sep": self.sep, "mode": "PERMISSIVE"}
+            s,
+            F.lit(f"{self.schema}, _corrupt string"),
+            {
+                "sep": self.sep,
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "_corrupt",
+            },
         )
         err = F.when(
-            decoded.isNull(),
+            decoded.getField("_corrupt").isNotNull(),
             F.concat(F.lit("malformed csv: "), F.substring(s, 1, 64)),
         )
-        return decoded, err
+        return decoded.dropFields("_corrupt"), err
 
 
 @dataclass
@@ -100,6 +114,45 @@ class BinaryFormat:
         return out.dropFields("_err"), out.getField("_err")
 
 
+def has_avro_datasource(spark) -> bool:
+    """True when the spark-avro package is usable in this session (probed by
+    actually analyzing a ``from_avro`` expression — the classes may be on
+    the classpath while the datasource is still unregistered)."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+
+        probe = '{"type":"record","name":"p","fields":[]}'
+        spark.range(1).select(
+            from_avro(F.lit(b"").alias("v"), probe).alias("d")
+        ).schema
+        return True
+    except Exception:  # noqa: BLE001 — any failure means "not usable"
+        return False
+
+
+@dataclass
+class AvroFormat:
+    """Avro payload with a declared writer schema (the ``from_avro`` path —
+    closes the SURVEY §1.3 KafkaDecoder mapping).
+
+    The spark-avro datasource is an EXTERNAL package (not bundled with a
+    stock Spark distribution, absent in this container), so construction of
+    the decode expression raises a clear error when it is unavailable —
+    mirroring the tws env-gate. ``BinaryFormat`` with a Python avro reader
+    remains the dependency-free fallback.
+    """
+
+    avro_schema: str  # JSON Avro schema string
+
+    def decode(self, value: Column) -> tuple[Column, Column]:
+        from pyspark.sql.avro.functions import from_avro
+
+        # PERMISSIVE: corrupt records decode to a null struct (unlike CSV).
+        decoded = from_avro(value, self.avro_schema, {"mode": "PERMISSIVE"})
+        err = F.when(decoded.isNull(), F.lit("malformed avro payload"))
+        return decoded, err
+
+
 class DecodeRegistry:
     """Per-topic decoder registry (the engine's KafkaDecoder table)."""
 
@@ -127,6 +180,14 @@ class DecodeRegistry:
             err_expr = (
                 F.when(cond, e) if err_expr is None else err_expr.when(cond, e)
             )
+        # Rows from a topic with no registered decoder are dead letters, not
+        # silently "decoded to NULL": without this otherwise() they'd carry
+        # NULL decoded AND NULL decode_error and pass clean_view's filter.
+        err_expr = err_expr.otherwise(
+            F.concat(
+                F.lit("no decoder registered for topic: "), F.col(topic_col)
+            )
+        )
         meta = [c for c in METADATA_COLS if c in records.columns]
         return records.select(
             *meta,

@@ -33,6 +33,12 @@ KAFKA_SCHEMA = (
     "timestamp timestamp, timestampType int"
 )
 
+#: With ``includeHeaders=true`` the source adds the record headers —
+#: ``ByteRecord`` carries them in the reference (``model/package.scala:8``;
+#: SURVEY §1.3 source schema).
+KAFKA_HEADERS_FIELD = "headers array<struct<key:string,value:binary>>"
+KAFKA_SCHEMA_WITH_HEADERS = f"{KAFKA_SCHEMA}, {KAFKA_HEADERS_FIELD}"
+
 
 @dataclass
 class KafkaSourceConfig:
@@ -43,6 +49,7 @@ class KafkaSourceConfig:
     max_offsets_per_trigger: int | None = None
     min_offsets_per_trigger: int | None = None
     fail_on_data_loss: bool = True
+    include_headers: bool = False
     extra: dict[str, str] = field(default_factory=dict)
 
     def options(self) -> dict[str, str]:
@@ -61,6 +68,8 @@ class KafkaSourceConfig:
             opts["maxOffsetsPerTrigger"] = str(self.max_offsets_per_trigger)
         if self.min_offsets_per_trigger is not None:
             opts["minOffsetsPerTrigger"] = str(self.min_offsets_per_trigger)
+        if self.include_headers:
+            opts["includeHeaders"] = "true"
         opts.update(self.extra)
         return opts
 
@@ -87,15 +96,29 @@ def encode_for_kafka(
     value_cols: list[str],
     key_col: str | None = None,
     topic: str | None = None,
+    partition_col: str | None = None,
+    timestamp_col: str | None = None,
+    headers_col: str | None = None,
 ) -> DataFrame:
     """KafkaEncoder (A15): payload → JSON value bytes + optional key bytes.
     Mirrors ``KafkaEncoder.encode: T => (Option[Key], Value)``
-    (``codecs/KafkaEncoder.scala:24-28``)."""
+    (``codecs/KafkaEncoder.scala:24-28``).
+
+    ``Producer.produce`` takes explicit topic/partition/timestamp
+    (``client/Producer.scala:22-35``); the Kafka sink honors the same via
+    the ``partition`` / ``timestamp`` / ``headers`` columns — pass the
+    source columns through here to pin them."""
     out = [F.to_json(F.struct(*value_cols)).cast("binary").alias("value")]
     if key_col is not None:
         out.append(F.col(key_col).cast("string").cast("binary").alias("key"))
     if topic is not None:
         out.append(F.lit(topic).alias("topic"))
+    if partition_col is not None:
+        out.append(F.col(partition_col).cast("int").alias("partition"))
+    if timestamp_col is not None:
+        out.append(F.col(timestamp_col).cast("timestamp").alias("timestamp"))
+    if headers_col is not None:
+        out.append(F.col(headers_col).alias("headers"))
     return df.select(*out)
 
 

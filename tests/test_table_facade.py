@@ -224,3 +224,112 @@ def test_multimodal_plumbing(spark):
     assert all(r["out_w"] == 8 and r["out_h"] == 4 for r in resized)
     # non-images pruned before the Python hop
     assert all(r["kind"] == "image" for r in resized)
+
+
+def test_csv_corrupt_rows_dead_letter(spark):
+    """PERMISSIVE from_csv yields a non-null struct of NULLs on malformed
+    input — corrupt rows must still land in the DLQ (via the
+    columnNameOfCorruptRecord marker), never in clean_view as all-null
+    'successes' (ADVICE round 1)."""
+    from fs2_kafka_streams_spark.sources.decode import (
+        CsvFormat,
+        DecodeRegistry,
+        clean_view,
+        dead_letters,
+    )
+
+    records = spark.createDataFrame(
+        [
+            ("t1", 0, 0, b"1,bob"),
+            ("t1", 0, 1, b"not,a,valid,row,too,many"),
+            ("t1", 1, 2, b"2,alice"),
+        ],
+        "topic string, partition int, offset long, value binary",
+    )
+    reg = DecodeRegistry().register("t1", CsvFormat("uid int, name string"))
+    decoded = reg.decode(records)
+    clean = clean_view(decoded).collect()
+    assert {r["uid"] for r in clean} == {1, 2}
+    dlq = dead_letters(decoded).collect()
+    assert len(dlq) == 1 and "malformed csv" in dlq[0]["decode_error"]
+
+
+def test_unregistered_topic_dead_letters(spark):
+    """Rows from a topic with no registered decoder are dead letters, not
+    silently-null 'successes' (ADVICE round 1)."""
+    from fs2_kafka_streams_spark.sources.decode import (
+        DecodeRegistry,
+        JsonFormat,
+        clean_view,
+        dead_letters,
+    )
+
+    records = spark.createDataFrame(
+        [("known", 0, 0, b'{"a": 1}'), ("mystery", 0, 0, b'{"a": 2}')],
+        "topic string, partition int, offset long, value binary",
+    )
+    reg = DecodeRegistry().register("known", JsonFormat("a int"))
+    decoded = reg.decode(records)
+    assert clean_view(decoded).count() == 1
+    dlq = dead_letters(decoded).collect()
+    assert len(dlq) == 1
+    assert "no decoder registered" in dlq[0]["decode_error"]
+    assert dlq[0]["topic"] == "mystery"
+
+
+def test_avro_format_gate(spark):
+    """AvroFormat decodes when spark-avro is loaded; otherwise the gate
+    raises a clear error (this container ships no spark-avro package)."""
+    from fs2_kafka_streams_spark.sources.decode import (
+        AvroFormat,
+        has_avro_datasource,
+    )
+    from pyspark.sql import functions as F
+
+    schema = (
+        '{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}'
+    )
+    fmt = AvroFormat(schema)
+    df = spark.createDataFrame([(b"\x02",)], "value binary")
+    if has_avro_datasource(spark):
+        decoded, err = fmt.decode(F.col("value"))
+        assert df.select(decoded.alias("d")).collect()[0]["d"]["a"] == 1
+    else:
+        with pytest.raises(Exception) as ei:
+            df.select(fmt.decode(F.col("value"))[0].alias("d")).collect()
+        assert "avro" in str(ei.value).lower()
+
+
+def test_kafka_headers_and_producer_columns(spark):
+    from fs2_kafka_streams_spark.sources.kafka import (
+        KAFKA_SCHEMA_WITH_HEADERS,
+        KafkaSourceConfig,
+        encode_for_kafka,
+    )
+
+    opts = KafkaSourceConfig(
+        bootstrap_servers="b:9092", topics=["t"], include_headers=True
+    ).options()
+    assert opts["includeHeaders"] == "true"
+    assert "headers" in KAFKA_SCHEMA_WITH_HEADERS
+
+    df = spark.createDataFrame(
+        [(1, "x", 3, "2024-01-02 03:04:05")],
+        "id long, s string, part int, ts string",
+    ).selectExpr(
+        "id", "s", "part", "cast(ts as timestamp) ts",
+        "array(named_struct('key', 'h1', 'value', cast('v1' as binary))) hdrs",
+    )
+    out = encode_for_kafka(
+        df,
+        ["id", "s"],
+        key_col="id",
+        topic="out",
+        partition_col="part",
+        timestamp_col="ts",
+        headers_col="hdrs",
+    ).collect()[0]
+    assert out["partition"] == 3
+    assert out["timestamp"] is not None
+    assert out["headers"][0]["key"] == "h1"
+    assert bytes(out["headers"][0]["value"]) == b"v1"
