@@ -232,6 +232,41 @@ def stream_stream_join_unbounded(spark, sf_dir):
     return _stream_stream_join(spark, sf_dir, watermark=None)
 
 
+def session_window_append(spark, sf_dir, delay: str = "10 minutes"):
+    """Watermarked APPEND-mode session windows — the 100 TB deployment shape
+    of q35b (complete mode holds all session state forever; append+watermark
+    evicts a session once the watermark passes its end).
+
+    Time-ordered replay + watermark ⇒ no late data, so the emitted rows are
+    exactly the batch sessions whose ``session_end`` ≤ the final watermark
+    (max event time − delay); still-open sessions near the stream head stay
+    withheld (asserted in the suite). ts is read as TIMESTAMP with the
+    session timezone pinned UTC (the q36/q48 pattern)."""
+    src = _events_stream(
+        spark, sf_dir, files_per_trigger=2, time_ordered=True,
+        ts_type="timestamp",
+    ).withWatermark("ts", delay)
+    agg = (
+        src.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(
+        spark,
+        agg,
+        "q35c_sink",
+        output_mode="append",
+        extra_conf={"spark.sql.session.timeZone": "UTC"},
+    )
+
+
 @query(
     "q46_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",

@@ -165,7 +165,9 @@ def latest_by_key_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 SINK_BUCKETS = 8
 
 
-def _run_upsert_sink(spark: SparkSession, updates: DataFrame) -> DataFrame:
+def _run_upsert_sink(
+    spark: SparkSession, updates: DataFrame, checkpoint: str | None = None
+) -> DataFrame:
     """Drive the update stream to completion; materialize the view through a
     KEYED PARQUET UPSERT SINK (the Spark-native analogue of a compacted
     Kafka topic / KV store):
@@ -186,7 +188,8 @@ def _run_upsert_sink(spark: SparkSession, updates: DataFrame) -> DataFrame:
     from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
 
     run_id = uuid.uuid4().hex[:8]
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_upsert_{run_id}_")
+    if checkpoint is None:
+        checkpoint = tempfile.mkdtemp(prefix=f"ckpt_upsert_{run_id}_")
     sink_dir = tempfile.mkdtemp(prefix=f"sink_upsert_{run_id}_")
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
@@ -228,10 +231,13 @@ def _run_upsert_sink(spark: SparkSession, updates: DataFrame) -> DataFrame:
     )
 
 
-def latest_by_key_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+def latest_by_key_streaming(
+    spark: SparkSession, sf_dir: str, checkpoint: str | None = None
+) -> DataFrame:
     """Run the changelog→table materialization as a real streaming query and
     return the final materialized view (equals batch Q17 — stream-table
-    duality)."""
+    duality). Pass ``checkpoint`` to keep the state store inspectable
+    afterwards via :func:`read_table_state` (A10 interactive reads)."""
     # 2 files/trigger: multiple micro-batches (cross-batch state is the
     # semantic under test — latest-by-key is batching-insensitive) at half
     # the per-batch machinery cost
@@ -247,4 +253,34 @@ def latest_by_key_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_upsert_sink(spark, updates)
+    return _run_upsert_sink(spark, updates, checkpoint=checkpoint)
+
+
+def read_table_state(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """Interactive state read (A10, ``ReadOnlyTable.get``,
+    ``streams/Table.scala:11``): read the live RocksDB/HDFS state of the
+    latest-by-key query DIRECTLY from its checkpoint via Spark's State Data
+    Source — the "get(k) now, without waiting for the sink" path the
+    reference exposes on its table handle.
+
+    Returns the same (user_id, event_id, ts, event_type, value, props)
+    schema as the materialized view; point lookups / multi-gets are filters
+    over it (partition-pruned by the state store layout at scale).
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.format("statestore").load(checkpoint)
+    # applyInPandasWithState persists (key struct, value struct) rows with
+    # the user state nested under value.groupState; ts is epoch micros
+    # (state schema, _STATE_SCHEMA).
+    st = F.col("value.groupState")
+    return raw.select(
+        F.col("key.user_id").alias("user_id"),
+        st.getField("event_id").alias("event_id"),
+        F.timestamp_micros(st.getField("ts_us"))
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        st.getField("event_type").alias("event_type"),
+        st.getField("value").alias("value"),
+        st.getField("props").alias("props"),
+    )

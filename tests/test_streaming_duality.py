@@ -110,3 +110,53 @@ def test_watermarked_join_equals_unbounded(spark):
     wm_rows = sorted(tuple(r) for r in wm.select(*key).collect())
     ub_rows = sorted(tuple(r) for r in ub.select(*key).collect())
     assert wm_rows == ub_rows and len(wm_rows) > 0
+
+
+def test_statestore_interactive_read(spark, tmp_path):
+    """A10 interactive reads: the live state of the latest-by-key query,
+    read via the State Data Source from its checkpoint, equals the batch
+    materialization (so get(k)-now is a filter over it)."""
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
+    from fs2_kafka_streams_spark.streaming.stateful import (
+        latest_by_key_streaming,
+        read_table_state,
+    )
+
+    ckpt = str(tmp_path / "ckpt_state_read")
+    latest_by_key_streaming(spark, SF_SMOKE, checkpoint=ckpt)
+    state = read_table_state(spark, ckpt)
+    batch = latest_by_key(
+        Catalog(spark, SF_SMOKE).events,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_cols=["event_id", "ts", "event_type", "value", "props"],
+    )
+    s_rows = sorted(tuple(r) for r in state.collect())
+    b_rows = sorted(tuple(r) for r in batch.collect())
+    assert s_rows == b_rows and len(s_rows) > 0
+
+
+def test_session_window_append_mode(spark):
+    """Watermarked append-mode sessions emit exactly the batch sessions
+    closed by the final watermark (max ts - delay); open sessions are
+    withheld — bounded state, no losses."""
+    from fs2_kafka_streams_spark.queries import load_all
+    from fs2_kafka_streams_spark.queries.streaming_ext import (
+        session_window_append,
+    )
+
+    reg = load_all()
+    batch = reg["q35_session_window"].build(spark, SF_SMOKE)
+    events = reg["q37_dedup"].build(spark, SF_SMOKE)  # full events table
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    final_wm = max_ts - datetime.timedelta(minutes=10)
+    expected = sorted(
+        tuple(r)
+        for r in batch.collect()
+        if r["session_end"] <= final_wm
+    )
+    got = sorted(tuple(r) for r in session_window_append(spark, SF_SMOKE).collect())
+    assert got == expected and len(got) > 0
