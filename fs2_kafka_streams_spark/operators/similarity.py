@@ -329,3 +329,130 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — learned coarse quantizer tier
+# --------------------------------------------------------------------------
+
+#: Driver-side training-sample bound for the IVF coarse quantizer. k-means
+#: training on a bounded sample is the standard IVF recipe (the index
+#: quality depends on centroid coverage, not on seeing every row); the
+#: assignment pass over the full corpus stays distributed.
+IVF_TRAIN_SAMPLE = 100_000
+
+
+def _train_centroids(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    iters: int = 5,
+):
+    """Spherical k-means on a deterministic sample (first IVF_TRAIN_SAMPLE
+    rows by id; init = first nlist samples; fixed iteration count) — every
+    run, every engine, same centroids. Returns (nlist, dim) float64, rows
+    L2-normalized."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(IVF_TRAIN_SAMPLE)
+        .collect()
+    )
+    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if len(X) < nlist:
+        raise ValueError(f"need >= nlist={nlist} training vectors, got {len(X)}")
+    C = X[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # ties -> lowest cell id
+        for j in range(nlist):
+            m = assign == j
+            if m.any():
+                c = X[m].sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+def _cell_udf(C, nprobe: int):
+    """pandas UDF: vec → the nprobe nearest centroid ids (one matmul per
+    Arrow batch; ties broken by cell id via stable argsort)."""
+    import numpy as np
+    import pandas as pd
+
+    Cm = C
+
+    def _cells(v):
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ Cm.T  # (n, nlist)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return F.pandas_udf(_cells, returnType="array<int>")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: a LEARNED coarse quantizer (spherical k-means
+    centroids) partitions the corpus into nlist cells; each query scores
+    only the vectors in its nprobe nearest cells.
+
+    vs the hyperplane-LSH tier: data-adaptive cells follow the actual
+    embedding distribution (better recall at equal candidates on clustered
+    data) at the cost of a training pass. 100 TB shape: training on a
+    bounded sample (driver, standard IVF recipe), assignment as one
+    vectorized matmul per Arrow batch (distributed), candidate scoring as a
+    cell equi-join — shuffle O(n + q·nprobe·cell_size), never O(n·q).
+    Exact-cosine scoring within cells (same quantized arithmetic as the
+    exact tier); recall vs :func:`cosine_topk` is asserted in the suite.
+    """
+    C = _train_centroids(embeddings, id_col, vec_col, nlist)
+    assign_one = _cell_udf(C, 1)
+    assign_probe = _cell_udf(C, nprobe)
+
+    e = embeddings.select(
+        F.col(id_col).alias("n_id"),
+        quantized(F.col(vec_col)).alias("n_q"),
+        assign_one(F.col(vec_col))[0].alias("cell"),
+    ).withColumn("n_n2", dot_int(F.col("n_q"), F.col("n_q")))
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            quantized(F.col(vec_col)).alias("q_q"),
+            F.explode(assign_probe(F.col(vec_col))).alias("cell"),
+        )
+        .withColumn("q_n2", dot_int(F.col("q_q"), F.col("q_q")))
+    )
+    scored = (
+        e.join(F.broadcast(q), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            cosine_precomputed(
+                F.col("q_q"), F.col("n_q"), F.col("q_n2"), F.col("n_n2")
+            ).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -185,3 +185,41 @@ def test_q40_arrow_equals_pandas_grouped_map(spark):
         )
     )
     assert arrow_rows == pandas_rows
+
+
+def test_ivf_topk_correctness_and_recall(spark):
+    """IVF ANN: every reported neighbor carries the exact cosine (verified
+    against the brute-force all-pairs scoring), results are deterministic
+    across runs, and probing all cells recovers the exact top-k."""
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = Catalog(spark, SF_SMOKE).embeddings
+    q = emb.filter(F.col("vec_id") < 3)
+    allcos = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in cosine_topk(emb, q, k=10**9).collect()
+    }
+    approx = ivf_topk(emb, q, k=5, nlist=8, nprobe=2).collect()
+    assert approx, "IVF returned nothing"
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in allcos and abs(allcos[key] - r["cos"]) < 1e-12
+
+    again = ivf_topk(emb, q, k=5, nlist=8, nprobe=2).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+    # nprobe = nlist scores every cell -> must equal the exact top-5
+    brute = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(emb, q, k=5, nlist=8, nprobe=8).collect()
+    }
+    assert full == brute
