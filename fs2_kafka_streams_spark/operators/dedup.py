@@ -42,11 +42,20 @@ def exact_dedup(
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc id, shingle) rows with the shingle xxhash64'd to an int64.
+
+    Joining/shuffling 8-byte longs instead of raw n-gram strings cuts the
+    shuffle width of every downstream self-join; a 64-bit collision merges
+    two shingles with probability ~(distinct shingles)²/2⁶⁴ — negligible even
+    at 100 TB corpus scale, and the approximate tiers verify candidates
+    against these same hashed sets so the tiers stay mutually consistent.
+    """
     tok = tokens(text_col)
     return (
         df.select(F.col(id_col).alias("_id"), tok.alias("_tok"))
         .filter(F.size("_tok") >= n)
-        .select("_id", F.explode(shingles(F.col("_tok"), n)).alias("_sh"))
+        .select("_id", F.explode(shingles(F.col("_tok"), n)).alias("_sh_raw"))
+        .select("_id", F.xxhash64("_sh_raw").alias("_sh"))
     )
 
 
