@@ -152,6 +152,64 @@ def test_embedding_neardup_lsh_finds_planted_dups(spark):
     assert len(found) >= 90, f"only {len(found)}/100 planted dups found"
 
 
+def test_text_neardup_tiers_find_planted_dups(spark, documents):
+    """Plant true text near-duplicates (each long doc copied with its first
+    token dropped — shingle Jaccard >= ~0.8, the regime the approximate
+    tiers exist for) and require both scale tiers to recover them:
+
+    - MinHash-LSH: at j = 0.8, P(candidate) = 1-(1-0.8^4)^16 ≈ 0.9998 per
+      pair -> assert >= 95% recall of the planted pairs the exact verifier
+      keeps (jaccard >= 0.5).
+    - SimHash: one dropped token barely moves the weighted bit sums ->
+      assert >= 70% of planted pairs within hamming <= 3.
+    """
+    from pyspark.sql import functions as F
+
+    from fs2_kafka_streams_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from fs2_kafka_streams_spark.operators.text import tokens
+
+    long_docs = (
+        documents.filter(F.size(tokens("text")) >= 30)
+        .orderBy("doc_id")
+        .limit(80)
+        .select("doc_id", "text")
+    )
+    mutated = long_docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = long_docs.unionByName(mutated)
+    want = {r["doc_id"] for r in long_docs.collect()}
+
+    mh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(corpus, "text", "doc_id").collect()
+    }
+    planted_found = {
+        a for (a, b), j in mh.items() if b == a + 1_000_000 and a in want
+    }
+    # the exact verifier inside LSH gates on jaccard >= 0.5; planted pairs
+    # sit near 0.8+ so effectively all survive
+    assert len(planted_found) >= 0.95 * len(want), (
+        f"MinHash-LSH recovered {len(planted_found)}/{len(want)} planted dups"
+    )
+    for (a, b), j in mh.items():
+        if b == a + 1_000_000 and a in want:
+            assert j >= 0.5
+
+    sh = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(corpus, "text", "doc_id").collect()
+    }
+    sh_found = {a for (a, b) in sh if b == a + 1_000_000 and a in want}
+    assert len(sh_found) >= 0.7 * len(want), (
+        f"SimHash recovered {len(sh_found)}/{len(want)} planted dups"
+    )
+
+
 def test_exact_dedup_finds_duplicate_texts(spark, documents):
     """If the corpus contains duplicated texts, exact dedup must group them;
     the group count equals distinct text count."""
