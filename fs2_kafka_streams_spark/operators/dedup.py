@@ -65,10 +65,30 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over n-gram shingle sets, via shared-shingle
-    self-join (only pairs sharing ≥1 shingle are ever materialized)."""
+    self-join (only pairs sharing ≥1 shingle are ever materialized).
+
+    ``max_doc_freq`` is the skew guard for corpus-scale runs: a boilerplate
+    shingle appearing in f documents contributes O(f²) join rows, so real
+    pipelines cut shingles above a document-frequency cap before pairing.
+    With a cap set, both the intersection AND the per-doc set sizes are
+    computed over the surviving shingles — i.e. the result is the exact
+    Jaccard over the df-filtered shingle space (the standard df-cut
+    semantics), not an approximation with inconsistent numerator and
+    denominator. Default ``None`` keeps the fully exact, oracle-checked
+    semantics.
+    """
     sh = _doc_shingles(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("_sh")
+        )
+        sh = sh.join(rare, "_sh", "left_semi")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
 
     a = sh.alias("a")
@@ -144,6 +164,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     k: int = MINHASH_PERMS,
     bands: int = MINHASH_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs at scale: LSH-banded MinHash candidates, then
     exact Jaccard verification of candidates only.
@@ -151,6 +172,14 @@ def minhash_lsh_pairs(
     With k=64, bands=16 (r=4): P(candidate) = 1-(1-j^4)^16 — ~0.97 at
     j=0.5. Candidate generation shuffles O(n·bands) rows; verification
     touches only the candidate set.
+
+    ``max_bucket_size`` is the skew guard: a degenerate band bucket with f
+    members (boilerplate/empty-ish documents hashing identically) emits
+    O(f²) candidate pairs from that one bucket. With a cap, buckets larger
+    than the cap are dropped before the self-join — a true near-dup cluster
+    of that size still pairs up through its other 15 bands, so recall decays
+    gracefully while the worst-case join blowup is bounded. Default ``None``
+    (no cap) for the oracle-checked harness scale.
     """
     # One shingle materialization feeds both the signatures and the exact
     # verification — persisted (memory-and-disk, spills at scale) because
@@ -174,6 +203,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.bh")
+
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band", "bh")
+        )
+        banded = banded.join(small, ["band", "bh"], "left_semi")
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

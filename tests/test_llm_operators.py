@@ -210,6 +210,60 @@ def test_text_neardup_tiers_find_planted_dups(spark, documents):
     )
 
 
+def test_dedup_skew_guards(spark, documents):
+    """The scale-tier skew caps must (a) be no-ops when the cap is above
+    every observed frequency, and (b) only ever shrink the result set when
+    binding — never invent pairs — while the surviving pairs keep exact,
+    self-consistent scores."""
+    from fs2_kafka_streams_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = documents.limit(200)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id").collect()
+    }
+    # huge cap == no-op
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", max_doc_freq=10**9
+        ).collect()
+    }
+    assert uncapped == exact
+    # binding df-cut: result is jaccard over the filtered shingle space —
+    # still a valid pair list (subset domain), every score in [th, 1]
+    capped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", max_doc_freq=2
+    ).collect()
+    assert all(0.5 <= r["jaccard"] <= 1.0 for r in capped)
+
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    }
+    lsh_uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", max_bucket_size=10**9
+        ).collect()
+    }
+    assert lsh_uncapped == lsh
+    # a binding bucket cap can only remove candidate pairs, and survivors
+    # keep the exact verifier's jaccard
+    lsh_capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", max_bucket_size=2
+        ).collect()
+    }
+    assert set(lsh_capped) <= set(lsh)
+    for pair, j in lsh_capped.items():
+        assert abs(lsh[pair] - j) < 1e-12
+
+
 def test_exact_dedup_finds_duplicate_texts(spark, documents):
     """If the corpus contains duplicated texts, exact dedup must group them;
     the group count equals distinct text count."""
