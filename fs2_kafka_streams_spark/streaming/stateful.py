@@ -165,8 +165,67 @@ def latest_by_key_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 SINK_BUCKETS = 8
 
 
+def _read_upsert_log(spark: SparkSession, sink_dir: str) -> DataFrame:
+    return spark.read.schema(
+        _OUTPUT_SCHEMA + ", _epoch long, _bucket int"
+    ).parquet(sink_dir)
+
+
+def _log_head(log: DataFrame) -> DataFrame:
+    from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
+
+    return latest_by_key(
+        log,
+        key_cols=["user_id"],
+        order_cols=["_epoch", "ts", "event_id"],
+        value_cols=["event_id", "ts", "event_type", "value", "props"],
+    )
+
+
+def compact_upsert_log(spark: SparkSession, sink_dir: str) -> tuple[int, int]:
+    """Kafka-style log compaction for the upsert sink: rewrite the append
+    log to exactly one row per key — the (epoch, ts, event_id)-max one,
+    keeping its original ``_epoch`` so later appends (higher epochs) still
+    order after it. Returns (rows_before, rows_after).
+
+    The reference's table IS a compacted topic (``streams/Tables.scala``);
+    this bounds the sink's storage at O(distinct keys) for a long-running
+    query, matching broker-side compaction. Each key bucket compacts as an
+    independent partitioned task. The swap is directory-rename (atomic on a
+    POSIX filesystem, done between triggers in this harness); a production
+    deployment would run the same rewrite through a transactional table
+    format (Delta/Iceberg ``replaceWhere``) for concurrent safety.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
+
+    log = _read_upsert_log(spark, sink_dir)
+    rows_before = log.count()
+    compacted = latest_by_key(
+        log,
+        key_cols=["user_id"],
+        order_cols=["_epoch", "ts", "event_id"],
+        value_cols=["event_id", "ts", "event_type", "value", "props", "_epoch"],
+    ).withColumn(
+        "_bucket", F.pmod(F.xxhash64("user_id"), F.lit(SINK_BUCKETS))
+    )
+    tmp_dir = sink_dir.rstrip("/") + ".compacting"
+    compacted.write.mode("overwrite").partitionBy("_bucket").parquet(tmp_dir)
+    old_dir = sink_dir.rstrip("/") + ".old"
+    os.rename(sink_dir, old_dir)
+    os.rename(tmp_dir, sink_dir)
+    shutil.rmtree(old_dir)
+    rows_after = _read_upsert_log(spark, sink_dir).count()
+    return rows_before, rows_after
+
+
 def _run_upsert_sink(
-    spark: SparkSession, updates: DataFrame, checkpoint: str | None = None
+    spark: SparkSession, updates: DataFrame, checkpoint: str | None = None,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Drive the update stream to completion; materialize the view through a
     KEYED PARQUET UPSERT SINK (the Spark-native analogue of a compacted
@@ -185,12 +244,11 @@ def _run_upsert_sink(
     """
     from pyspark.sql import functions as F
 
-    from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
-
     run_id = uuid.uuid4().hex[:8]
     if checkpoint is None:
         checkpoint = tempfile.mkdtemp(prefix=f"ckpt_upsert_{run_id}_")
-    sink_dir = tempfile.mkdtemp(prefix=f"sink_upsert_{run_id}_")
+    if sink_dir is None:
+        sink_dir = tempfile.mkdtemp(prefix=f"sink_upsert_{run_id}_")
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         (
@@ -220,24 +278,18 @@ def _run_upsert_sink(
         )
         q.awaitTermination()
 
-    log = spark.read.schema(
-        _OUTPUT_SCHEMA + ", _epoch long, _bucket int"
-    ).parquet(sink_dir)
-    return latest_by_key(
-        log,
-        key_cols=["user_id"],
-        order_cols=["_epoch", "ts", "event_id"],
-        value_cols=["event_id", "ts", "event_type", "value", "props"],
-    )
+    return _log_head(_read_upsert_log(spark, sink_dir))
 
 
 def latest_by_key_streaming(
-    spark: SparkSession, sf_dir: str, checkpoint: str | None = None
+    spark: SparkSession, sf_dir: str, checkpoint: str | None = None,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """Run the changelog→table materialization as a real streaming query and
     return the final materialized view (equals batch Q17 — stream-table
     duality). Pass ``checkpoint`` to keep the state store inspectable
-    afterwards via :func:`read_table_state` (A10 interactive reads)."""
+    afterwards via :func:`read_table_state` (A10 interactive reads); pass
+    ``sink_dir`` to keep the upsert log for :func:`compact_upsert_log`."""
     # 2 files/trigger: multiple micro-batches (cross-batch state is the
     # semantic under test — latest-by-key is batching-insensitive) at half
     # the per-batch machinery cost
@@ -253,7 +305,9 @@ def latest_by_key_streaming(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_upsert_sink(spark, updates, checkpoint=checkpoint)
+    return _run_upsert_sink(
+        spark, updates, checkpoint=checkpoint, sink_dir=sink_dir
+    )
 
 
 def read_table_state(spark: SparkSession, checkpoint: str) -> DataFrame:

@@ -137,6 +137,56 @@ def test_statestore_interactive_read(spark, tmp_path):
     assert s_rows == b_rows and len(s_rows) > 0
 
 
+def test_upsert_log_compaction(spark, tmp_path):
+    """Kafka-style compaction of the upsert sink log: the materialized view
+    is identical before and after, the log shrinks to one row per key, and
+    appends AFTER compaction (higher epochs) still win the read-back."""
+    from pyspark.sql import functions as F
+
+    from fs2_kafka_streams_spark.streaming.stateful import (
+        SINK_BUCKETS,
+        _log_head,
+        _read_upsert_log,
+        compact_upsert_log,
+        latest_by_key_streaming,
+    )
+
+    sink = str(tmp_path / "sink_log")
+    view_before = sorted(
+        tuple(r) for r in latest_by_key_streaming(
+            spark, SF_SMOKE, sink_dir=sink
+        ).collect()
+    )
+    n_keys = len(view_before)
+    assert n_keys > 0
+
+    rows_before, rows_after = compact_upsert_log(spark, sink)
+    assert rows_after == n_keys <= rows_before
+    view_after = sorted(
+        tuple(r) for r in _log_head(_read_upsert_log(spark, sink)).collect()
+    )
+    assert view_after == view_before
+
+    # post-compaction append with a higher epoch must win its key
+    log = _read_upsert_log(spark, sink)
+    max_epoch = log.agg(F.max("_epoch")).collect()[0][0]
+    some_user = view_before[0][0]
+    update = spark.createDataFrame(
+        [(some_user, 10**12, None, "compact_test", 1.0, "{}")],
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    ).withColumn("_epoch", F.lit(max_epoch + 1)).withColumn(
+        "_bucket", F.pmod(F.xxhash64("user_id"), F.lit(SINK_BUCKETS))
+    )
+    update.write.mode("append").partitionBy("_bucket").parquet(sink)
+    head = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in _log_head(_read_upsert_log(spark, sink)).collect()
+    }
+    assert head[some_user] == (10**12, "compact_test")
+    assert len(head) == n_keys
+
+
 def test_session_window_append_mode(spark):
     """Watermarked append-mode sessions emit exactly the batch sessions
     closed by the final watermark (max ts - delay); open sessions are
