@@ -1,0 +1,152 @@
+"""Property-based tests (hypothesis) for the core operator algebra —
+the PySpark analogue of the reference's GeneratorDrivenPropertyChecks
+(``src/it/scala/UnitSpec.scala:6-7``, ``RecordStreamSpec.scala:93-128``:
+random data in, invariant out).
+
+Each property runs ONE Spark job over a whole generated batch (many cases
+per example, small example count) so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_SMOKE  # noqa: F401  (fixture wiring)
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# a changelog: (key, offset, value) with offsets unique per key
+changelogs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=99),  # offset (deduped below)
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=40,
+).map(
+    lambda rows: list(
+        {(k, o): (k, o, v) for k, o, v in rows}.values()
+    )  # unique (key, offset): Kafka offsets never tie per partition
+)
+
+
+def _python_fold(rows):
+    """Last-write-wins fold — the reference's Map[K, V] table semantics."""
+    head = {}
+    for k, o, v in sorted(rows, key=lambda r: r[1]):
+        head[k] = (o, v)
+    return {(k, o, v) for k, (o, v) in head.items()}
+
+
+@SET
+@given(rows=changelogs)
+def test_latest_by_key_equals_python_fold(spark, rows):
+    from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
+
+    df = spark.createDataFrame(rows, "k long, off long, v long")
+    got = {
+        (r["k"], r["off"], r["v"])
+        for r in latest_by_key(
+            df, ["k"], ["off"], ["off", "v"]
+        ).collect()
+    }
+    assert got == _python_fold(rows)
+
+
+@SET
+@given(rows=changelogs, cut=st.integers(min_value=0, max_value=39))
+def test_latest_by_key_chunked_fold_duality(spark, rows, cut):
+    """Folding a changelog in two arbitrary chunks, then folding the two
+    heads, equals folding it all at once — the batching-insensitivity that
+    makes the streaming q38 equal the batch q17 at ANY trigger size."""
+    from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
+
+    cut = min(cut, len(rows) - 1) if len(rows) > 1 else 0
+    schema = "k long, off long, v long"
+    fold = lambda df: latest_by_key(df, ["k"], ["off"], ["off", "v"])
+    whole = fold(spark.createDataFrame(rows, schema))
+    if cut == 0:
+        parts = whole
+    else:
+        h1 = fold(spark.createDataFrame(rows[:cut], schema))
+        h2 = fold(spark.createDataFrame(rows[cut:], schema))
+        parts = fold(h1.unionByName(h2))
+    assert sorted(map(tuple, parts.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+@SET
+@given(rows=changelogs, at=st.integers(min_value=-1, max_value=100))
+def test_scd2_asof_equals_python_replay(spark, rows, at):
+    """as_of(history, t) must equal replaying the changelog up to t in
+    plain Python (deletes applied), for every t."""
+    from pyspark.sql import functions as F
+
+    from fs2_kafka_streams_spark.operators.scd import as_of, changelog_history
+
+    # mark every value < -50 as a tombstone write
+    df = spark.createDataFrame(
+        [(k, o, v, v < -50) for k, o, v in rows],
+        "k long, off long, v long, dead boolean",
+    )
+    h = changelog_history(df, ["k"], "off", ["v"], tombstone_col="dead")
+    got = {(r["k"], r["v"]) for r in as_of(h, F.lit(at)).collect()}
+
+    live = {}
+    for k, o, v in sorted(rows, key=lambda r: r[1]):
+        if o <= at:
+            if v < -50:
+                live.pop(k, None)
+            else:
+                live[k] = v
+    assert got == {(k, v) for k, v in live.items()}
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "fox", "dog", "run", "sky"]),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ngram_jaccard_matches_bruteforce(spark, docs):
+    """Pairwise 3-gram Jaccard from the DataFrame operator == brute-force
+    Python over the same shingle sets, for random small corpora."""
+    from fs2_kafka_streams_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=0.0
+        ).collect()
+    }
+
+    def sh(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sh(docs[i]), sh(docs[j])
+            inter = len(a & b)
+            if inter:
+                want[(i, j)] = inter / len(a | b)
+    assert set(got) == set(want)
+    for pair, jc in want.items():
+        assert abs(got[pair] - jc) < 1e-9
