@@ -81,3 +81,28 @@ def test_multiget_never_broadcasts_the_table(spark):
     """
     plan = _plan(_registry()["q18_multi_get"].build(spark, SF_SMOKE))
     assert "LeftSemi" in plan, plan
+
+
+def test_asof_snapshot_pushes_interval_filters(spark, tmp_path):
+    """as_of over a parquet-stored SCD2 history must push both interval
+    comparisons into the scan (PushedFilters) — at scale that's the
+    difference between reading the whole history and the covering slice."""
+    from pyspark.sql import functions as F
+
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.operators.scd import as_of, changelog_history
+
+    ev = Catalog(spark, SF_SMOKE).events.select("user_id", "event_id", "value")
+    hist_dir = str(tmp_path / "history")
+    changelog_history(ev, ["user_id"], "event_id", ["value"]).write.parquet(
+        hist_dir
+    )
+    import re
+
+    snap = as_of(spark.read.parquet(hist_dir), F.lit(500))
+    plan = _plan(snap)
+    assert "LessThanOrEqual(valid_from,500)" in plan, plan
+    # the open-interval disjunct pushes as Or(IsNull(valid_to), >500); the
+    # PushedFilters list is length-truncated in toString, so match the
+    # untruncated DataFilters rendering
+    assert re.search(r"valid_to#\d+L? > 500", plan), plan
