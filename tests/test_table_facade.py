@@ -333,3 +333,79 @@ def test_kafka_headers_and_producer_columns(spark):
     assert out["timestamp"] is not None
     assert out["headers"][0]["key"] == "h1"
     assert bytes(out["headers"][0]["value"]) == b"v1"
+
+
+def test_end_to_end_program_shape(spark):
+    """The reference's full integration program (``ReadOnlyTableSpec.scala:
+    41-79``: produce Customer(userId, name) from skewed userIds, materialize
+    a table keyed by userId, join a click stream against it, sink) — run
+    end-to-end through this engine's stages with assertions at the end (the
+    reference runs it as smoke only).
+
+    source bytes -> DecodeRegistry -> clean_view -> MaterializedTable ->
+    stream-table join -> encode_for_kafka, with the sink bytes decoded back
+    and checked against the expected join result.
+    """
+    import json
+
+    from fs2_kafka_streams_spark.operators.table import (
+        MaterializedTable,
+        join_with,
+    )
+    from fs2_kafka_streams_spark.sources.decode import (
+        DecodeRegistry,
+        JsonFormat,
+        clean_view,
+        dead_letters,
+    )
+    from fs2_kafka_streams_spark.sources.kafka import encode_for_kafka
+
+    # skewed customer changelog (reference: 4 skewed userIds, :41-54),
+    # with one malformed record that must dead-letter, not poison the run
+    writes = [(uid, f"name_{uid}_{i}") for i, uid in enumerate(
+        [0, 0, 0, 0, 0, 1, 1, 2, 0, 0, 3, 0]
+    )]
+    records = spark.createDataFrame(
+        [
+            ("customers", uid % 2, off, json.dumps(
+                {"userId": uid, "name": name}).encode())
+            for off, (uid, name) in enumerate(writes)
+        ] + [("customers", 0, 999, b"\x00broken")],
+        "topic string, partition int, offset long, value binary",
+    )
+    reg = DecodeRegistry().register(
+        "customers", JsonFormat("userId long, name string")
+    )
+    decoded = reg.decode(records)
+    assert dead_letters(decoded).count() == 1
+
+    table = MaterializedTable(
+        clean_view(decoded),
+        key_cols=["userId"],
+        order_cols=["offset"],
+        value_cols=["name", "offset"],
+    )
+    # expected head: last write per userId in offset order
+    want_head = {}
+    for off, (uid, name) in enumerate(writes):
+        want_head[uid] = name
+    assert {
+        r["userId"]: r["name"] for r in table.scan().collect()
+    } == want_head
+
+    clicks = spark.createDataFrame(
+        [(0, 100), (2, 101), (77, 102)], "userId long, click_id long"
+    )
+    joined = join_with(clicks, table)
+    sink = encode_for_kafka(
+        joined, value_cols=["click_id", "name"],
+        key_col="userId", topic="clicks_enriched",
+    ).collect()
+    got = {
+        int(r["key"].decode()): json.loads(bytes(r["value"]).decode())
+        for r in sink
+    }
+    assert set(r["topic"] for r in sink) == {"clicks_enriched"}
+    assert got[0] == {"click_id": 100, "name": want_head[0]}
+    assert got[2] == {"click_id": 101, "name": want_head[2]}
+    assert got[77] == {"click_id": 102}  # miss -> NULL name, omitted by to_json
