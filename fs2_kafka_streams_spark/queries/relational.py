@@ -1523,8 +1523,15 @@ def q28b_null_semantics(spark, sf_dir):
         F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("maybe_status"),
         F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("maybe_prio"),
     )
-    w = W.partitionBy()
-    return t.select(
+    # Global counts as a 1-row aggregate broadcast-cross-joined back in,
+    # instead of count() OVER () — an unpartitioned window moves every row
+    # to a single task, which is a non-starter at 100 TB; the partial-agg
+    # + broadcast shape keeps the scan fully parallel.
+    totals = t.agg(
+        F.count("maybe_status").alias("n_nonnull"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    return t.crossJoin(F.broadcast(totals)).select(
         "o_orderkey",
         F.col("maybe_status").eqNullSafe(F.lit("F")).alias("eqns_f"),
         (~F.col("maybe_status").eqNullSafe(F.col("maybe_status"))).alias(
@@ -1534,8 +1541,8 @@ def q28b_null_semantics(spark, sf_dir):
         F.when(F.col("maybe_prio").isNull(), "was-medium")
         .otherwise("has-prio")
         .alias("prio_class"),
-        F.count("maybe_status").over(w).alias("n_nonnull"),
-        F.count(F.lit(1)).over(w).alias("n_all"),
+        "n_nonnull",
+        "n_all",
     )
 
 
