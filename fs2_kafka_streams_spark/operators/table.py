@@ -70,7 +70,17 @@ class MaterializedTable:
     def get_all(self, keys: Sequence[Any | tuple]) -> DataFrame:
         """Multi-get (A11): preserves requested keys, missing → NULL row —
         exactly the reference's ``Map[K, Option[V]]`` contract
-        (``streams/Table.scala:61-62``)."""
+        (``streams/Table.scala:61-62``).
+
+        Scale path: the key prune is applied to the CHANGELOG, below the
+        latest-by-key aggregation (latest-of-a-key-subset == subset-of-
+        latest, since the aggregation is per-key). A single-column literal
+        key set becomes an ``isin`` predicate that reaches the parquet scan
+        (``PushedFilters: In(...)`` — row groups whose min/max exclude the
+        keys are never read); composite keys use a broadcast semi-join,
+        which prunes before the aggregation shuffle. Never broadcasts or
+        fully aggregates the table itself.
+        """
         spark = self._snapshot.sparkSession
         rows = [k if isinstance(k, tuple) else (k,) for k in keys]
         schema_fields = ", ".join(
@@ -78,13 +88,19 @@ class MaterializedTable:
             for c in self.key_cols
         )
         keys_df = spark.createDataFrame(rows, schema_fields)
-        # Scale path: broadcast the (small) key set INTO the big table first
-        # (a broadcast semi-join prunes the scan), then left-join the pruned
-        # result — now at most |keys| rows — back onto the key list to keep
-        # missing keys as NULL rows. Never broadcasts the table itself.
-        matched = self._snapshot.join(
-            F.broadcast(keys_df), on=self.key_cols, how="left_semi"
+        if len(self.key_cols) == 1:
+            pruned_log = self._changelog.filter(
+                F.col(self.key_cols[0]).isin([r[0] for r in rows])
+            )
+        else:
+            pruned_log = self._changelog.join(
+                F.broadcast(keys_df), on=self.key_cols, how="left_semi"
+            )
+        matched = latest_by_key(
+            pruned_log, self.key_cols, self.order_cols, self.value_cols
         )
+        if self._tombstone_col is not None:
+            matched = matched.filter(F.col(self._tombstone_col).isNotNull())
         return keys_df.join(F.broadcast(matched), on=self.key_cols, how="left")
 
     def last_committed_offset(self) -> Any:
