@@ -1,0 +1,215 @@
+"""Training-data pipeline operators: splits, shuffles, shards, packing.
+
+The ops a 100 TB pretraining-data pipeline runs after cleaning/dedup and
+before the trainer reads shards. All are deterministic (seeded content
+hashes, never ``rand()``) so re-running a pipeline stage on retried tasks
+or re-planned stages yields byte-identical output — the same property the
+deterministic-salt fix gives ``salted_join`` (nondeterministic expressions
+re-evaluate differently across Spark task retries and silently corrupt
+results).
+
+Scale posture per op:
+
+- ``hash_split``: pure column expression on a content hash — no shuffle at
+  all; the split column is computable at scan time on every executor.
+- ``deterministic_shuffle``: ONE range-partitioned sort by a seeded hash —
+  the standard "global shuffle before sharding" step; Spark's sort is
+  distributed (sampled range boundaries, per-partition sort, no driver
+  materialization).
+- ``sharded_export``: ``repartition(n, hash)`` — one hash shuffle; shard
+  sizes are balanced in expectation (md5 is uniform), verified in tests.
+- ``pack_sequences``: greedy first-fit packing inside each hash bucket via
+  ``applyInPandas`` — state is per-bucket (no global coordination), so
+  buckets pack in parallel and the operator scales linearly with
+  executors. Arrow-vectorized; the only Python hop in this module.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "seeded_bucket",
+    "hash_split",
+    "deterministic_shuffle",
+    "sharded_export",
+    "pack_sequences",
+]
+
+#: Buckets for split assignment — 1e4 gives 0.01% fraction granularity.
+SPLIT_BUCKETS = 10_000
+
+
+def seeded_bucket(col: str | Column, seed: str, n: int) -> Column:
+    """Deterministic uniform bucket in ``[0, n)`` from a seeded content hash.
+
+    ``conv(substr(md5(seed || id), 1, 8), 16, 10) % n`` — md5 is portable
+    (the DuckDB oracle computes the identical bucket with
+    ``CAST('0x' || substr(md5(...), 1, 8) AS BIGINT)``), uniform, and a
+    pure projection: no shuffle, no Python, pushable into the scan stage.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(n))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test/...) by content hash.
+
+    Properties a training pipeline needs and ``rand()``-based splits lack:
+
+    - **deterministic**: the same (id, seed) always lands in the same
+      split, across runs, task retries, and cluster sizes;
+    - **disjoint + exhaustive**: buckets partition ``[0, SPLIT_BUCKETS)``;
+    - **stable under growth**: adding new documents never moves an
+      existing document between splits (its bucket depends only on itself).
+
+    ``fractions`` values must sum to 1.0 (±1e-9). Assignment is by
+    cumulative bucket ranges in dict order.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    bucket = seeded_bucket(id_col, seed, SPLIT_BUCKETS)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        hi = round(cum * SPLIT_BUCKETS)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # float rounding can leave bucket == SPLIT_BUCKETS-1 unassigned for a
+    # hair; fold it into the last split
+    expr = expr.otherwise(list(fractions)[-1])
+    return df.withColumn(split_col, expr)
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, seed: str = "shuffle-v1"
+) -> DataFrame:
+    """Globally shuffle rows into a seeded pseudorandom — but reproducible —
+    order (the "shuffle the corpus before sharding" training-data step).
+
+    One distributed sort by ``(md5(seed || id), id)``: Spark samples range
+    boundaries, range-partitions, and sorts per partition — no single-task
+    bottleneck, no driver materialization. Changing ``seed`` produces an
+    independent permutation; the ``id`` tiebreak makes the order total.
+    """
+    c = F.col(id_col).cast("string")
+    key = F.md5(F.concat(F.lit(seed), c))
+    return df.orderBy(key, F.col(id_col))
+
+
+def sharded_export(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    seed: str = "shard-v1",
+    format: str = "parquet",
+) -> None:
+    """Write ``df`` as ``n_shards`` balanced output files.
+
+    ``repartition(n, seeded_bucket)`` hash-distributes rows uniformly (one
+    shuffle), then each task writes exactly one file — the shard layout
+    trainers expect (uniform sizes, deterministic membership). With plain
+    ``df.write`` the file count would be whatever the previous stage's
+    partitioning happened to be.
+
+    The bucket domain is much larger than ``n_shards``: repartition hashes
+    the bucket VALUE, so with only ``n_shards`` distinct values hash
+    collisions would leave some shards empty and others doubled; 64k
+    sub-buckets spread evenly over any shard count.
+    """
+    bucket = seeded_bucket(id_col, seed, 65_536)
+    (
+        df.repartition(n_shards, bucket)
+        .write.format(format)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    n_buckets: int = 64,
+    seed: str = "pack-v1",
+    keep_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: group documents into bins of ≤ ``budget``
+    total tokens (the context-window packing step before tokenized shards
+    are written).
+
+    Documents are hash-bucketed (deterministic, ``n_buckets`` ≫ executors
+    for parallelism), and each bucket is packed independently with a
+    first-fit-decreasing pass inside ``applyInPandas`` — packing state is
+    per-bucket, so no global coordination and linear scale-out; bin ids are
+    globally unique as ``(bucket, local_bin)``.
+
+    Returns one row per document: ``(id, token_count, *keep_cols, bucket,
+    bin_id, bin_tokens)``. Invariants (asserted in tests): every input id
+    appears exactly once; ``bin_tokens <= budget`` unless the bin is a
+    single document longer than the budget.
+    """
+    keep = list(keep_cols or [])
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(token_count_col).cast("long").alias("_tokens"),
+        *[F.col(c) for c in keep],
+    ).withColumn("bucket", seeded_bucket("_id", seed, n_buckets).cast("int"))
+
+    out_schema = ", ".join(
+        [f"_id {base.schema['_id'].dataType.simpleString()}",
+         "_tokens long"]
+        + [f"{c} {base.schema[c].dataType.simpleString()}" for c in keep]
+        + ["bucket int", "bin_id string", "bin_tokens long"]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["_tokens", "_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        bins: list[int] = []  # remaining capacity per bin
+        assign: list[int] = []
+        for t in pdf["_tokens"]:
+            t = int(t)
+            placed = None
+            for i, cap in enumerate(bins):
+                if cap >= t:
+                    placed = i
+                    bins[i] = cap - t
+                    break
+            if placed is None:
+                # new bin; an oversized doc still gets its own bin
+                bins.append(max(budget - t, 0))
+                placed = len(bins) - 1
+            assign.append(placed)
+        pdf["bin_id"] = [f"{bucket}-{a}" for a in assign]
+        totals = pdf.groupby("bin_id")["_tokens"].transform("sum")
+        pdf["bin_tokens"] = totals.astype("int64")
+        return pdf
+
+    return (
+        base.groupBy("bucket")
+        .applyInPandas(pack, schema=out_schema)
+        .withColumnRenamed("_id", id_col)
+        .withColumnRenamed("_tokens", token_count_col)
+    )

@@ -129,6 +129,49 @@ def fingerprint(tok: Column) -> Column:
     )
 
 
+# PII-shaped patterns for pre-training scrubbing. POSIX-portable (no
+# lookarounds, no \d shorthand inconsistencies) so the DuckDB oracle can run
+# the byte-identical regex with regexp_replace(..., 'g').
+REDACT_PATTERNS = [
+    # email
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    # US-ish phone: optional +1 prefix (separator bound to the prefix so a
+    # bare number doesn't swallow the preceding space), separators -/./space
+    ("(\\+?1[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    # SSN
+    ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    # IPv4
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+]
+
+
+def redact(col: str | Column) -> Column:
+    """Scrub PII-shaped substrings (emails, phones, SSNs, IPv4) with typed
+    placeholder tags — the standard pre-training privacy pass.
+
+    A chain of ``regexp_replace`` column expressions: whole-stage codegen,
+    no Python, no shuffle — at 100 TB this runs at scan speed. Order
+    matters (SSN before IPv4 would also match phone-shaped text), so the
+    chain applies patterns most-specific-first as listed.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in REDACT_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def repetition_ratio(tok: Column) -> Column:
+    """Fraction of repeated tokens: ``1 − distinct/total`` (0 = no
+    repetition). The cheap tier of Gopher-style repetition filtering —
+    high values flag boilerplate/spam for removal before training. Pure
+    array expressions; exact integer-ratio arithmetic cross-engine."""
+    n = F.size(tok)
+    return (
+        (n - F.size(F.array_distinct(tok))).cast("double")
+        / F.greatest(n, F.lit(1)).cast("double")
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column family."""
     tok = tokens(text_col)

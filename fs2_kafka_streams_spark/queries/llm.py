@@ -341,6 +341,78 @@ def q43c_token_budget(spark, sf_dir):
     )
 
 
+def _redact_sql(expr: str) -> str:
+    """Nest DuckDB regexp_replace(..., 'g') calls byte-identically to
+    :func:`operators.text.redact`'s pattern chain."""
+    from fs2_kafka_streams_spark.operators.text import REDACT_PATTERNS
+
+    for pat, tag in REDACT_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+    return expr
+
+
+@query(
+    "q43d_scrub_split",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' reach user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or 555-867-5309 at 10.0.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789' AS pii,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+             CAST(concat('0x', substr(md5('split-v1' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           md5({_redact_sql('pii')}) AS scrub_sig,
+           CAST(len(t) - len(list_distinct(t)) AS DOUBLE)
+             / CAST(greatest(len(t), 1) AS DOUBLE) AS rep_ratio,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM base
+    """,
+    tags=("llm", "scrub", "split"),
+)
+def q43d_scrub_split(spark, sf_dir):
+    """PII scrubbing + repetition scoring + deterministic train/val/test
+    split — the post-cleaning stage of a training-data pipeline.
+
+    Each document gets a synthetic PII tail (email, phone, IP, SSN — the
+    fixture corpus has none) so the redaction chain is actually exercised;
+    the oracle applies the byte-identical regex chain and compares the md5
+    of the scrubbed text. The split is :func:`operators.pipeline.hash_split`
+    (seeded md5 bucket — deterministic, disjoint, stable under corpus
+    growth); repetition is the Gopher-style duplicate-token ratio. All pure
+    column expressions — scan-speed at 100 TB.
+    """
+    from fs2_kafka_streams_spark.operators.pipeline import hash_split
+    from fs2_kafka_streams_spark.operators.text import (
+        redact,
+        repetition_ratio,
+        tokens,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    pii = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-867-5309 at 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7 ssn 123-45-6789"),
+    )
+    out = d.select(
+        "doc_id",
+        F.md5(redact(pii)).alias("scrub_sig"),
+        repetition_ratio(tokens("text")).alias("rep_ratio"),
+    )
+    return hash_split(
+        out, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 @query("q47_multimodal_features", oracle=None, tags=("multimodal",))
 def q47_multimodal_features(spark, sf_dir):
     """Multimodal plumbing as a first-class query: documents → synthetic

@@ -154,11 +154,13 @@ _register_join_merge(
 _register_join_merge(
     "q43b_text_metrics",
     ["doc_id"],
-    ["q43b_text_analysis", "q43c_token_budget"],
+    ["q43b_text_analysis", "q43c_token_budget", "q43d_scrub_split"],
     ("llm", "text"),
-    """Text-analysis metrics per document (merge of q43b/q43c): token count,
-    stopword-voting language ID, quality score, rolling-hash fingerprint,
-    whitespace + BPE-ish token budgets.""",
+    """Text-analysis metrics per document (merge of q43b/q43c/q43d): token
+    count, stopword-voting language ID, quality score, rolling-hash
+    fingerprint, whitespace + BPE-ish token budgets, PII redaction
+    signature, repetition ratio, and the deterministic train/val/test
+    split assignment.""",
 )
 
 

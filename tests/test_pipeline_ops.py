@@ -1,0 +1,199 @@
+"""Training-data pipeline operators: hash splits, deterministic shuffle,
+balanced sharded export, sequence packing, PII redaction.
+
+These are the post-cleaning stages of a pretraining pipeline; the tests
+assert the invariants the 100 TB deployment relies on — determinism under
+re-execution, split disjointness/stability, shard balance, packing
+conservation — not just example outputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from fs2_kafka_streams_spark.catalog import Catalog
+
+    return Catalog(spark, SF_SMOKE).documents
+
+
+# ---- hash_split -----------------------------------------------------------
+
+
+def test_hash_split_fractions_and_exhaustive(spark, docs):
+    from fs2_kafka_streams_spark.operators.pipeline import hash_split
+
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = docs.count()
+    assert sum(counts.values()) == n  # exhaustive: every row assigned
+    # with 50 docs the binomial spread is wide; just require the ordering
+    assert counts.get("train", 0) > counts.get("val", 0) + counts.get("test", 0)
+
+
+def test_hash_split_deterministic_and_stable_under_growth(spark, docs):
+    from fs2_kafka_streams_spark.operators.pipeline import hash_split
+
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", frac).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", frac).collect()}
+    assert a == b  # re-execution identical
+    # stability: assignment of a subset equals its assignment in the full set
+    sub = hash_split(docs.filter("doc_id < 20"), "doc_id", frac)
+    for r in sub.collect():
+        assert a[r["doc_id"]] == r["split"]
+
+
+def test_hash_split_seed_changes_assignment(spark, docs):
+    from fs2_kafka_streams_spark.operators.pipeline import hash_split
+
+    frac = {"train": 0.5, "test": 0.5}
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", frac).collect()}
+    c = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", frac, seed="other").collect()
+    }
+    assert a != c  # a different seed is a different (valid) partition
+
+
+def test_hash_split_rejects_bad_fractions(spark, docs):
+    from fs2_kafka_streams_spark.operators.pipeline import hash_split
+
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+# ---- deterministic_shuffle ------------------------------------------------
+
+
+def test_deterministic_shuffle_is_reproducible_permutation(spark, docs):
+    from fs2_kafka_streams_spark.operators.pipeline import deterministic_shuffle
+
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    s1 = [r["doc_id"] for r in deterministic_shuffle(docs, "doc_id").collect()]
+    s2 = [r["doc_id"] for r in deterministic_shuffle(docs, "doc_id").collect()]
+    assert s1 == s2  # reproducible
+    assert sorted(s1) == sorted(ids)  # a permutation — nothing lost/duplicated
+    assert s1 != sorted(s1)  # and not the identity order
+    s3 = [
+        r["doc_id"]
+        for r in deterministic_shuffle(docs, "doc_id", seed="s2").collect()
+    ]
+    assert s3 != s1  # seeds give independent permutations
+
+
+# ---- sharded_export -------------------------------------------------------
+
+
+def test_sharded_export_balanced_files(spark, docs, tmp_path):
+    from fs2_kafka_streams_spark.operators.pipeline import sharded_export
+
+    path = str(tmp_path / "shards")
+    sharded_export(docs, path, n_shards=4, id_col="doc_id")
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    sizes = [
+        r["n"]
+        for r in back.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 4
+    # md5 bucketing: no shard should be pathologically skewed
+    assert max(sizes) <= 3 * min(sizes) + 5
+
+
+# ---- pack_sequences -------------------------------------------------------
+
+
+def test_pack_sequences_conservation_and_budget(spark, docs):
+    from fs2_kafka_streams_spark.operators.pipeline import pack_sequences
+    from fs2_kafka_streams_spark.operators.text import token_count
+
+    with_tokens = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    budget = 120
+    packed = pack_sequences(
+        with_tokens, "doc_id", "n_tokens", budget=budget, n_buckets=4
+    )
+    rows = packed.collect()
+    # conservation: every doc packed exactly once
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in with_tokens.collect()
+    )
+    # budget: a bin exceeds the budget only if it is a single oversized doc
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in rows:
+        bins[r["bin_id"]].append(r)
+    for members in bins.values():
+        total = sum(r["n_tokens"] for r in members)
+        assert all(r["bin_tokens"] == total for r in members)
+        if total > budget:
+            assert len(members) == 1 and members[0]["n_tokens"] > budget
+    # bins are bucket-local (ids are "bucket-local" so cross-bucket bins
+    # can't collide)
+    for r in rows:
+        assert r["bin_id"].startswith(f"{r['bucket']}-")
+
+
+def test_pack_sequences_deterministic(spark, docs):
+    from fs2_kafka_streams_spark.operators.pipeline import pack_sequences
+    from fs2_kafka_streams_spark.operators.text import token_count
+
+    with_tokens = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    a = sorted(
+        (r["doc_id"], r["bin_id"])
+        for r in pack_sequences(with_tokens, "doc_id", "n_tokens", 120).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["bin_id"])
+        for r in pack_sequences(with_tokens, "doc_id", "n_tokens", 120).collect()
+    )
+    assert a == b
+
+
+# ---- redact ---------------------------------------------------------------
+
+
+def test_redact_patterns(spark):
+    from fs2_kafka_streams_spark.operators.text import redact
+
+    cases = [
+        ("mail me at jane.doe+spam@corp.example.co", "mail me at <EMAIL>"),
+        ("call 555-867-5309 now", "call <PHONE> now"),
+        ("call +1 (415) 555-0199 now", "call <PHONE> now"),
+        ("ssn 123-45-6789 leaked", "ssn <SSN> leaked"),
+        ("host 192.168.0.1 up", "host <IP> up"),
+        ("clean text stays clean", "clean text stays clean"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i int, t string"
+    )
+    got = {
+        r["i"]: r["red"]
+        for r in df.select("i", redact("t").alias("red")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_repetition_ratio_bounds(spark, docs):
+    from fs2_kafka_streams_spark.operators.text import repetition_ratio, tokens
+
+    out = docs.select(
+        repetition_ratio(tokens("text")).alias("r")
+    ).agg(F.min("r").alias("lo"), F.max("r").alias("hi")).collect()[0]
+    assert 0.0 <= out["lo"] <= out["hi"] <= 1.0
