@@ -336,3 +336,75 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---- benchmark decontamination -------------------------------------------
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    min_hits: int = 1,
+    bench_text_col: str | None = None,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-document benchmark-overlap report: ``(id, n_hits, contaminated)``.
+
+    The standard pretraining decontamination step: a corpus document is
+    contaminated if ≥ ``min_hits`` of its distinct n-gram shingles appear
+    anywhere in the benchmark/eval set (n=13 is the common published
+    choice; the tests and the oracle query use a smaller n so the
+    synthetic fixture actually overlaps).
+
+    Scale shape: the benchmark side is tiny relative to a 100 TB corpus —
+    its distinct shingle set is broadcast, so the corpus side is ONE scan +
+    shingle explode + broadcast hash semi-join + per-doc count: no
+    corpus-sized shuffle at all. ``broadcast_bench=False`` falls back to a
+    shuffle equi-join for benchmark sets too big to broadcast; both sides
+    join on xxhash64'd 8-byte shingle keys (see ``_doc_shingles``).
+    """
+    b_sh = (
+        _doc_shingles(benchmark, bench_text_col or text_col, id_col, n)
+        .select("_sh")
+        .distinct()
+    )
+    if broadcast_bench:
+        b_sh = F.broadcast(b_sh)
+    c_sh = _doc_shingles(corpus, text_col, id_col, n)
+    hits = (
+        c_sh.join(b_sh, "_sh")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    min_hits: int = 1,
+    **kwargs,
+) -> DataFrame:
+    """Drop corpus documents that overlap the benchmark (see
+    :func:`contamination_report`); returns the surviving corpus rows."""
+    bad = contamination_report(
+        corpus, benchmark, text_col, id_col, n, min_hits, **kwargs
+    ).filter("contaminated")
+    # no broadcast hint: the contaminated set is usually tiny (AQE will
+    # broadcast it), but after a bad benchmark it can be a large fraction
+    # of the corpus — let the runtime decide
+    return corpus.join(bad.select(id_col), id_col, "left_anti")

@@ -197,6 +197,44 @@ def q42_ngram_jaccard(spark, sf_dir):
     )
 
 
+@query(
+    "q41b_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT sh.doc_id, count(*) AS n_hits
+      FROM sh JOIN bench USING (s)
+      WHERE sh.doc_id % 97 <> 0
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("llm", "dedup", "decontamination"),
+)
+def q41b_decontaminate(spark, sf_dir):
+    """Benchmark decontamination report: a corpus document is contaminated
+    if any of its distinct n-gram shingles appears in the held-out
+    benchmark set (here: every 97th document; n=3 so the synthetic corpus
+    actually overlaps — published pipelines use n≈13 on real text).
+
+    Scale shape: the benchmark's distinct shingle set is broadcast; the
+    corpus side is one scan + shingle explode + broadcast join + per-doc
+    count — no corpus-sized shuffle (``operators/dedup.py::
+    contamination_report``).
+    """
+    from fs2_kafka_streams_spark.operators.dedup import contamination_report
+
+    d = Catalog(spark, sf_dir).documents
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, bench, "text", "doc_id", n=3)
+
+
 @query("q42b_minhash_lsh", oracle=None, tags=("llm", "dedup", "scale"))
 def q42b_minhash_lsh(spark, sf_dir):
     """MinHash(64) + LSH(16 bands) near-dup pairs with exact verification —

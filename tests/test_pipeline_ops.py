@@ -197,3 +197,75 @@ def test_repetition_ratio_bounds(spark, docs):
         repetition_ratio(tokens("text")).alias("r")
     ).agg(F.min("r").alias("lo"), F.max("r").alias("hi")).collect()[0]
     assert 0.0 <= out["lo"] <= out["hi"] <= 1.0
+
+
+# ---- decontamination ------------------------------------------------------
+
+
+def test_decontaminate_planted_overlap(spark):
+    from fs2_kafka_streams_spark.operators.dedup import (
+        contamination_report,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the bench 5-gram "alpha beta gamma delta epsilon"
+            (1, "intro words alpha beta gamma delta epsilon outro"),
+            # shares tokens but no 5-gram run
+            (2, "alpha beta nothing gamma delta something epsilon zeta"),
+            # disjoint
+            (3, "one two three four five six seven"),
+            # too short to shingle at n=5
+            (4, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in contamination_report(
+            corpus, bench, "text", "doc_id", n=5
+        ).collect()
+    }
+    assert set(rep) == {1, 2, 3, 4}  # every corpus doc gets a row
+    assert rep[1][1] and rep[1][0] >= 1
+    assert rep[2] == (0, False)
+    assert rep[3] == (0, False)
+    assert rep[4] == (0, False)
+
+    survivors = sorted(
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, "text", "doc_id", n=5).collect()
+    )
+    assert survivors == [2, 3, 4]
+
+
+def test_decontaminate_shuffle_fallback_equals_broadcast(spark, docs):
+    from fs2_kafka_streams_spark.operators.dedup import contamination_report
+
+    from pyspark.sql import functions as F
+
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    a = sorted(
+        map(
+            tuple,
+            contamination_report(
+                corpus, bench, "text", "doc_id", n=3, broadcast_bench=True
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            contamination_report(
+                corpus, bench, "text", "doc_id", n=3, broadcast_bench=False
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert any(r[2] for r in a)  # the synthetic corpus does overlap at n=3
