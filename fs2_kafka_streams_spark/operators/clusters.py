@@ -1,0 +1,148 @@
+"""Connected components + canonical-representative selection over
+near-duplicate pair sets — the last step of the dedup family.
+
+``ngram_jaccard_pairs`` / ``minhash_lsh_pairs`` / ``simhash_pairs`` emit
+PAIRS; a training pipeline needs CLUSTERS (duplicate groups) so it can keep
+exactly one representative per group. Pair-at-a-time dropping (e.g. "drop
+the right id of every pair") over-deletes on transitive chains A–B–C, so
+the correct reduction is connected components.
+
+Algorithm: distributed **min-label propagation with pointer jumping**
+(the standard iterative MapReduce/Pregel CC formulation from the public
+literature). Each round is two hash joins + one aggregation over the
+label/edge tables — fully distributed; the driver holds only a round
+counter and a convergence flag (one scalar per round). Plain propagation
+alone needs O(component diameter) rounds; the pointer-jumping step
+(``lbl ← lbl(lbl)``, valid because every label IS a vertex id) halves
+label-chain depth each round, giving the logarithmic convergence that
+makes this viable on 100 TB pair sets.
+
+Correctness of the fixed point: labels only ever decrease and only take
+existing vertex ids, so they are bounded below by the component minimum;
+at stability every edge (u,v) forces lbl(u) = lbl(v), so labels are
+constant per component; the minimum vertex keeps its own id; hence every
+label equals its component minimum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_keep_best"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Reduce an undirected pair list to ``(id, component)``, where
+    ``component`` is the smallest id in each connected group.
+
+    Ids not present in ``pairs`` are the caller's concern — join the
+    result back to the corpus with a coalesce-to-self (see
+    :func:`dedup_keep_best`).
+
+    Raises if not converged within ``max_rounds`` (with pointer jumping
+    this covers astronomically deep components) rather than silently
+    returning wrong labels.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter("src <> dst")
+        .distinct()
+        .persist()
+    )
+    lab = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .persist()
+    )
+
+    for _ in range(max_rounds):
+        # propagate: each vertex adopts the min label in its neighborhood
+        via_edges = (
+            edges.join(lab, edges["src"] == lab["id"])
+            .select(F.col("dst").alias("id"), "lbl")
+        )
+        prop = (
+            lab.unionByName(via_edges)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jump: lbl <- lbl(lbl) (labels are vertex ids, so they
+        # index back into the label table)
+        l2 = prop.select(
+            F.col("id").alias("_jid"), F.col("lbl").alias("_jlbl")
+        )
+        # localCheckpoint (not persist): it TRUNCATES the logical plan.
+        # Without it each round's plan embeds every previous round's
+        # (self-joins double the tree), and by ~10 rounds plan compilation
+        # itself OOMs — the standard iterative-DataFrame pitfall. On a real
+        # cluster use reliable checkpointing (spark.sparkContext.
+        # setCheckpointDir + .checkpoint()) for fault tolerance.
+        new_lab = (
+            prop.join(l2, prop["lbl"] == l2["_jid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce("_jlbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        lab.unpersist()
+        lab = new_lab
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_rounds} rounds"
+        )
+
+    edges.unpersist()
+    return lab.select("id", F.col("lbl").alias("component"))
+
+
+def dedup_keep_best(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one representative per near-duplicate cluster.
+
+    The representative is the highest-``quality_col`` member (ties and
+    ``quality_col=None`` fall back to smallest id) — the "keep the best
+    copy" policy pipelines actually want, vs. keep-arbitrary. Documents in
+    no cluster survive unchanged. One ``max_by`` aggregation per cluster +
+    a semi-join back; everything hash-partitioned by cluster/doc id.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    labeled = corpus.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    order = (
+        F.struct(F.col(quality_col), -F.col(id_col))
+        if quality_col
+        else F.struct(-F.col(id_col))
+    )
+    best = labeled.groupBy("component").agg(
+        F.max_by(F.col(id_col), order).alias(id_col)
+    )
+    return corpus.join(best.select(id_col), id_col, "left_semi")

@@ -235,6 +235,25 @@ def q41b_decontaminate(spark, sf_dir):
     return contamination_report(corpus, bench, "text", "doc_id", n=3)
 
 
+@query("q42d_dedup_clusters", oracle=None, tags=("llm", "dedup", "clusters"))
+def q42d_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → keep-best representative
+    (the full dedup endgame; ``operators/clusters.py``). Iterative label
+    propagation with pointer jumping — not SQL-expressible, so rows-only
+    here; cluster labels are cross-checked against a union-find oracle in
+    ``tests/test_clusters.py``."""
+    from fs2_kafka_streams_spark.operators.clusters import (
+        connected_components,
+    )
+    from fs2_kafka_streams_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.4)
+    return connected_components(pairs.select("id_a", "id_b")).orderBy(
+        "id", "component"
+    )
+
+
 @query("q42b_minhash_lsh", oracle=None, tags=("llm", "dedup", "scale"))
 def q42b_minhash_lsh(spark, sf_dir):
     """MinHash(64) + LSH(16 bands) near-dup pairs with exact verification —
