@@ -98,6 +98,36 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (e.g. rebalance sources or
+    languages in a training mix): keep a ``fractions[stratum]`` share of
+    each stratum, ``default`` share of unlisted strata.
+
+    Unlike ``DataFrame.sampleBy`` (rand()-based: nondeterministic across
+    retries, unstable membership run-to-run), membership is a pure
+    function of (id, seed): ``bucket(id) < frac * SPLIT_BUCKETS``. A pure
+    projection + filter — no shuffle; composes with :func:`hash_split`
+    (different seeds give independent bucketings).
+    """
+    bucket = seeded_bucket(id_col, seed, SPLIT_BUCKETS)
+    thresh = F.lit(round(default * SPLIT_BUCKETS))
+    for stratum, frac in fractions.items():
+        thresh = (
+            F.when(
+                F.col(stratum_col) == stratum,
+                F.lit(round(frac * SPLIT_BUCKETS)),
+            ).otherwise(thresh)
+        )
+    return df.filter(bucket < thresh)
+
+
 def deterministic_shuffle(
     df: DataFrame, id_col: str, seed: str = "shuffle-v1"
 ) -> DataFrame:

@@ -269,3 +269,57 @@ def test_decontaminate_shuffle_fallback_equals_broadcast(spark, docs):
     )
     assert a == b
     assert any(r[2] for r in a)  # the synthetic corpus does overlap at n=3
+
+
+# ---- stratified_sample ----------------------------------------------------
+
+
+def test_stratified_sample_deterministic_fractions(spark, docs):
+    from fs2_kafka_streams_spark.operators.pipeline import stratified_sample
+
+    frac = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    a = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "source", "doc_id", frac, default=0.25
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "source", "doc_id", frac, default=0.25
+        ).collect()
+    )
+    assert a == b  # deterministic membership
+    by_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    kept = (
+        stratified_sample(docs, "source", "doc_id", frac, default=0.25)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    kept_by = {r["source"]: r["n"] for r in kept}
+    assert kept_by.get("src0", 0) == by_src["src0"]  # frac 1.0 keeps all
+    assert "src2" not in kept_by  # frac 0.0 drops all
+    # frac 0.5 keeps roughly half (binomial spread on a small fixture)
+    if "src1" in by_src:
+        assert 0 < kept_by.get("src1", 0) < by_src["src1"]
+
+
+def test_stratified_sample_is_subset_and_stable(spark, docs):
+    from fs2_kafka_streams_spark.operators.pipeline import stratified_sample
+
+    sub = stratified_sample(docs, "source", "doc_id", {}, default=0.5)
+    sub_ids = {r["doc_id"] for r in sub.collect()}
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert sub_ids <= all_ids
+    # stability: sampling a filtered corpus keeps the same members
+    sub2 = stratified_sample(
+        docs.filter("doc_id < 25"), "source", "doc_id", {}, default=0.5
+    )
+    assert {r["doc_id"] for r in sub2.collect()} == {
+        i for i in sub_ids if i < 25
+    }
