@@ -603,3 +603,19 @@ def q44b_lsh_ann(spark, sf_dir):
     emb = Catalog(spark, sf_dir).embeddings
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
     return lsh_cosine_topk(emb, q, k=5, bits=8)
+
+
+@query("q44e_ivf_ann", oracle=None, tags=("llm", "similarity", "scale"))
+def q44e_ivf_ann(spark, sf_dir):
+    """IVF approximate top-k: learned spherical-k-means coarse quantizer,
+    nprobe nearest cells scored per query (``operators/similarity.py::
+    ivf_topk``). Data-adaptive alternative to the hyperplane-LSH tier;
+    rows-only here — ``nprobe = nlist`` provably equals the brute-force
+    top-k, asserted in ``tests/test_llm_operators.py``."""
+    from fs2_kafka_streams_spark.operators.similarity import ivf_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(emb, q, k=5, nlist=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
