@@ -129,7 +129,8 @@ def stratified_sample(
 
 
 def deterministic_shuffle(
-    df: DataFrame, id_col: str, seed: str = "shuffle-v1"
+    df: DataFrame, id_col: str, seed: str = "shuffle-v1",
+    expose_key: str | None = None,
 ) -> DataFrame:
     """Globally shuffle rows into a seeded pseudorandom — but reproducible —
     order (the "shuffle the corpus before sharding" training-data step).
@@ -138,9 +139,18 @@ def deterministic_shuffle(
     boundaries, range-partitions, and sorts per partition — no single-task
     bottleneck, no driver materialization. Changing ``seed`` produces an
     independent permutation; the ``id`` tiebreak makes the order total.
+
+    ``expose_key=<name>`` additionally emits the sort key as a column, so
+    the permutation itself is verifiable by an order-insensitive oracle
+    (sorting by the exposed key reproduces the shuffle order exactly) —
+    without a global ``row_number()`` window, which would serialize on a
+    single task at scale.
     """
     c = F.col(id_col).cast("string")
     key = F.md5(F.concat(F.lit(seed), c))
+    if expose_key is not None:
+        df = df.withColumn(expose_key, key)
+        return df.orderBy(F.col(expose_key), F.col(id_col))
     return df.orderBy(key, F.col(id_col))
 
 

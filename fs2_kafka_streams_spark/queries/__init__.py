@@ -71,7 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
 #: real streaming) so a tighter time budget still covers them first.
 DRIVER_ORDER: list[str] = [
     # -- LLM / training-data pipeline (unchecked in r1) --------------------
-    "q41_exact_dedup",
+    "q41_dedup_decontaminate",
     "q42_ngram_jaccard",
     "q42b_minhash_simhash",
     "q43_top_terms",

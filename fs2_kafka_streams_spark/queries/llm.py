@@ -470,6 +470,69 @@ def q43d_scrub_split(spark, sf_dir):
     )
 
 
+@query(
+    "q43e_sample_shuffle_shard",
+    oracle="""
+    WITH bk AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5('sample-v1' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+               AS sample_bucket,
+             CAST(concat('0x', substr(md5('shard-v1' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 65536
+               AS shard_bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           sample_bucket < (CASE lang WHEN 'en' THEN 5000
+                                      WHEN 'de' THEN 2500
+                                      ELSE 1000 END) AS sampled,
+           md5('shuffle-v1' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           shard_bucket
+    FROM bk
+    """,
+    tags=("llm", "pipeline", "sample", "shard"),
+)
+def q43e_sample_shuffle_shard(spark, sf_dir):
+    """Training-mix assembly stages as verifiable per-document columns
+    (``operators/pipeline.py``): deterministic stratified-sample membership
+    (keep 50% of en, 25% of de, 10% of everything else — seeded hash
+    buckets, never ``rand()``, so membership is stable across task retries
+    and corpus growth), the seeded global-shuffle sort key (range-sorting
+    by it IS the shuffle — exposed as a column so the permutation is
+    order-insensitively checkable without a single-task global
+    ``row_number``), and the 64k-bucket shard assignment
+    ``sharded_export`` repartitions by.
+
+    All three are pure scan-stage projections; the sample membership flag
+    is realized through the actual :func:`stratified_sample` filter
+    (left-semi derived flag) so the operator itself is on the verified
+    path.
+    """
+    from fs2_kafka_streams_spark.operators.pipeline import (
+        deterministic_shuffle,
+        seeded_bucket,
+        stratified_sample,
+    )
+
+    d = Catalog(spark, sf_dir).documents
+    kept = stratified_sample(
+        d, "lang", "doc_id", {"en": 0.5, "de": 0.25}, default=0.1
+    ).select("doc_id").withColumn("_kept", F.lit(True))
+    out = (
+        d.select("doc_id")
+        .join(F.broadcast(kept), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_kept", F.lit(False)).alias("sampled"),
+        )
+    )
+    out = deterministic_shuffle(out, "doc_id", expose_key="shuffle_key")
+    return out.withColumn(
+        "shard_bucket", seeded_bucket("doc_id", "shard-v1", 65_536)
+    )
+
+
 @query("q47_multimodal_features", oracle=None, tags=("multimodal",))
 def q47_multimodal_features(spark, sf_dir):
     """Multimodal plumbing as a first-class query: documents → synthetic

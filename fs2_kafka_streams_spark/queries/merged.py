@@ -154,13 +154,19 @@ _register_join_merge(
 _register_join_merge(
     "q43b_text_metrics",
     ["doc_id"],
-    ["q43b_text_analysis", "q43c_token_budget", "q43d_scrub_split"],
-    ("llm", "text"),
-    """Text-analysis metrics per document (merge of q43b/q43c/q43d): token
-    count, stopword-voting language ID, quality score, rolling-hash
-    fingerprint, whitespace + BPE-ish token budgets, PII redaction
-    signature, repetition ratio, and the deterministic train/val/test
-    split assignment.""",
+    [
+        "q43b_text_analysis",
+        "q43c_token_budget",
+        "q43d_scrub_split",
+        "q43e_sample_shuffle_shard",
+    ],
+    ("llm", "text", "pipeline"),
+    """Text-analysis + pipeline metrics per document (merge of
+    q43b/q43c/q43d/q43e): token count, stopword-voting language ID, quality
+    score, rolling-hash fingerprint, whitespace + BPE-ish token budgets, PII
+    redaction signature, repetition ratio, the deterministic train/val/test
+    split assignment, stratified-sample membership, the seeded global-shuffle
+    sort key, and the 64k-bucket shard assignment.""",
 )
 
 
@@ -525,13 +531,48 @@ def q33b_windows_streaming(spark, sf_dir):
     return tumb.unionAll(sess)
 
 
+@query(
+    "q41_dedup_decontaminate",
+    oracle=f"""
+    SELECT 'exact_dedup' AS tag, content_hash AS k, keep_id AS v1, n_dups AS v2
+    FROM ({_spec('q41_exact_dedup').oracle.strip()})
+    UNION ALL
+    SELECT 'decontaminate', CAST(doc_id AS VARCHAR), n_hits,
+           CAST(contaminated AS BIGINT)
+    FROM ({_spec('q41b_decontaminate').oracle.strip()})
+    """,
+    tags=("llm", "dedup", "decontamination"),
+)
+def q41_dedup_decontaminate(spark, sf_dir):
+    """Exact dedup + benchmark decontamination in one entry (merge of
+    q41/q41b): sha256-groupBy content dedup (hash, representative id, dup
+    count) and the broadcast shingle-set contamination report (per-doc
+    benchmark-overlap hit count), discriminated by ``tag`` over generic
+    (k, v1, v2) columns."""
+    dd = _spec("q41_exact_dedup").build(spark, sf_dir).select(
+        F.lit("exact_dedup").alias("tag"),
+        F.col("content_hash").alias("k"),
+        F.col("keep_id").alias("v1"),
+        F.col("n_dups").alias("v2"),
+    )
+    dc = _spec("q41b_decontaminate").build(spark, sf_dir).select(
+        F.lit("decontaminate").alias("tag"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("n_hits").alias("v1"),
+        F.col("contaminated").cast("long").alias("v2"),
+    )
+    return dd.unionAll(dc)
+
+
 @query("q42b_minhash_simhash", oracle=None, tags=("llm", "dedup", "scale"))
 def q42b_minhash_simhash(spark, sf_dir):
-    """Approximate near-dup scale tiers in one entry (merge of q42b/q42c):
-    MinHash(64)+LSH(16 bands) pairs with exact Jaccard verification, and
-    SimHash-64 banded-hamming candidate pairs. Both O(n·bands) bucketed
-    shuffles — never O(n²). Rows-only checked; recall vs the exact q42 tier
-    is asserted in the test suite."""
+    """Approximate near-dup scale tiers + cluster endgame in one entry
+    (merge of q42b/q42c/q42d): MinHash(64)+LSH(16 bands) pairs with exact
+    Jaccard verification, SimHash-64 banded-hamming candidate pairs — both
+    O(n·bands) bucketed shuffles, never O(n²) — and the connected-components
+    dedup clustering (pointer-jumping label propagation) over the exact-tier
+    pairs. Rows-only checked; recall vs the exact q42 tier and cluster
+    labels vs a union-find oracle are asserted in the test suite."""
     mh = _spec("q42b_minhash_lsh").build(spark, sf_dir).select(
         F.lit("minhash").alias("method"),
         "id_a",
@@ -544,14 +585,21 @@ def q42b_minhash_simhash(spark, sf_dir):
         "id_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return mh.unionAll(sh)
+    cc = _spec("q42d_dedup_clusters").build(spark, sf_dir).select(
+        F.lit("clusters").alias("method"),
+        F.col("id").alias("id_a"),
+        F.col("component").alias("id_b"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return mh.unionAll(sh).unionAll(cc)
 
 
 @query("q44b_lsh_ann_neardup", oracle=None, tags=("llm", "similarity", "scale"))
 def q44b_lsh_ann_neardup(spark, sf_dir):
-    """Embedding LSH scale tiers in one entry (merge of q44b/q44d):
-    hyperplane-LSH approximate top-k neighbors and banded-LSH near-dup
-    pairs with exact cosine verification. Rows-only checked; recall vs the
+    """Embedding ANN scale tiers in one entry (merge of q44b/q44d/q44e):
+    hyperplane-LSH approximate top-k neighbors, banded-LSH near-dup pairs
+    with exact cosine verification, and IVF top-k (learned spherical-k-means
+    coarse quantizer, nprobe cell probing). Rows-only checked; recall vs the
     exact tiers is asserted in the test suite."""
     ann = _spec("q44b_lsh_ann").build(spark, sf_dir).select(
         F.lit("ann").alias("method"),
@@ -567,4 +615,11 @@ def q44b_lsh_ann_neardup(spark, sf_dir):
         F.lit(None).cast("int").alias("rank"),
         "cos",
     )
-    return ann.unionAll(nd)
+    ivf = _spec("q44e_ivf_ann").build(spark, sf_dir).select(
+        F.lit("ivf").alias("method"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "rank",
+        "cos",
+    )
+    return ann.unionAll(nd).unionAll(ivf)
