@@ -117,64 +117,89 @@ def cosine_topk(
     )
 
 
-MAX_BRUTE_CORPUS = 1_000_000  # broadcast build-side bound for the exact tier
-
-
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact tier): every unordered
     pair with cosine >= threshold — the correctness baseline that
     :func:`embedding_neardup_pairs_lsh` is validated against.
 
-    Execution: blocked matrix multiply. The corpus is broadcast (exactly a
-    broadcast hash join's build side — the exact tier is BY DEFINITION
-    bounded by what brute force can score, larger corpora use the LSH
-    tier); each Arrow batch of rows scores against the whole corpus with
-    one BLAS dgemm. Exactness: quantized values are ≤1e6, so every product
-    (≤1e12) and 64-term sum (≤6.4e13) is an integer below 2^53 — float64
-    accumulation is EXACT in any order, bit-identical to the bigint SQL
-    formulation (asserted in tests + the q44c oracle).
+    Execution: DISTRIBUTED blocked matrix multiply — nothing is ever
+    materialized on the driver. Rows are hashed into ``num_blocks`` blocks;
+    each of the B·(B+1)/2 unordered block pairs becomes one cogroup of a
+    cogrouped ``applyInPandas``, which scores left-block × right-block with
+    a single BLAS dgemm. Shuffle volume is O(n·B) (each row is replicated
+    to the ≤B block pairs it participates in); compute is the inherent
+    O(n²) dot products of the exact tier, executed vectorized on the
+    executors. Larger corpora should use the O(n·bands) LSH tier — the
+    exact tier's wall-clock is quadratic by definition — but memory no
+    longer caps it: each task holds only two blocks of ~n/B vectors.
+
+    Exactness: quantized values are ≤1e6, so every product (≤1e12) and
+    64-term sum (≤6.4e13) is an integer below 2^53 — float64 accumulation
+    is EXACT in any order, bit-identical to the bigint SQL formulation
+    (asserted in tests + the q44c oracle).
     """
     import numpy as np
     import pandas as pd
 
-    spark = embeddings.sparkSession
-    rows = embeddings.select(id_col, vec_col).collect()
-    if len(rows) > MAX_BRUTE_CORPUS:
-        raise ValueError(
-            f"exact tier caps at {MAX_BRUTE_CORPUS} vectors; "
-            "use embedding_neardup_pairs_lsh"
+    B = num_blocks
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("b", F.pmod(F.xxhash64("id"), F.lit(B)).cast("int"))
+    # A pair (x, y) meets exactly once: in block-pair (bx, by) with
+    # bx <= by, x arriving on the left iff bx is x's block. Left replicates
+    # a block-b row to pairs (b, j>=b); right to pairs (i<=b, b).
+    left = base.withColumn(
+        "bj", F.explode(F.sequence(F.col("b"), F.lit(B - 1)))
+    ).withColumnRenamed("b", "bi")
+    right = base.withColumn(
+        "bi", F.explode(F.sequence(F.lit(0), F.col("b")))
+    ).withColumnRenamed("b", "bj")
+
+    def score(key, l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cos": "float64"}
         )
-    ids_c = np.array([r[0] for r in rows], dtype=np.int64)
-    C = np.floor(
-        np.array([r[1] for r in rows], dtype=np.float64) * QUANT
-    )
-    n2_c = np.einsum("ij,ij->i", C, C)
-    bc = spark.sparkContext.broadcast((ids_c, C, n2_c))
+        if len(l_pdf) == 0 or len(r_pdf) == 0:
+            return out
+        l_ids = l_pdf["id"].to_numpy(dtype=np.int64)
+        r_ids = r_pdf["id"].to_numpy(dtype=np.int64)
+        L = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in l_pdf["vec"]])
+            * QUANT
+        )
+        R = np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in r_pdf["vec"]])
+            * QUANT
+        )
+        n2_l = np.einsum("ij,ij->i", L, L)
+        n2_r = np.einsum("ij,ij->i", R, R)
+        cos = (L @ R.T) / np.sqrt(n2_l)[:, None] / np.sqrt(n2_r)[None, :]
+        if key[0] == key[1]:
+            # diagonal block: both sides hold the same rows — the strict
+            # id order both dedups and drops self-pairs
+            mask = (cos >= threshold) & (l_ids[:, None] < r_ids[None, :])
+            ii, jj = np.nonzero(mask)
+            a, b = l_ids[ii], r_ids[jj]
+        else:
+            # off-diagonal: each unordered pair appears once; ids may sort
+            # either way relative to the blocks, so normalize to (min, max)
+            mask = cos >= threshold
+            ii, jj = np.nonzero(mask)
+            la, rb = l_ids[ii], r_ids[jj]
+            a, b = np.minimum(la, rb), np.maximum(la, rb)
+        return pd.DataFrame({"id_a": a, "id_b": b, "cos": cos[ii, jj]})
 
-    def run(batches):
-        b_ids, b_C, b_n2 = bc.value
-        for pdf in batches:
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            Q = np.floor(
-                np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-                * QUANT
-            )
-            n2_q = np.einsum("ij,ij->i", Q, Q)
-            cos = (Q @ b_C.T) / np.sqrt(n2_q)[:, None] / np.sqrt(b_n2)[None, :]
-            ii, jj = np.nonzero(
-                (cos >= threshold) & (q_ids[:, None] < b_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {"id_a": q_ids[ii], "id_b": b_ids[jj], "cos": cos[ii, jj]}
-            )
-
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        run, schema="id_a long, id_b long, cos double"
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(score, schema="id_a long, id_b long, cos double")
     )
 
 
