@@ -25,3 +25,15 @@ def md5_int64(col: Column) -> Column:
 def SQL_MD5_INT64(expr: str) -> str:
     """DuckDB mirror of :func:`md5_int64`."""
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def md5_int64_hi(col: Column) -> Column:
+    """Second independent 60-bit word from the same md5 (hex chars 16-30) —
+    used when one 60-bit word isn't enough (e.g. the 64-bit portable
+    SimHash needs 64 independent bits)."""
+    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("bigint")
+
+
+def SQL_MD5_INT64_HI(expr: str) -> str:
+    """DuckDB mirror of :func:`md5_int64_hi`."""
+    return f"(('0x' || substr(md5({expr}), 16, 15))::BIGINT)"

@@ -22,12 +22,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fs2_kafka_streams_spark.functions.hashing import md5_int64, md5_int64_hi
 from fs2_kafka_streams_spark.operators.text import shingles, tokens
 
 MINHASH_PERMS = 64
 MINHASH_BANDS = 16  # 16 bands × 4 rows
 # Mersenne-31: keeps a*h + b < 2^62, no int64 overflow under ANSI mode
 MERSENNE = (1 << 31) - 1
+
+# ``portable=True`` on the approximate tiers swaps every engine-native
+# xxhash64 for an md5-derived int64 (``functions/hashing.py``) so the FULL
+# MinHash-signature → banding → verify pipeline (and the SimHash bit sums)
+# can be replayed verbatim in DuckDB SQL and hash-checked by the driver.
+# Default False keeps the cheaper JVM xxhash64 for oracle-free scale runs.
 
 
 def exact_dedup(
@@ -41,21 +48,25 @@ def exact_dedup(
     )
 
 
-def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(doc id, shingle) rows with the shingle xxhash64'd to an int64.
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, portable: bool = False
+) -> DataFrame:
+    """(doc id, shingle) rows with the shingle hashed to an int64.
 
     Joining/shuffling 8-byte longs instead of raw n-gram strings cuts the
     shuffle width of every downstream self-join; a 64-bit collision merges
     two shingles with probability ~(distinct shingles)²/2⁶⁴ — negligible even
     at 100 TB corpus scale, and the approximate tiers verify candidates
     against these same hashed sets so the tiers stay mutually consistent.
+    ``portable`` selects the md5-derived hash that DuckDB can reproduce.
     """
     tok = tokens(text_col)
+    hasher = md5_int64 if portable else F.xxhash64
     return (
         df.select(F.col(id_col).alias("_id"), tok.alias("_tok"))
         .filter(F.size("_tok") >= n)
         .select("_id", F.explode(shingles(F.col("_tok"), n)).alias("_sh_raw"))
-        .select("_id", F.xxhash64("_sh_raw").alias("_sh"))
+        .select("_id", hasher(F.col("_sh_raw")).alias("_sh"))
     )
 
 
@@ -127,21 +138,28 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3,
     k: int = MINHASH_PERMS,
     shingle_df: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
     Per (doc, shingle) row an array of k permuted hashes is computed JVM-side
-    (xxhash64 + affine mod-Mersenne), then min-reduced per document — one
+    (hash + affine mod-Mersenne), then min-reduced per document — one
     shuffle of k longs per doc. Pass ``shingle_df`` to reuse an
     already-materialized shingle set (LSH builds it once for signatures AND
-    verification).
+    verification; it must have been built with the same ``portable`` flag).
     """
     sh = (
         shingle_df
         if shingle_df is not None
-        else _doc_shingles(df, text_col, id_col, n)
+        else _doc_shingles(df, text_col, id_col, n, portable)
     )
-    h = F.pmod(F.xxhash64("_sh"), F.lit(MERSENNE))
+    # portable _sh is already an md5-derived uniform int64 — fold it mod
+    # Mersenne directly (re-hashing would need an engine-native hash)
+    h = (
+        F.pmod(F.col("_sh"), F.lit(MERSENNE))
+        if portable
+        else F.pmod(F.xxhash64("_sh"), F.lit(MERSENNE))
+    )
     perms = F.array(
         *[
             F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE))
@@ -165,6 +183,7 @@ def minhash_lsh_pairs(
     k: int = MINHASH_PERMS,
     bands: int = MINHASH_BANDS,
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs at scale: LSH-banded MinHash candidates, then
     exact Jaccard verification of candidates only.
@@ -184,9 +203,20 @@ def minhash_lsh_pairs(
     # One shingle materialization feeds both the signatures and the exact
     # verification — persisted (memory-and-disk, spills at scale) because
     # re-tokenizing + re-shingling the corpus is the dominant repeated cost.
-    sh_shared = _doc_shingles(df, text_col, id_col, n).persist()
-    sig = minhash_signatures(df, text_col, id_col, n, k, shingle_df=sh_shared)
+    sh_shared = _doc_shingles(df, text_col, id_col, n, portable).persist()
+    sig = minhash_signatures(
+        df, text_col, id_col, n, k, shingle_df=sh_shared, portable=portable
+    )
     r = k // bands
+
+    def band_hash(bi: int) -> Column:
+        sl = F.slice("signature", bi * r + 1, r)
+        if portable:
+            # comma-joined decimal rendering — byte-identical to the DuckDB
+            # oracle's m0::VARCHAR || ',' || ... band key
+            return md5_int64(F.array_join(sl.cast("array<string>"), ","))
+        return F.xxhash64(sl.cast("string"))
+
     banded = sig.select(
         "_id",
         F.explode(
@@ -194,9 +224,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.slice("signature", bi * r + 1, r).cast("string")
-                        ).alias("bh"),
+                        band_hash(bi).alias("bh"),
                     )
                     for bi in range(bands)
                 ]
@@ -255,48 +283,91 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document: bit j is the sign of the sum over tokens
-    of ±1 according to bit j of the token hash."""
-    tok_df = df.select(
-        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, portable: bool = False
+) -> DataFrame:
+    """64-bit SimHash per document: bit j is set iff the sum over tokens of
+    ±1 (by bit j of the token hash) is >= 0. Documents with no tokens
+    produce no row (no hash to take a sign of).
+
+    Execution: ZERO shuffle. Token hashes are computed JVM-side inside a
+    ``transform`` over the token array (one row per document, never an
+    exploded token table), then one Arrow-batched pandas UDF bit-unpacks,
+    sums and re-packs each document's hashes with three numpy ops. The
+    previous formulation (explode + 64 array aggregations) shuffled an
+    O(tokens)×64 intermediate and was the bench's slowest expression tree;
+    this one reads the corpus once and stays embarrassingly parallel.
+
+    ``portable``: token bits come from two 60-bit md5 words (bits 0-59 from
+    word 1, 60-63 from word 2) instead of xxhash64, so the DuckDB oracle
+    can reproduce every bit; the numeric pipeline after the hash is exact
+    integer arithmetic in both engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tok = tokens(text_col)
+    if portable:
+        lo = F.transform(tok, lambda t: md5_int64(t))  # bits 0-59
+        hi = F.transform(tok, lambda t: md5_int64_hi(t))  # bits 60-63
+    else:
+        h = lambda t: F.xxhash64(t)  # noqa: E731
+        lo = F.transform(tok, h)
+        # uniform contract for the UDF: hi's low 4 bits are simhash bits
+        # 60-63 (here: the xxhash's own top bits, sign-extension masked off)
+        hi = F.transform(tok, lambda t: F.shiftright(h(t), 60))
+
+    shifts_lo = np.arange(60, dtype=np.int64)
+    shifts_hi = np.arange(4, dtype=np.int64)
+    weights = np.left_shift(
+        np.ones(64, dtype=np.uint64), np.arange(64, dtype=np.uint64)
     )
-    h = F.xxhash64("_t")
-    bit_contrib = F.array(
-        *[
-            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
-            for j in range(64)
-        ]
+
+    def _pack(lo_s, hi_s):
+        out = np.empty(len(lo_s), dtype=np.int64)
+        for i, (hl, hh) in enumerate(zip(lo_s, hi_s)):
+            hl = np.asarray(hl, dtype=np.int64)
+            hh = np.asarray(hh, dtype=np.int64)
+            n = len(hl)
+            # (n_tok, 64) bit matrix; >> is arithmetic like Spark/DuckDB,
+            # & 1 makes that irrelevant
+            bits = np.concatenate(
+                [
+                    (hl[:, None] >> shifts_lo[None, :]) & 1,
+                    (hh[:, None] >> shifts_hi[None, :]) & 1,
+                ],
+                axis=1,
+            )
+            set_bits = (2 * bits.sum(axis=0) >= n).astype(np.uint64)
+            out[i] = (
+                (set_bits * weights).sum(dtype=np.uint64).view(np.int64)
+            )
+        return pd.Series(out)
+
+    pack = F.pandas_udf(_pack, returnType="bigint")
+    return (
+        df.select(
+            F.col(id_col).alias("_id"), lo.alias("_lo"), hi.alias("_hi")
+        )
+        .filter(F.size("_lo") > 0)
+        .select(
+            F.col("_id").alias(id_col),
+            pack(F.col("_lo"), F.col("_hi")).alias("simhash"),
+        )
     )
-    per_tok = tok_df.select("_id", bit_contrib.alias("_bits"))
-    summed = per_tok.groupBy("_id").agg(
-        F.array(
-            *[F.sum(F.element_at("_bits", j + 1)) for j in range(64)]
-        ).alias("_sums")
-    )
-    bit_terms = [
-        F.when(
-            F.element_at("_sums", j + 1) >= 0,
-            # bit 63 is the int64 sign bit
-            F.lit(1 << j if j < 63 else -(1 << 63)).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for j in range(64)
-    ]
-    packed = F.aggregate(
-        F.array(*bit_terms),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc.bitwiseXOR(x),
-    )
-    return summed.select(F.col("_id").alias(id_col), packed.alias("simhash"))
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup candidates by SimHash: band the 64 bits into 4×16-bit chunks
     (any pair within hamming ≤ 3 shares ≥1 exact chunk — pigeonhole), then
     verify hamming distance on candidates."""
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, portable)
     chunks = sh.select(
         F.col(id_col).alias("_id"),
         "simhash",

@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 
 from fs2_kafka_streams_spark.catalog import Catalog
 from fs2_kafka_streams_spark.operators.dedup import (
+    MERSENNE,
+    MINHASH_BANDS,
+    MINHASH_PERMS,
+    _perm_consts,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -235,13 +239,159 @@ def q41b_decontaminate(spark, sf_dir):
     return contamination_report(corpus, bench, "text", "doc_id", n=3)
 
 
-@query("q42d_dedup_clusters", oracle=None, tags=("llm", "dedup", "clusters"))
+# ---- portable-hash oracle SQL for the approximate dedup tiers ------------
+#
+# The md5-derived hash family (functions/hashing.py) is reproducible in
+# DuckDB, so the FULL approximate pipelines — MinHash signatures → banding →
+# candidate self-join → exact-Jaccard verify, SimHash bit sums → 16-bit
+# banding → hamming verify, and the connected-components endgame (recursive
+# CTE) — are hash-checked end-to-end, not rows-only. The SQL is generated
+# from the same permutation constants the Spark operator uses.
+
+_M = MERSENNE
+_R = MINHASH_PERMS // MINHASH_BANDS  # rows per band
+
+
+def _minhash_ctes() -> str:
+    consts = _perm_consts(MINHASH_PERMS)
+    sig_cols = ",\n        ".join(
+        f"min(({a} * h + {b}) % {_M}) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, ('0x' || substr(md5({key}), 1, 15))::BIGINT AS bh FROM msig".format(
+            bi=bi,
+            key=" || ',' || ".join(
+                f"m{bi * _R + j}::VARCHAR" for j in range(_R)
+            ),
+        )
+        for bi in range(MINHASH_BANDS)
+    )
+    return f"""
+    shh AS (
+      SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT) % {_M} AS h
+      FROM sh
+    ),
+    msig AS (
+      SELECT doc_id,
+        {sig_cols}
+      FROM shh GROUP BY doc_id
+    ),
+    mband AS (
+      {band_selects}
+    ),
+    mcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mband a JOIN mband b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    minter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM mcand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+      GROUP BY 1, 2
+    ),
+    mh_pairs AS (
+      SELECT minter.id_a, minter.id_b,
+             CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+               AS jaccard
+      FROM minter
+      JOIN sizes sa ON minter.id_a = sa.doc_id
+      JOIN sizes sb ON minter.id_b = sb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+            >= 0.5
+    )"""
+
+
+def _simhash_ctes() -> str:
+    sums = ",\n        ".join(
+        [f"sum((h1 >> {j}) & 1) AS s{j}" for j in range(60)]
+        + [f"sum((h2 >> {j - 60}) & 1) AS s{j}" for j in range(60, 64)]
+    )
+    pack_terms = " + ".join(
+        f"(CASE WHEN 2 * s{j} >= n THEN {1 << j if j < 63 else '(-9223372036854775807 - 1)'} ELSE 0 END)"
+        for j in range(64)
+    )
+    chunk_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, sim, {c} AS chunk, (sim >> {16 * c}) & 65535 AS ck FROM spack"
+        for c in range(4)
+    )
+    return f"""
+    stok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents
+    ),
+    sbit AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(t), 16, 15))::BIGINT AS h2
+      FROM stok
+    ),
+    ssum AS (
+      SELECT doc_id, count(*) AS n,
+        {sums}
+      FROM sbit GROUP BY doc_id
+    ),
+    spack AS (SELECT doc_id, CAST({pack_terms} AS BIGINT) AS sim FROM ssum),
+    schunk AS (
+      {chunk_selects}
+    ),
+    scand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sim AS sim_a, b.sim AS sim_b
+      FROM schunk a JOIN schunk b
+        ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+    ),
+    sh_pairs AS (
+      SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER)
+               AS hamming
+      FROM scand
+      WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    )"""
+
+
+# connected components as a recursive CTE: min reachable id per vertex ==
+# the min-label fixed point the distributed operator converges to
+_CLUSTER_CTES = """
+    inter4 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT inter4.id_a, inter4.id_b
+      FROM inter4
+      JOIN sizes sa ON inter4.id_a = sa.doc_id
+      JOIN sizes sb ON inter4.id_b = sb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+            >= 0.4
+    ),
+    ed AS (
+      SELECT id_a AS a, id_b AS b FROM jp
+      UNION SELECT id_b, id_a FROM jp
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM ed
+      UNION SELECT ed.b, reach.r FROM reach JOIN ed ON reach.id = ed.a
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+
+
+@query(
+    "q42d_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL}, {_CLUSTER_CTES}
+    SELECT id, component FROM comp
+    """,
+    tags=("llm", "dedup", "clusters"),
+)
 def q42d_dedup_clusters(spark, sf_dir):
-    """Near-dup pairs → connected components → keep-best representative
-    (the full dedup endgame; ``operators/clusters.py``). Iterative label
-    propagation with pointer jumping — not SQL-expressible, so rows-only
-    here; cluster labels are cross-checked against a union-find oracle in
-    ``tests/test_clusters.py``."""
+    """Near-dup pairs → connected components (the full dedup endgame;
+    ``operators/clusters.py``). The distributed side is iterative
+    min-label propagation with pointer jumping; the oracle replays the
+    same fixed point as a DuckDB recursive CTE (min reachable id), and
+    ``tests/test_clusters.py`` cross-checks a union-find oracle."""
     from fs2_kafka_streams_spark.operators.clusters import (
         connected_components,
     )
@@ -254,20 +404,44 @@ def q42d_dedup_clusters(spark, sf_dir):
     )
 
 
-@query("q42b_minhash_lsh", oracle=None, tags=("llm", "dedup", "scale"))
+@query(
+    "q42b_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_SQL}, {_minhash_ctes()}
+    SELECT id_a, id_b, jaccard FROM mh_pairs
+    """,
+    tags=("llm", "dedup", "scale"),
+)
 def q42b_minhash_lsh(spark, sf_dir):
     """MinHash(64) + LSH(16 bands) near-dup pairs with exact verification —
-    the 100 TB path (O(n·bands) shuffle, never O(n²)). Rows-only checked by
-    the driver; recall vs q42 is asserted in the test suite."""
+    the 100 TB path (O(n·bands) shuffle, never O(n²)). ``portable=True``
+    swaps xxhash64 for the md5-derived hash family so the ENTIRE pipeline
+    (signatures → bands → candidates → verify) is replayed in DuckDB and
+    hash-checked; recall vs q42 is additionally asserted in the suite."""
     return minhash_lsh_pairs(
-        Catalog(spark, sf_dir).documents, "text", "doc_id", n=3, threshold=0.5
+        Catalog(spark, sf_dir).documents,
+        "text",
+        "doc_id",
+        n=3,
+        threshold=0.5,
+        portable=True,
     )
 
 
-@query("q42c_simhash", oracle=None, tags=("llm", "dedup", "scale"))
+@query(
+    "q42c_simhash",
+    oracle=f"""
+    WITH {_simhash_ctes()}
+    SELECT id_a, id_b, hamming FROM sh_pairs
+    """,
+    tags=("llm", "dedup", "scale"),
+)
 def q42c_simhash(spark, sf_dir):
-    """SimHash-64 near-dup candidates (banded hamming ≤ 3)."""
-    return simhash_pairs(Catalog(spark, sf_dir).documents, "text", "doc_id")
+    """SimHash-64 near-dup candidates (banded hamming ≤ 3), portable-hash
+    tier: every signature bit is reproduced by the DuckDB oracle."""
+    return simhash_pairs(
+        Catalog(spark, sf_dir).documents, "text", "doc_id", portable=True
+    )
 
 
 # ---- Q43: text analytics --------------------------------------------------

@@ -564,15 +564,41 @@ def q41_dedup_decontaminate(spark, sf_dir):
     return dd.unionAll(dc)
 
 
-@query("q42b_minhash_simhash", oracle=None, tags=("llm", "dedup", "scale"))
+def _q42b_oracle() -> str:
+    from fs2_kafka_streams_spark.queries.llm import (
+        _CLUSTER_CTES,
+        _SHINGLE_SQL,
+        _minhash_ctes,
+        _simhash_ctes,
+    )
+
+    return f"""
+    WITH RECURSIVE {_SHINGLE_SQL}, {_minhash_ctes()}, {_simhash_ctes()},
+    {_CLUSTER_CTES}
+    SELECT 'minhash' AS method, id_a, id_b, jaccard AS score FROM mh_pairs
+    UNION ALL
+    SELECT 'simhash', id_a, id_b, CAST(hamming AS DOUBLE) FROM sh_pairs
+    UNION ALL
+    SELECT 'clusters', id, component, CAST(NULL AS DOUBLE) FROM comp
+    """
+
+
+@query(
+    "q42b_minhash_simhash",
+    oracle=_q42b_oracle(),
+    tags=("llm", "dedup", "scale"),
+)
 def q42b_minhash_simhash(spark, sf_dir):
     """Approximate near-dup scale tiers + cluster endgame in one entry
     (merge of q42b/q42c/q42d): MinHash(64)+LSH(16 bands) pairs with exact
     Jaccard verification, SimHash-64 banded-hamming candidate pairs — both
     O(n·bands) bucketed shuffles, never O(n²) — and the connected-components
     dedup clustering (pointer-jumping label propagation) over the exact-tier
-    pairs. Rows-only checked; recall vs the exact q42 tier and cluster
-    labels vs a union-find oracle are asserted in the test suite."""
+    pairs. The portable md5 hash family makes the WHOLE pipeline DuckDB-
+    replayable (signatures, bands, candidates, verification, and the CC
+    fixed point as a recursive CTE), so this entry is hash-checked, not
+    rows-only; recall vs the exact q42 tier and cluster labels vs a
+    union-find oracle are additionally asserted in the test suite."""
     mh = _spec("q42b_minhash_lsh").build(spark, sf_dir).select(
         F.lit("minhash").alias("method"),
         "id_a",
