@@ -707,14 +707,58 @@ def q43e_sample_shuffle_shard(spark, sf_dir):
     )
 
 
-@query("q47_multimodal_features", oracle=None, tags=("multimodal",))
+def _q47_oracle() -> str:
+    stride_sums = ",\n        ".join(
+        f"sum(CASE WHEN (i - 1) % 8 = {k} THEN bv ELSE 0 END) AS s{k}"
+        for k in range(8)
+    )
+    feat_cols = ",\n      ".join(
+        f"CAST(coalesce(a.s{k}, 0) % 256 AS DOUBLE) / 255.0 AS f{k}"
+        for k in range(8)
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             encode(text) AS payload
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, i,
+             ('0x' || substr(hx, 2 * i - 1, 2))::INT AS bv
+      FROM (
+        SELECT media_id, hex(payload) AS hx,
+               unnest(range(1, octet_length(payload) + 1)) AS i
+        FROM m
+      )
+    ),
+    agg AS (
+      SELECT media_id, count(*) AS nb, sum(bv) AS total,
+        {stride_sums}
+      FROM b GROUP BY media_id
+    )
+    SELECT m.media_id, m.kind,
+      CAST(coalesce(a.nb, 0) AS INTEGER) AS n_bytes,
+      CAST(coalesce(a.total, 0) AS DOUBLE)
+        / greatest(coalesce(a.nb, 0), 1) AS byte_mean,
+      {feat_cols}
+    FROM m LEFT JOIN agg a USING (media_id)
+    """
+
+
+@query("q47_multimodal_features", oracle=_q47_oracle(), tags=("multimodal",))
 def q47_multimodal_features(spark, sf_dir):
     """Multimodal plumbing as a first-class query: documents → synthetic
     binary media table → Arrow-batched mapInPandas feature extraction
     (decode stubbed deterministically — no media libs in the container; the
-    schema/batching/partitioning are the real 100 TB shape). Rows-only
-    checked (binary payloads aren't SQL-expressible); determinism is
-    asserted in the test suite."""
+    schema/batching/partitioning are the real 100 TB shape). The stub's
+    features (byte count, byte mean, 8 stride-sum channels) are replayed
+    byte-for-byte by the DuckDB oracle over the same utf-8 payloads, so the
+    whole mapInPandas path is hash-checked, not rows-only; the feature
+    vector is widened to f0..f7 because top-level array columns crash the
+    driver's pandas canonicalizer (round-1 q25/q29 failure mode)."""
     from fs2_kafka_streams_spark.operators.multimodal import (
         extract_features,
         synthesize_media,
@@ -723,9 +767,13 @@ def q47_multimodal_features(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     media = synthesize_media(docs, "doc_id", "text")
     feats = extract_features(media)
-    # Render the feature vector as its string form: top-level array columns
-    # crash the driver's pandas canonicalizer (round-1 q25/q29 failure mode).
-    return feats.withColumn("feature", F.col("feature").cast("string"))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "byte_mean",
+        *[F.element_at("feature", k + 1).alias(f"f{k}") for k in range(8)],
+    )
 
 
 # ---- Q44: embedding similarity search ------------------------------------
