@@ -134,6 +134,9 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
     HAS_TWS = True
 except ImportError:  # pragma: no cover
     HAS_TWS = False
+# The gate is asserted against the actual environment (and against the
+# driver registry's q38b exposure) in tests/test_kafka_contract.py::
+# test_tws_gate_matches_environment — closed gate must fail loudly.
 
 
 def latest_by_key_tws(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,195 @@
+"""Broker-less Kafka contract tests (VERDICT r3 items 6 & 7).
+
+The sandbox has no Kafka broker, so the wire itself can't be driven — but
+the COLUMN CONTRACT on both sides of the wire is fully testable:
+
+- the producer frame `encode_for_kafka` emits must match, dtype-for-dtype,
+  the column set the Kafka sink accepts (key/value/topic/partition/
+  timestamp/headers ≙ the reference's explicit ProducerRecord fields,
+  ``client/Producer.scala:22-35``);
+- a batch DataFrame shaped exactly like the source's wire schema
+  (``KAFKA_SCHEMA_WITH_HEADERS``) must round-trip through the decode layer
+  with payload and metadata intact (``EnvT`` retention, ``EnvT.scala:5``);
+- subscription options mirror ``Subscription.Topics/.Pattern``
+  (``client/Subscription.scala:3-7``);
+- the `transformWithStateInPandas` tier (A22) is env-gated on
+  ``google.protobuf``: the gate must agree with the environment and fail
+  loudly, never silently register an untestable driver entry.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from fs2_kafka_streams_spark.sources.kafka import (
+    KAFKA_SCHEMA_WITH_HEADERS,
+    KafkaSourceConfig,
+    encode_for_kafka,
+)
+
+#: The full column surface the Kafka streaming sink reads from its input
+#: frame, in encode_for_kafka's emission order (value first: it is the one
+#: mandatory producer column).
+SINK_CONTRACT = (
+    ("value", "binary"),
+    ("key", "binary"),
+    ("topic", "string"),
+    ("partition", "int"),
+    ("timestamp", "timestamp"),
+    ("headers", "array<struct<key:string,value:binary>>"),
+)
+
+
+def _typed_fixture(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha", 0, "2024-01-02 03:04:05", "h1", b"v1"),
+            (2, "beta", 1, "2024-01-02 03:04:06", "h2", b"v2"),
+            (3, "gamma", 0, "2024-01-02 03:04:07", "h3", b"v3"),
+        ],
+        "id long, s string, part int, ts string, hk string, hv binary",
+    ).select(
+        "id",
+        "s",
+        "part",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.array(
+            F.struct(
+                F.col("hk").alias("key"), F.col("hv").alias("value")
+            )
+        ).alias("hdrs"),
+    )
+
+
+def test_sink_frame_matches_wire_contract_dtype_for_dtype(spark):
+    """A15: the producer frame carries exactly the sink's column surface —
+    names AND Spark SQL types — when every optional producer field is
+    pinned (topic, partition, timestamp, headers;
+    ``client/Producer.scala:22-35``)."""
+    enc = encode_for_kafka(
+        _typed_fixture(spark),
+        value_cols=["id", "s"],
+        key_col="id",
+        topic="out",
+        partition_col="part",
+        timestamp_col="ts",
+        headers_col="hdrs",
+    )
+    got = tuple(
+        (f.name, f.dataType.simpleString()) for f in enc.schema.fields
+    )
+    assert got == SINK_CONTRACT
+
+
+def test_wire_schema_roundtrip_with_metadata(spark):
+    """A15→A3/A4: encode a typed frame, lay it out as the batch Kafka
+    source's exact wire schema (the broker stand-in), decode it back, and
+    check payload + per-record metadata (topic/partition/offset/timestamp)
+    all survive — the ``EnvT`` metadata-retention contract."""
+    from fs2_kafka_streams_spark.sources.decode import (
+        DecodeRegistry,
+        JsonFormat,
+        clean_view,
+    )
+
+    src = _typed_fixture(spark)
+    enc = encode_for_kafka(
+        src,
+        value_cols=["id", "s"],
+        key_col="id",
+        topic="events",
+        partition_col="part",
+        timestamp_col="ts",
+        headers_col="hdrs",
+    )
+    # broker stand-in: the sink columns come back as the source columns,
+    # with the broker-assigned fields (offset, timestampType) appended
+    wire = enc.select(
+        "key",
+        "value",
+        "topic",
+        "partition",
+        F.row_number()
+        .over(Window.partitionBy("partition").orderBy("timestamp"))
+        .cast("long")
+        .alias("offset"),
+        "timestamp",
+        F.lit(0).alias("timestampType"),
+        "headers",
+    )
+    want = StructType.fromDDL(KAFKA_SCHEMA_WITH_HEADERS)
+    got_fields = {f.name: f.dataType.simpleString() for f in wire.schema}
+    for f in want.fields:
+        assert got_fields[f.name] == f.dataType.simpleString(), f.name
+
+    reg = DecodeRegistry().register("events", JsonFormat("id long, s string"))
+    out = clean_view(reg.decode(wire)).collect()
+    assert len(out) == 3
+    by_id = {r["id"]: r for r in out}
+    # payload round-trips
+    assert {i: by_id[i]["s"] for i in by_id} == {
+        1: "alpha", 2: "beta", 3: "gamma"
+    }
+    # metadata round-trips: partition/timestamp pinned by the producer,
+    # offset assigned per-partition by the "broker"
+    assert by_id[1]["topic"] == "events"
+    assert {by_id[1]["partition"], by_id[3]["partition"]} == {0}
+    assert by_id[2]["partition"] == 1
+    assert by_id[1]["offset"] == 1 and by_id[3]["offset"] == 2
+    assert str(by_id[1]["timestamp"]).startswith("2024-01-02 03:04:05")
+    # key bytes are the stringified key column
+    raw = {bytes(r["key"]).decode(): json.loads(bytes(r["value"]))
+           for r in wire.collect()}
+    assert raw["1"] == {"id": 1, "s": "alpha"}
+
+
+def test_subscription_option_contract():
+    """A23: Subscription.Topics → comma-joined ``subscribe``;
+    Subscription.Pattern → ``subscribePattern``; exactly one required
+    (``client/Subscription.scala:3-7``)."""
+    topics = KafkaSourceConfig(
+        bootstrap_servers="b:9092", topics=["t1", "t2", "t3"]
+    ).options()
+    assert topics["subscribe"] == "t1,t2,t3"
+    assert "subscribePattern" not in topics
+
+    pat = KafkaSourceConfig(
+        bootstrap_servers="b:9092", pattern="events-.*"
+    ).options()
+    assert pat["subscribePattern"] == "events-.*"
+    assert "subscribe" not in pat
+
+    with pytest.raises(ValueError):
+        KafkaSourceConfig(bootstrap_servers="b:9092").options()
+    with pytest.raises(ValueError):
+        KafkaSourceConfig(
+            bootstrap_servers="b:9092", topics=["t"], pattern="x"
+        ).options()
+
+
+def test_tws_gate_matches_environment():
+    """A22: the ``transformWithStateInPandas`` tier must be exactly as
+    available as its ``google.protobuf`` dependency — gate open ⟺ q38b
+    registered with the driver; gate closed ⟹ a loud NotImplementedError,
+    never a silent no-op (VERDICT r3 item 6)."""
+    from fs2_kafka_streams_spark.queries import driver_registry
+    from fs2_kafka_streams_spark.streaming import stateful
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_pb = True
+    except ImportError:
+        has_pb = False
+
+    assert stateful.HAS_TWS == has_pb
+    registered = [n for n in driver_registry() if n.startswith("q38b")]
+    assert bool(registered) == has_pb
+    if not has_pb:
+        with pytest.raises(NotImplementedError):
+            stateful.latest_by_key_tws(None, "unused")

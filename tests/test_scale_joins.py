@@ -88,3 +88,88 @@ def test_salted_join_hot_key_count(spark):
     small = spark.createDataFrame([(7, "x")], "k long, v string")
     out = salted_join(big, small, "k", salt=8)
     assert out.count() == 1000
+
+
+# ---- LSH-tier plan properties (VERDICT r3 item 8) -------------------------
+#
+# The O(n·bands) claim of the approximate dedup/similarity tiers rests on the
+# candidate generation being a bucketed EQUI-join. A regression to a
+# cartesian/BNLJ plan would still return correct rows at test scale while
+# being quadratic at 100 TB — so the plan SHAPE is asserted, not just values.
+
+_FORBIDDEN_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _assert_equi_join_plan(df, what: str) -> None:
+    plan = _executed_plan(df)
+    for node in _FORBIDDEN_NODES:
+        assert node not in plan, f"{what} degraded to {node}:\n{plan}"
+
+
+def _planted_docs(spark):
+    """200 distinct filler docs + a 3-doc near-dup cluster + 30 byte-identical
+    boilerplate docs (the degenerate skewed bucket)."""
+    filler = [
+        (i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(200)
+    ]
+    cluster = [
+        (1000, "the quick brown fox jumps over the lazy dog near the river"),
+        (1001, "the quick brown fox jumps over the lazy dog near the creek"),
+        (1002, "the quick brown fox jumps over the lazy dog near the shore"),
+    ]
+    boiler = [(2000 + i, "subscribe to our newsletter now") for i in range(30)]
+    return spark.createDataFrame(
+        filler + cluster + boiler, "doc_id long, text string"
+    )
+
+
+def test_minhash_lsh_plan_and_skew_guard(spark):
+    from fs2_kafka_streams_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _planted_docs(spark)
+
+    uncapped = minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    _assert_equi_join_plan(uncapped, "minhash_lsh_pairs")
+    pairs = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    # the planted near-dup cluster is found; filler does not pair
+    assert {(1000, 1001), (1000, 1002), (1001, 1002)} <= pairs
+    assert all(a >= 1000 for a, _ in pairs), "filler docs must not pair"
+    # the degenerate boilerplate bucket contributes its full quadratic
+    # pair set when uncapped ...
+    boiler_pairs = {p for p in pairs if p[0] >= 2000}
+    assert len(boiler_pairs) == 30 * 29 // 2
+
+    # ... and is dropped by max_bucket_size (every band bucket of the
+    # identical docs has 30 members > cap), while the true cluster —
+    # whose buckets are small — keeps its pairs: recall degrades
+    # gracefully, the O(f²) blowup is bounded.
+    capped = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_bucket_size=10
+    )
+    _assert_equi_join_plan(capped, "minhash_lsh_pairs(max_bucket_size)")
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert {(1000, 1001), (1000, 1002), (1001, 1002)} <= capped_pairs
+    assert not {p for p in capped_pairs if p[0] >= 2000}
+
+
+def test_embedding_lsh_plan_shape(spark):
+    from fs2_kafka_streams_spark.operators.similarity import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    base = [float(i % 7) - 3.0 for i in range(64)]
+    rows = []
+    for i in range(120):
+        v = [x + 0.001 * ((i * 31 + j) % 11) for j, x in enumerate(base)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_neardup_pairs_lsh(emb, threshold=0.99)
+    _assert_equi_join_plan(out, "embedding_neardup_pairs_lsh")
+    # candidate generation is banded: the verified output is a subset of
+    # all pairs and non-empty on this near-identical corpus
+    n_pairs = out.count()
+    assert 0 < n_pairs <= 120 * 119 // 2
