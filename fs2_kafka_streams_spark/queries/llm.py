@@ -862,15 +862,115 @@ def q44c_embedding_neardup(spark, sf_dir):
     )
 
 
+# ---- hyperplane-LSH oracle SQL --------------------------------------------
+#
+# The hyperplane tiers are fully deterministic: seeded ±1 planes (the same
+# LCG stream the Spark operator uses — the first 8 of the 128 planes ARE the
+# ANN tier's planes), quantized int64 vectors, and sign-of-dot bits. All of
+# it is exact integer arithmetic, so DuckDB replays signatures → bands →
+# candidate equi-join → exact-cosine verification bit-for-bit. The planes
+# are embedded as 128 compact '+/-' strings, decoded in SQL.
+
+
+def _planes_sql_literal() -> str:
+    from fs2_kafka_streams_spark.operators.similarity import _hyperplanes
+
+    rows = _hyperplanes(64, 128)  # 16 bands × 8 bits
+    return "[" + ", ".join(
+        "'" + "".join("+" if s == 1 else "-" for s in r) + "'" for r in rows
+    ) + "]"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Quantized-integer cosine between aliases carrying a ``v`` int list —
+    same op order as the Spark side (dot / sqrt / sqrt)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}.v) + 1),"
+        f" i -> {a}.v[i] * {b}.v[i])) AS DOUBLE)"
+        f" / sqrt(CAST(list_sum(list_transform(range(1, len({a}.v) + 1),"
+        f" i -> {a}.v[i] * {a}.v[i])) AS DOUBLE))"
+        f" / sqrt(CAST(list_sum(list_transform(range(1, len({b}.v) + 1),"
+        f" i -> {b}.v[i] * {b}.v[i])) AS DOUBLE))"
+    )
+
+
+def _hyperplane_ctes() -> str:
+    return f"""
+    qv AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT b, list_transform(range(1, 65),
+               d -> CASE WHEN substr({_planes_sql_literal()}[b + 1], d, 1)
+                         = '+' THEN 1 ELSE -1 END) AS p
+      FROM (SELECT unnest(range(0, 128)) AS b)
+    ),
+    hbits AS (
+      SELECT vec_id, b,
+             CASE WHEN list_sum(list_transform(range(1, 65),
+                      d -> v[d] * p[d])) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM qv, planes
+    ),
+    hsigs AS (
+      SELECT vec_id, CAST(b // 8 AS INTEGER) AS band,
+             CAST(sum(bit * (1 << CAST(b % 8 AS INTEGER))) AS BIGINT) AS sig
+      FROM hbits GROUP BY 1, 2
+    )"""
+
+
+def _neardup_lsh_ctes() -> str:
+    return f"""
+    ndcand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM hsigs a JOIN hsigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    ndp AS (
+      SELECT c.id_a, c.id_b, {_cos_sql('a', 'b')} AS cos
+      FROM ndcand c
+      JOIN qv a ON a.vec_id = c.id_a
+      JOIN qv b ON b.vec_id = c.id_b
+      WHERE {_cos_sql('a', 'b')} >= 0.4
+    )"""
+
+
+def _ann_lsh_ctes() -> str:
+    return f"""
+    ab AS (SELECT vec_id, sig FROM hsigs WHERE band = 0),
+    anns AS (
+      SELECT qb.vec_id AS query_id, eb.vec_id AS neighbor_id,
+             {_cos_sql('a', 'b')} AS cos
+      FROM ab qb
+      JOIN ab eb ON qb.sig = eb.sig AND eb.vec_id <> qb.vec_id
+      JOIN qv a ON a.vec_id = qb.vec_id
+      JOIN qv b ON b.vec_id = eb.vec_id
+      WHERE qb.vec_id < {_N_QUERIES}
+    ),
+    ann_top AS (
+      SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, cos
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM anns
+      ) WHERE rnk <= 5
+    )"""
+
+
 @query(
     "q44d_embedding_neardup_lsh",
-    oracle=None,
+    oracle=f"""
+    WITH {_hyperplane_ctes()}, {_neardup_lsh_ctes()}
+    SELECT id_a, id_b, cos FROM ndp
+    """,
     tags=("llm", "similarity", "dedup", "scale"),
 )
 def q44d_embedding_neardup_lsh(spark, sf_dir):
     """Embedding near-dup via banded hyperplane LSH + exact verification —
     O(n·bands) shuffle instead of O(n²) pairs. Precision 1 by construction;
-    recall vs q44c asserted in the test suite."""
+    the DuckDB oracle replays the full signature→band→verify pipeline
+    (hash-checked), and recall vs q44c is asserted in the test suite."""
     from fs2_kafka_streams_spark.operators.similarity import (
         embedding_neardup_pairs_lsh,
     )
@@ -880,11 +980,18 @@ def q44d_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
-@query("q44b_lsh_ann", oracle=None, tags=("llm", "similarity", "scale"))
+@query(
+    "q44b_lsh_ann",
+    oracle=f"""
+    WITH {_hyperplane_ctes()}, {_ann_lsh_ctes()}
+    SELECT query_id, neighbor_id, rank, cos FROM ann_top
+    """,
+    tags=("llm", "similarity", "scale"),
+)
 def q44b_lsh_ann(spark, sf_dir):
     """Hyperplane-LSH approximate neighbors (8 sign-bits → ~1/256 of the
-    corpus scored per query). Rows-only checked; recall vs q44 asserted in
-    the test suite."""
+    corpus scored per query). Hash-checked: the oracle recomputes the same
+    8 sign-bit buckets; recall vs q44 is asserted in the test suite."""
     emb = Catalog(spark, sf_dir).embeddings
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
     return lsh_cosine_topk(emb, q, k=5, bits=8)

@@ -620,13 +620,37 @@ def q42b_minhash_simhash(spark, sf_dir):
     return mh.unionAll(sh).unionAll(cc)
 
 
-@query("q44b_lsh_ann_neardup", oracle=None, tags=("llm", "similarity", "scale"))
+def _q44b_oracle() -> str:
+    from fs2_kafka_streams_spark.queries.llm import (
+        _ann_lsh_ctes,
+        _hyperplane_ctes,
+        _neardup_lsh_ctes,
+    )
+
+    return f"""
+    WITH {_hyperplane_ctes()}, {_neardup_lsh_ctes()}, {_ann_lsh_ctes()}
+    SELECT 'ann' AS method, query_id AS id_a, neighbor_id AS id_b,
+           rank, cos
+    FROM ann_top
+    UNION ALL
+    SELECT 'neardup', id_a, id_b, CAST(NULL AS INTEGER), cos FROM ndp
+    """
+
+
+@query(
+    "q44b_lsh_ann_neardup",
+    oracle=_q44b_oracle(),
+    tags=("llm", "similarity", "scale"),
+)
 def q44b_lsh_ann_neardup(spark, sf_dir):
-    """Embedding ANN scale tiers in one entry (merge of q44b/q44d/q44e):
-    hyperplane-LSH approximate top-k neighbors, banded-LSH near-dup pairs
-    with exact cosine verification, and IVF top-k (learned spherical-k-means
-    coarse quantizer, nprobe cell probing). Rows-only checked; recall vs the
-    exact tiers is asserted in the test suite."""
+    """Embedding LSH scale tiers in one entry (merge of q44b/q44d):
+    hyperplane-LSH approximate top-k neighbors and banded-LSH near-dup
+    pairs with exact cosine verification. Hash-checked end-to-end — the
+    oracle recomputes the seeded hyperplane sign-bits, bands, candidate
+    joins, and quantized cosines in DuckDB. The IVF tier (learned k-means
+    quantizer — iterative, not SQL-expressible) is the separate appended
+    entry q44e_ivf_ann; its nprobe=nlist ≡ brute-force identity is
+    asserted in the test suite."""
     ann = _spec("q44b_lsh_ann").build(spark, sf_dir).select(
         F.lit("ann").alias("method"),
         F.col("query_id").alias("id_a"),
@@ -641,11 +665,4 @@ def q44b_lsh_ann_neardup(spark, sf_dir):
         F.lit(None).cast("int").alias("rank"),
         "cos",
     )
-    ivf = _spec("q44e_ivf_ann").build(spark, sf_dir).select(
-        F.lit("ivf").alias("method"),
-        F.col("query_id").alias("id_a"),
-        F.col("neighbor_id").alias("id_b"),
-        "rank",
-        "cos",
-    )
-    return ann.unionAll(nd).unionAll(ivf)
+    return ann.unionAll(nd)
