@@ -38,6 +38,7 @@ __all__ = [
     "deterministic_shuffle",
     "sharded_export",
     "pack_sequences",
+    "temperature_sample",
 ]
 
 #: Buckets for split assignment — 1e4 gives 0.01% fraction granularity.
@@ -252,4 +253,82 @@ def pack_sequences(
         .applyInPandas(pack, schema=out_schema)
         .withColumnRenamed("_id", id_col)
         .withColumnRenamed("_tokens", token_count_col)
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    weight_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    frac: float = 0.5,
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling across sources (the sqrt /
+    alpha=0.5 domain-rebalancing recipe of multi-corpus pretraining
+    mixtures): a source's share of the sampled corpus is proportional to
+    ``sqrt(sum(weight))`` rather than its raw size, damping dominant
+    domains and boosting the tail.
+
+    Per source ``s``: ``p_s = min(1, frac * N_total * isqrt_s / (S *
+    n_docs_s))`` with ``isqrt_s = floor(sqrt(sum(weight_s)))`` and ``S =
+    sum_t isqrt_t``; a document is kept iff its seeded md5 bucket fraction
+    is below ``p_s``. Deterministic (same doc + seed => same decision on
+    any cluster size or task retry) and exact: isqrt is a correctly-rounded
+    IEEE sqrt of an exact integer, floored — bit-identical in any engine —
+    and every later product/division is single IEEE ops on exact-integer
+    doubles, so the DuckDB oracle reproduces each decision bit-for-bit.
+
+    Plan shape (100 TB): one O(sources)-row aggregate, broadcast back to
+    the corpus scan; selection is a scan-time projection + filter. No
+    corpus-sized shuffle anywhere. The ``sample_weight`` output column
+    (1/p_s) is the importance weight a loss-weighted trainer would consume.
+    """
+    doc = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col(weight_col).cast("bigint").alias("_w"),
+    )
+    stats = (
+        doc.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_docs"),
+            F.sum("_w").alias("_src_w"),
+        )
+        .withColumn(
+            "_isqrt",
+            F.floor(F.sqrt(F.col("_src_w").cast("double"))).cast("bigint"),
+        )
+    )
+    tot = stats.agg(
+        F.sum("_isqrt").alias("_sum_sqrt"),
+        F.sum("_n_docs").alias("_n_total"),
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(frac)
+            * F.col("_n_total").cast("double")
+            * F.col("_isqrt").cast("double")
+            / (
+                F.col("_sum_sqrt").cast("double")
+                * F.col("_n_docs").cast("double")
+            ),
+        ).alias("p_sel"),
+    )
+    bucket = seeded_bucket(id_col, seed, SPLIT_BUCKETS)
+    return (
+        doc.join(F.broadcast(rates), source_col)
+        .where(
+            bucket.cast("double") / F.lit(float(SPLIT_BUCKETS))
+            < F.col("p_sel")
+        )
+        .select(
+            id_col,
+            source_col,
+            F.col("_w").alias("n_tok"),
+            "p_sel",
+            (F.lit(1.0) / F.col("p_sel")).alias("sample_weight"),
+        )
     )

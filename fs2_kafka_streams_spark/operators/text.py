@@ -172,6 +172,143 @@ def repetition_ratio(tok: Column) -> Column:
     )
 
 
+def ngrams(tok: Column, n: int) -> Column:
+    """All word n-grams of a token array, duplicates kept (unlike
+    :func:`shingles`), empty when the document has fewer than ``n``
+    tokens (``F.sequence`` counts DOWN for stop < start — guard it)."""
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, i + k) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(tok) >= n, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_ngram_frac(tok: Column, n: int) -> Column:
+    """Fraction of the document's word n-grams that are repeats of an
+    earlier n-gram — the Gopher `duplicate n-gram fraction` repetition
+    signal. Row-local array arithmetic: zero shuffle, exact integer
+    ratio."""
+    g = ngrams(tok, n)
+    total = F.size(g)
+    return (total - F.size(F.array_distinct(g))).cast("double") / F.greatest(
+        total, F.lit(1)
+    ).cast("double")
+
+
+#: Gopher-style acceptance thresholds (Rae et al. 2021, "Scaling Language
+#: Models: Methods, Analysis & Insights from Training Gopher", table A1 —
+#: public paper). Word-count bounds are scaled down to the synthetic
+#: corpus; the rule STRUCTURE is the point.
+GOPHER_THRESHOLDS = {
+    "min_words": 20,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 10.0,
+    "min_alpha_word_frac": 0.8,
+    "max_dup_2gram_frac": 0.6,
+    "max_dup_3gram_frac": 0.5,
+    "max_top_word_frac": 0.3,
+    "min_stop_hits": 2,
+    "max_symbol_word_ratio": 0.1,
+}
+
+
+def gopher_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher-style quality metrics + accept flags.
+
+    Plan shape (the 100 TB contract): every metric except the top-word
+    share is a pure column projection over the row's own token array —
+    whole-stage codegen at scan speed, zero shuffle. The top-word share
+    (per-doc mode) genuinely needs a group-by, done the scale-safe way:
+    explode → partial-agg on ``(doc, word)`` (map-side combine collapses
+    repeats before the exchange) → per-doc max → join back on the unique
+    doc id. No collect, no skew (the doc id is in every grouping key).
+
+    Reference scope note: the reference engine has no text-quality surface
+    (it is a Kafka streaming library); this operator belongs to the
+    LLM-pipeline extension mandated alongside SURVEY.md §2.
+    """
+    c = F.col(text_col)
+    tok = tokens(c)
+    en_words = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    base = df.select(
+        F.col(id_col),
+        tok.alias("_t"),
+        n_hash.alias("_nh"),
+        n_ellipsis.cast("bigint").alias("_ne"),
+    )
+    row = base.select(
+        id_col,
+        F.size("_t").alias("n_words"),
+        F.aggregate(
+            "_t", F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+        ).alias("_char_sum"),
+        F.size(F.filter("_t", lambda t: t.rlike("[a-z]"))).alias("_n_alpha"),
+        dup_ngram_frac(F.col("_t"), 2).alias("dup_2gram_frac"),
+        dup_ngram_frac(F.col("_t"), 3).alias("dup_3gram_frac"),
+        F.size(
+            F.filter("_t", lambda t: F.array_contains(en_words, t))
+        ).alias("stop_hits"),
+        (F.col("_nh") + F.col("_ne")).alias("_n_sym"),
+    )
+    mode = (
+        base.select(id_col, F.explode("_t").alias("_w"))
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top_n"))
+    )
+    t = GOPHER_THRESHOLDS
+    nw = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    m = (
+        row.join(mode, id_col, "left")
+        .withColumn(
+            "mean_word_len", F.col("_char_sum").cast("double") / nw
+        )
+        .withColumn(
+            "alpha_word_frac", F.col("_n_alpha").cast("double") / nw
+        )
+        .withColumn(
+            "top_word_frac",
+            F.coalesce(F.col("_top_n"), F.lit(0)).cast("double") / nw,
+        )
+        .withColumn(
+            "symbol_word_ratio", F.col("_n_sym").cast("double") / nw
+        )
+    )
+    flags = {
+        "ok_word_count": (F.col("n_words") >= t["min_words"])
+        & (F.col("n_words") <= t["max_words"]),
+        "ok_mean_word_len": (F.col("mean_word_len") >= t["min_mean_word_len"])
+        & (F.col("mean_word_len") <= t["max_mean_word_len"]),
+        "ok_alpha_words": F.col("alpha_word_frac")
+        >= t["min_alpha_word_frac"],
+        "ok_dup_2gram": F.col("dup_2gram_frac") <= t["max_dup_2gram_frac"],
+        "ok_dup_3gram": F.col("dup_3gram_frac") <= t["max_dup_3gram_frac"],
+        "ok_top_word": F.col("top_word_frac") <= t["max_top_word_frac"],
+        "ok_stopwords": F.col("stop_hits") >= t["min_stop_hits"],
+        "ok_symbols": F.col("symbol_word_ratio")
+        <= t["max_symbol_word_ratio"],
+    }
+    m = m.withColumns(flags)
+    accept = None
+    for name in flags:
+        accept = F.col(name) if accept is None else accept & F.col(name)
+    return m.withColumn("pass_quality", accept).drop(
+        "_char_sum", "_n_alpha", "_n_sym", "_top_n"
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column family."""
     tok = tokens(text_col)

@@ -137,10 +137,15 @@ def driver_registry() -> dict[str, QuerySpec]:
     reg = load_all()
     out = {name: reg[name] for name in DRIVER_ORDER}
     # appended extras (after the 50-entry correctness window, displacing
-    # nothing): the env-gated tws tier, and the IVF ANN tier whose
-    # iterative k-means trainer is not SQL-expressible (rows-only; its
-    # nprobe=nlist ≡ brute-force identity is asserted in the suite)
+    # nothing): the env-gated tws tier, the IVF ANN tier whose iterative
+    # k-means trainer is not SQL-expressible (rows-only; its nprobe=nlist
+    # ≡ brute-force identity is asserted in the suite), and the round-4
+    # pipeline additions (Gopher quality filter, temperature mixture —
+    # both fully hash-checked in the local gate and the sim).
     for name, spec in reg.items():
-        if name.startswith(("q38b", "q44e")) and name not in out:
+        if (
+            name.startswith(("q38b", "q44e", "q43f", "q43g"))
+            and name not in out
+        ):
             out[name] = spec
     return out

@@ -707,6 +707,164 @@ def q43e_sample_shuffle_shard(spark, sf_dir):
     )
 
 
+_GOPHER_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+             len(text) - len(replace(text, '#', '')) AS nh,
+             CAST((len(text) - len(replace(text, '...', ''))) / 3
+                  AS BIGINT) AS ne
+      FROM documents
+    ),
+    md AS (
+      SELECT doc_id, max(c) AS top_n FROM (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS w FROM tk)
+        GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    row_m AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             coalesce(list_sum(list_transform(t, x -> len(x))), 0)
+               AS char_sum,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+               AS n_alpha,
+             CAST(greatest(len(t) - 1, 0)
+                  - len(list_distinct(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
+               / CAST(greatest(len(t) - 1, 1) AS DOUBLE)
+               AS dup_2gram_frac,
+             CAST(greatest(len(t) - 2, 0)
+                  - len(list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                    AS DOUBLE)
+               / CAST(greatest(len(t) - 2, 1) AS DOUBLE)
+               AS dup_3gram_frac,
+             len(list_filter(t,
+                 x -> x IN ('the', 'and', 'of', 'to', 'is')))
+               AS stop_hits,
+             nh + ne AS n_sym
+      FROM tk
+    ),
+    m AS (
+      SELECT r.doc_id, r.n_words,
+             CAST(r.char_sum AS DOUBLE)
+               / CAST(greatest(r.n_words, 1) AS DOUBLE) AS mean_word_len,
+             CAST(r.n_alpha AS DOUBLE)
+               / CAST(greatest(r.n_words, 1) AS DOUBLE) AS alpha_word_frac,
+             r.dup_2gram_frac, r.dup_3gram_frac,
+             CAST(coalesce(md.top_n, 0) AS DOUBLE)
+               / CAST(greatest(r.n_words, 1) AS DOUBLE) AS top_word_frac,
+             r.stop_hits,
+             CAST(r.n_sym AS DOUBLE)
+               / CAST(greatest(r.n_words, 1) AS DOUBLE) AS symbol_word_ratio
+      FROM row_m r LEFT JOIN md USING (doc_id)
+    )
+    SELECT doc_id, n_words, dup_2gram_frac, dup_3gram_frac, stop_hits,
+           mean_word_len, alpha_word_frac, top_word_frac, symbol_word_ratio,
+           n_words >= 20 AND n_words <= 100000 AS ok_word_count,
+           mean_word_len >= 2.0 AND mean_word_len <= 10.0
+             AS ok_mean_word_len,
+           alpha_word_frac >= 0.8 AS ok_alpha_words,
+           dup_2gram_frac <= 0.6 AS ok_dup_2gram,
+           dup_3gram_frac <= 0.5 AS ok_dup_3gram,
+           top_word_frac <= 0.3 AS ok_top_word,
+           stop_hits >= 2 AS ok_stopwords,
+           symbol_word_ratio <= 0.1 AS ok_symbols,
+           (n_words >= 20 AND n_words <= 100000)
+             AND (mean_word_len >= 2.0 AND mean_word_len <= 10.0)
+             AND alpha_word_frac >= 0.8 AND dup_2gram_frac <= 0.6
+             AND dup_3gram_frac <= 0.5 AND top_word_frac <= 0.3
+             AND stop_hits >= 2 AND symbol_word_ratio <= 0.1
+             AS pass_quality
+    FROM m
+"""
+
+
+@query("q43f_quality_filter", oracle=_GOPHER_ORACLE, tags=("llm", "quality"))
+def q43f_quality_filter(spark, sf_dir):
+    """Gopher-rules document quality filter (Rae et al. 2021 table A1
+    structure): word-count bounds, mean word length, alphabetic-word
+    fraction, duplicate 2-/3-gram fractions, top-word share, stopword
+    floor, symbol-to-word ratio — per-document metrics plus accept flags
+    plus the conjunction ``pass_quality``.
+
+    Everything except the top-word share is a scan-stage projection over
+    the row's own token array (zero shuffle); the per-doc mode uses one
+    map-side-combined (doc, word) aggregation. See
+    :func:`operators.text.gopher_metrics` for the 100 TB plan contract.
+    """
+    from fs2_kafka_streams_spark.operators.text import gopher_metrics
+
+    d = Catalog(spark, sf_dir).documents
+    return gopher_metrics(d, "text", "doc_id")
+
+
+_MIX_ORACLE = """
+    WITH doc AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    st AS (
+      SELECT source, count(*) AS n_docs, sum(n_tok) AS src_w
+      FROM doc GROUP BY 1
+    ),
+    st2 AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(src_w AS DOUBLE))) AS BIGINT) AS isqrt
+      FROM st
+    ),
+    tot AS (
+      SELECT sum(isqrt) AS sum_sqrt, sum(n_docs) AS n_total FROM st2
+    ),
+    pr AS (
+      SELECT source,
+             least(CAST(1.0 AS DOUBLE),
+                   CAST(0.5 AS DOUBLE)
+                   * CAST(n_total AS DOUBLE)
+                   * CAST(isqrt AS DOUBLE)
+                   / (CAST(sum_sqrt AS DOUBLE)
+                      * CAST(n_docs AS DOUBLE))) AS p_sel
+      FROM st2, tot
+    )
+    SELECT d.doc_id, d.source, d.n_tok, p.p_sel,
+           CAST(1.0 AS DOUBLE) / p.p_sel AS sample_weight
+    FROM doc d JOIN pr p USING (source)
+    WHERE CAST(CAST(concat('0x', substr(md5('mix-v1'
+            || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+          AS DOUBLE) / 10000.0 < p.p_sel
+"""
+
+
+@query("q43g_source_mix", oracle=_MIX_ORACLE, tags=("llm", "mixture"))
+def q43g_source_mix(spark, sf_dir):
+    """Temperature-weighted (alpha = 0.5) source-mixture sampling — the
+    domain-rebalancing step of assembling a multi-corpus pretraining mix:
+    a source's sampled share is proportional to the square root of its
+    token mass, damping dominant domains. Deterministic seeded-hash
+    membership, importance weight ``1/p_s`` attached for loss weighting.
+
+    One O(sources)-row aggregate broadcast back over the corpus scan —
+    no corpus-sized shuffle (see :func:`operators.pipeline
+    .temperature_sample`).
+    """
+    from fs2_kafka_streams_spark.operators.pipeline import temperature_sample
+    from fs2_kafka_streams_spark.operators.text import token_count
+
+    d = Catalog(spark, sf_dir).documents
+    return temperature_sample(
+        d.withColumn("_tok", token_count("text")),
+        weight_col="_tok",
+        source_col="source",
+        id_col="doc_id",
+        frac=0.5,
+        seed="mix-v1",
+    )
+
+
 def _q47_oracle() -> str:
     stride_sums = ",\n        ".join(
         f"sum(CASE WHEN (i - 1) % 8 = {k} THEN bv ELSE 0 END) AS s{k}"

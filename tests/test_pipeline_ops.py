@@ -323,3 +323,131 @@ def test_stratified_sample_is_subset_and_stable(spark, docs):
     assert {r["doc_id"] for r in sub2.collect()} == {
         i for i in sub_ids if i < 25
     }
+
+
+# ---- gopher_metrics -------------------------------------------------------
+
+
+def test_gopher_metrics_hand_checked(spark):
+    """Hand-verifiable fixture: metrics and flags computed by hand."""
+    from fs2_kafka_streams_spark.operators.text import gopher_metrics
+
+    df = spark.createDataFrame(
+        [
+            # 6 words, "the cat" repeated 2-gram, top word "the"/"cat" x2
+            (1, "the cat sat the cat ran"),
+            (2, "one"),  # single word: no 2-grams, everything degenerate
+            (3, "a a a a a a"),  # max repetition
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_metrics(df, "text", "doc_id").collect()
+    }
+    r1 = rows[1]
+    assert r1["n_words"] == 6
+    # 5 2-grams, "the cat" twice -> 4 distinct -> dup frac 1/5
+    assert r1["dup_2gram_frac"] == pytest.approx(0.2)
+    assert r1["top_word_frac"] == pytest.approx(2 / 6)
+    assert r1["stop_hits"] == 2  # "the" twice
+    assert r1["mean_word_len"] == pytest.approx(18 / 6)
+    assert not r1["ok_word_count"]  # < 20 words
+    r2 = rows[2]
+    assert r2["n_words"] == 1
+    assert r2["dup_2gram_frac"] == 0.0 and r2["dup_3gram_frac"] == 0.0
+    assert r2["top_word_frac"] == pytest.approx(1.0)
+    r3 = rows[3]
+    assert r3["top_word_frac"] == pytest.approx(1.0)
+    assert r3["dup_2gram_frac"] == pytest.approx(4 / 5)
+    assert not r3["ok_top_word"] and not r3["pass_quality"]
+
+
+def test_gopher_metrics_no_corpus_shuffle_in_row_metrics(spark, docs):
+    """Every metric except top_word_frac must be scan-stage (the plan has
+    exactly the one (doc, word) aggregate pair + the doc-id join — no
+    extra exchanges)."""
+    from fs2_kafka_streams_spark.operators.text import gopher_metrics
+
+    plan = (
+        gopher_metrics(docs, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # 2 aggregation exchanges ((doc,word) partial/final collapses into one
+    # exchange; per-doc max another) + join-side exchanges on doc_id; the
+    # hard property: no CartesianProduct / BroadcastNestedLoopJoin
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- temperature_sample ---------------------------------------------------
+
+
+@pytest.fixture()
+def skewed(spark):
+    """3 sources with token mass 90/9/1 (%): temperature sampling must
+    boost the tail's share vs proportional sampling."""
+    rows = []
+    for i in range(900):
+        rows.append((i, "big", "w " * 10))
+    for i in range(900, 990):
+        rows.append((i, "mid", "w " * 10))
+    for i in range(990, 1000):
+        rows.append((i, "small", "w " * 10))
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_temperature_sample_damps_dominant_sources(spark, skewed):
+    from fs2_kafka_streams_spark.operators.pipeline import temperature_sample
+    from fs2_kafka_streams_spark.operators.text import token_count
+
+    d = skewed.withColumn("_tok", token_count("text"))
+    out = temperature_sample(d, "_tok", frac=0.5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    p = {s: rs[0]["p_sel"] for s, rs in by_src.items()}
+    # sqrt damping: selection rate must rise as source size drops (the
+    # two tail sources saturate at the p=1 cap in this fixture)
+    assert p["small"] >= p["mid"] > p["big"]
+    # sqrt(90):sqrt(9):sqrt(1) ~ 9.49:3:1 of the half-budget: the small
+    # source is kept (near-)entirely, the big one heavily subsampled
+    assert p["big"] < 0.45
+    assert p["small"] == 1.0
+    # weights are the inverse rates
+    for rs in by_src.values():
+        for r in rs:
+            assert r["sample_weight"] == pytest.approx(1.0 / r["p_sel"])
+
+
+def test_temperature_sample_deterministic(spark, skewed):
+    from fs2_kafka_streams_spark.operators.pipeline import temperature_sample
+    from fs2_kafka_streams_spark.operators.text import token_count
+
+    d = skewed.withColumn("_tok", token_count("text"))
+    a = sorted(r["doc_id"] for r in temperature_sample(d, "_tok").collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(d, "_tok").collect())
+    assert a == b
+    c = sorted(
+        r["doc_id"]
+        for r in temperature_sample(d, "_tok", seed="other").collect()
+    )
+    assert a != c  # seed changes membership
+
+
+def test_temperature_sample_broadcasts_rates(spark, skewed):
+    """The per-source rate table must reach the corpus via a broadcast
+    join — a corpus-sized shuffle here would be a 100 TB regression."""
+    from fs2_kafka_streams_spark.operators.pipeline import temperature_sample
+    from fs2_kafka_streams_spark.operators.text import token_count
+
+    d = skewed.withColumn("_tok", token_count("text"))
+    plan = (
+        temperature_sample(d, "_tok")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
