@@ -52,6 +52,9 @@ def main() -> None:
         df = spec.build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop persisted intermediates (shared shingle/pair tables) so no
+        # query's cache residue distorts the next query's measurement
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

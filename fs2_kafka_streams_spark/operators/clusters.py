@@ -56,7 +56,13 @@ def connected_components(
         )
         .filter("src <> dst")
         .distinct()
-        .persist()
+        # localCheckpoint, not persist: the caller's pair DF may carry an
+        # arbitrarily deep plan (e.g. the whole LSH pipeline), and EVERY
+        # round's join/agg/changed-check would re-COMPILE that tree even
+        # though persist reuses its execution (measured 5× loop slowdown
+        # on the minhash input). Checkpointing truncates the plan to an
+        # RDD scan. Production clusters: reliable .checkpoint().
+        .localCheckpoint(eager=True)
     )
     lab = (
         edges.select(F.col("src").alias("id"))

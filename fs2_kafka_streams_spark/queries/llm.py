@@ -351,9 +351,24 @@ def _simhash_ctes() -> str:
     )"""
 
 
-# connected components as a recursive CTE: min reachable id per vertex ==
-# the min-label fixed point the distributed operator converges to
-_CLUSTER_CTES = """
+# connected components as a recursive CTE over any (id_a, id_b) pair CTE:
+# min reachable id per vertex == the min-label fixed point the distributed
+# operator converges to
+def _cc_ctes(src: str) -> str:
+    return f"""
+    ed AS (
+      SELECT id_a AS a, id_b AS b FROM {src}
+      UNION SELECT id_b, id_a FROM {src}
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM ed
+      UNION SELECT ed.b, reach.r FROM reach JOIN ed ON reach.id = ed.a
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+
+
+_CLUSTER_CTES = (
+    """
     inter4 AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -366,16 +381,9 @@ _CLUSTER_CTES = """
       JOIN sizes sb ON inter4.id_b = sb.doc_id
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
             >= 0.4
-    ),
-    ed AS (
-      SELECT id_a AS a, id_b AS b FROM jp
-      UNION SELECT id_b, id_a FROM jp
-    ),
-    reach(id, r) AS (
-      SELECT a, a FROM ed
-      UNION SELECT ed.b, reach.r FROM reach JOIN ed ON reach.id = ed.a
-    ),
-    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+    ),"""
+    + _cc_ctes("jp")
+)
 
 
 @query(

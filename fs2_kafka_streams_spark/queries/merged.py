@@ -566,15 +566,18 @@ def q41_dedup_decontaminate(spark, sf_dir):
 
 def _q42b_oracle() -> str:
     from fs2_kafka_streams_spark.queries.llm import (
-        _CLUSTER_CTES,
         _SHINGLE_SQL,
+        _cc_ctes,
         _minhash_ctes,
         _simhash_ctes,
     )
 
+    # clusters are computed over the MINHASH pairs (the tier that exists at
+    # 100 TB — the exact-jaccard pair set is the sf-small oracle tier only),
+    # so the pair table is built once and reused by both outputs
     return f"""
     WITH RECURSIVE {_SHINGLE_SQL}, {_minhash_ctes()}, {_simhash_ctes()},
-    {_CLUSTER_CTES}
+    {_cc_ctes("mh_pairs")}
     SELECT 'minhash' AS method, id_a, id_b, jaccard AS score FROM mh_pairs
     UNION ALL
     SELECT 'simhash', id_a, id_b, CAST(hamming AS DOUBLE) FROM sh_pairs
@@ -599,7 +602,21 @@ def q42b_minhash_simhash(spark, sf_dir):
     fixed point as a recursive CTE), so this entry is hash-checked, not
     rows-only; recall vs the exact q42 tier and cluster labels vs a
     union-find oracle are additionally asserted in the test suite."""
-    mh = _spec("q42b_minhash_lsh").build(spark, sf_dir).select(
+    # the minhash pair table feeds BOTH the pairs output and the cluster
+    # endgame: localCheckpoint (materialize once + TRUNCATE the logical
+    # plan) so the LSH pipeline (shingles → signatures → bands → verify)
+    # runs once and the iterative CC rounds don't re-plan its deep tree
+    # every round (persist() reuses execution but not plan compilation —
+    # measured 2.5× slower here). Clustering the scale-tier pairs (not the
+    # exact-jaccard tier) is also the semantics a 100 TB deployment has —
+    # the O(n²) exact pair set only exists at oracle scale. On a real
+    # cluster use reliable .checkpoint() for fault tolerance.
+    mh_pairs = (
+        _spec("q42b_minhash_lsh")
+        .build(spark, sf_dir)
+        .localCheckpoint(eager=True)
+    )
+    mh = mh_pairs.select(
         F.lit("minhash").alias("method"),
         "id_a",
         "id_b",
@@ -611,7 +628,11 @@ def q42b_minhash_simhash(spark, sf_dir):
         "id_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    cc = _spec("q42d_dedup_clusters").build(spark, sf_dir).select(
+    from fs2_kafka_streams_spark.operators.clusters import (
+        connected_components,
+    )
+
+    cc = connected_components(mh_pairs.select("id_a", "id_b")).select(
         F.lit("clusters").alias("method"),
         F.col("id").alias("id_a"),
         F.col("component").alias("id_b"),
