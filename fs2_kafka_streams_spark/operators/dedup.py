@@ -479,3 +479,78 @@ def decontaminate(
     # broadcast it), but after a bad benchmark it can be a large fraction
     # of the corpus — let the runtime decide
     return corpus.join(bad.select(id_col), id_col, "left_anti")
+
+
+# ---- corpus-level boilerplate detection ----------------------------------
+
+
+def boilerplate_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    heavy_frac: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document boilerplate load (the CCNet-style cross-document
+    repetition signal): an n-gram shingle is BOILERPLATE when it occurs in
+    at least ``max(min_docs, ceil(min_doc_frac * n_docs))`` distinct
+    documents — navigation chrome, license headers, template text. Each
+    document reports its distinct-shingle count, how many of those are
+    boilerplate, the fraction, and a ``boiler_heavy`` flag at
+    ``heavy_frac``.
+
+    Plan shape (100 TB): shingle explode (O(tokens)) → one document-
+    frequency aggregation on the int64 shingle hash (map-side combine
+    collapses each partition's repeats; hot boilerplate shingles are
+    exactly the ones the combiner compresses best, so the hot key carries
+    ~#partitions rows, not #docs) → threshold filter against a 1-row
+    corpus-count aggregate (broadcast, never a driver scalar) → join the
+    (small) boilerplate set back to the corpus shingles — AQE picks
+    broadcast when it fits — → per-doc count aggregation. No O(n²)
+    anywhere; the quadratic blowup boilerplate causes in pair-joins is
+    precisely what this report exists to prevent (see ``max_doc_freq`` in
+    :func:`ngram_jaccard_pairs`).
+
+    ``portable=True`` hashes shingles with the md5-derived int64 so the
+    whole report replays in DuckDB.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n, portable)
+    n_total = df.select(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("_n_total")
+    )
+    thresh = F.greatest(
+        F.lit(min_docs).cast("bigint"),
+        F.ceil(F.lit(float(min_doc_frac)) * F.col("_n_total")),
+    )
+    boiler = (
+        sh.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("_df") >= thresh)
+        .select("_sh", F.lit(1).alias("_b"))
+    )
+    per_doc = (
+        sh.join(boiler, "_sh", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_b").alias("n_boiler"),
+        )
+    )
+    nsh = F.coalesce("n_shingles", F.lit(0).cast("bigint"))
+    nb = F.coalesce("n_boiler", F.lit(0).cast("bigint"))
+    frac = nb.cast("double") / F.greatest(nsh, F.lit(1)).cast("double")
+    return (
+        df.select(id_col)
+        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            nsh.alias("n_shingles"),
+            nb.alias("n_boiler"),
+            frac.alias("boiler_frac"),
+            (frac >= F.lit(float(heavy_frac))).alias("boiler_heavy"),
+        )
+    )

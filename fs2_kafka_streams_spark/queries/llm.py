@@ -809,6 +809,61 @@ def q43f_quality_filter(spark, sf_dir):
     return gopher_metrics(d, "text", "doc_id")
 
 
+_BOILER_ORACLE = f"""
+    WITH {{shingle_ctes}}
+    shh2 AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh
+    ),
+    dfc AS (SELECT h, count(*) AS df_n FROM shh2 GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM documents),
+    boiler AS (
+      SELECT h FROM dfc, tot
+      WHERE df_n >= greatest(2, CAST(ceil(CAST(0.05 AS DOUBLE) * n_total)
+                                     AS BIGINT))
+    ),
+    per AS (
+      SELECT s.doc_id,
+             count(*) AS n_shingles,
+             CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_boiler
+      FROM shh2 s LEFT JOIN boiler b USING (h)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_shingles, 0) AS n_shingles,
+           coalesce(p.n_boiler, 0) AS n_boiler,
+           CAST(coalesce(p.n_boiler, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(p.n_shingles, 0), 1) AS DOUBLE)
+             AS boiler_frac,
+           CAST(coalesce(p.n_boiler, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(p.n_shingles, 0), 1) AS DOUBLE)
+             >= CAST(0.5 AS DOUBLE) AS boiler_heavy
+    FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@query(
+    "q43h_boilerplate",
+    oracle=_BOILER_ORACLE.format(shingle_ctes=_SHINGLE_SQL + ","),
+    tags=("llm", "boilerplate", "scale"),
+)
+def q43h_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate load (CCNet-style): 3-gram shingles in
+    ≥ max(2, ceil(5% of docs)) distinct documents are boilerplate; each
+    document reports its boilerplate-shingle fraction + a heavy flag.
+    One document-frequency aggregation on int64 shingle hashes + a
+    broadcast threshold — the skew-prevention twin of ``max_doc_freq``
+    in the pair-join tiers (see :func:`operators.dedup
+    .boilerplate_report` for the 100 TB plan contract)."""
+    from fs2_kafka_streams_spark.operators.dedup import boilerplate_report
+
+    d = Catalog(spark, sf_dir).documents
+    return boilerplate_report(
+        d, "text", "doc_id", n=3, min_doc_frac=0.05, min_docs=2,
+        heavy_frac=0.5, portable=True,
+    )
+
+
 _MIX_ORACLE = """
     WITH doc AS (
       SELECT doc_id, source,

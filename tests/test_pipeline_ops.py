@@ -451,3 +451,53 @@ def test_temperature_sample_broadcasts_rates(spark, skewed):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---- boilerplate_report ---------------------------------------------------
+
+
+def test_boilerplate_report_planted(spark):
+    """Plant a license-header 3-gram in 6 of 10 docs (df 60% >= 5% floor)
+    plus unique tails; the planted shingles must be flagged, unique ones
+    not."""
+    from fs2_kafka_streams_spark.operators.dedup import boilerplate_report
+
+    header = "all rights reserved by example corp"
+    rows = []
+    for i in range(6):
+        rows.append((i, f"{header} unique tail {i} alpha beta gamma"))
+    for i in range(6, 10):
+        # every token carries the doc index so no 3-gram repeats across docs
+        rows.append(
+            (i, " ".join(f"tok{i}x{j}" for j in range(6)))
+        )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in boilerplate_report(df, "text", "doc_id").collect()
+    }
+    # header docs: the 4 header shingles (6-gram header -> 4 3-grams)
+    # are shared by 6 docs -> boilerplate; tail shingles unique
+    for i in range(6):
+        assert out[i]["n_boiler"] >= 4, out[i]
+        assert 0.0 < out[i]["boiler_frac"] < 1.0
+    for i in range(6, 10):
+        assert out[i]["n_boiler"] == 0
+        assert out[i]["boiler_frac"] == 0.0
+        assert not out[i]["boiler_heavy"]
+
+
+def test_boilerplate_report_short_docs_zero(spark):
+    """Docs with < n tokens produce no shingles and report zeros (not
+    dropped, not null)."""
+    from fs2_kafka_streams_spark.operators.dedup import boilerplate_report
+
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, "a b c a b c a b c")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in boilerplate_report(df, "text", "doc_id").collect()
+    }
+    assert out[1]["n_shingles"] == 0 and out[1]["boiler_frac"] == 0.0
+    assert out[2]["n_shingles"] > 0
