@@ -39,6 +39,7 @@ __all__ = [
     "sharded_export",
     "pack_sequences",
     "temperature_sample",
+    "chunk_documents",
 ]
 
 #: Buckets for split assignment — 1e4 gives 0.01% fraction granularity.
@@ -331,4 +332,47 @@ def temperature_sample(
             "p_sel",
             (F.lit(1.0) / F.col("p_sel")).alias("sample_weight"),
         )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    (``stride < chunk_size``) — the standard context-window chunking step
+    between cleaning and packing. Emits one row per (doc, chunk):
+    ``chunk_idx``, the space-rejoined ``chunk_text``, and its token count.
+    Every token appears in at least one chunk; trailing windows may be
+    short (kept — deterministic and loss-free; a trainer-side filter can
+    drop sub-minimum tails).
+
+    Plan shape (100 TB): tokenize → build the start list → explode —
+    all row-local array expressions on the scan, zero shuffle, output
+    rows ≈ tokens/stride per doc. Exact integer arithmetic throughout,
+    so the DuckDB oracle replays every chunk boundary.
+    """
+    from fs2_kafka_streams_spark.operators.text import tokens
+
+    tok = tokens(text_col)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("_t")), F.lit(1))),
+        lambda i: (i - 1) % stride == 0,
+    )
+    chunk = F.slice(F.col("_t"), F.col("_s"), chunk_size)
+    return (
+        df.select(F.col(id_col), tok.alias("_t"))
+        .select(id_col, "_t", F.explode(starts).alias("_s"))
+        .select(
+            id_col,
+            ((F.col("_s") - 1) / F.lit(stride))
+            .cast("int")
+            .alias("chunk_idx"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_chunk_tokens"),
+        )
+        .filter(F.col("n_chunk_tokens") > 0)
     )

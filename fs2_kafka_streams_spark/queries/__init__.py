@@ -144,7 +144,9 @@ def driver_registry() -> dict[str, QuerySpec]:
     # both fully hash-checked in the local gate and the sim).
     for name, spec in reg.items():
         if (
-            name.startswith(("q38b", "q44e", "q43f", "q43g", "q43h"))
+            name.startswith(
+                ("q38b", "q44e", "q43f", "q43g", "q43h", "q43i")
+            )
             and name not in out
         ):
             out[name] = spec

@@ -864,6 +864,39 @@ def q43h_boilerplate(spark, sf_dir):
     )
 
 
+_CHUNK_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, t,
+             unnest(list_filter(range(1, greatest(len(t), 1) + 1),
+                                i -> (i - 1) % 24 = 0)) AS s
+      FROM tk
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 24 AS INTEGER) AS chunk_idx,
+           array_to_string(t[s:s+31], ' ') AS chunk_text,
+           CAST(len(t[s:s+31]) AS INTEGER) AS n_chunk_tokens
+    FROM st
+    WHERE len(t[s:s+31]) > 0
+"""
+
+
+@query("q43i_chunking", oracle=_CHUNK_ORACLE, tags=("llm", "chunking"))
+def q43i_chunking(spark, sf_dir):
+    """Context-window chunking: 32-token windows, stride 24 (8-token
+    overlap), one output row per (doc, chunk) with the rejoined text and
+    its token count. Pure row-local array expressions exploded on the
+    scan — zero shuffle; every chunk boundary replays exactly in the
+    DuckDB oracle (see :func:`operators.pipeline.chunk_documents`)."""
+    from fs2_kafka_streams_spark.operators.pipeline import chunk_documents
+
+    d = Catalog(spark, sf_dir).documents
+    return chunk_documents(d, "text", "doc_id", chunk_size=32, stride=24)
+
+
 _MIX_ORACLE = """
     WITH doc AS (
       SELECT doc_id, source,

@@ -501,3 +501,31 @@ def test_boilerplate_report_short_docs_zero(spark):
     }
     assert out[1]["n_shingles"] == 0 and out[1]["boiler_frac"] == 0.0
     assert out[2]["n_shingles"] > 0
+
+
+# ---- chunk_documents ------------------------------------------------------
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from fs2_kafka_streams_spark.operators.pipeline import chunk_documents
+
+    text = " ".join(f"w{j}" for j in range(75))  # 75 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               ["doc_id", "text"])
+    rows = chunk_documents(df, "text", "doc_id", chunk_size=32,
+                           stride=24).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # starts at 1, 25, 49, 73 -> 4 chunks; sizes 32, 32, 27, 3
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3]
+    assert [r["n_chunk_tokens"] for r in c1] == [32, 32, 27, 3]
+    # every token is covered, in order, with the 8-token overlap repeated
+    toks = text.split()
+    for i, r in enumerate(c1):
+        start = i * 24
+        assert r["chunk_text"].split() == toks[start:start + 32]
+    # short doc: one chunk, loss-free; empty doc: no rows
+    assert [r["chunk_text"] for r in by_doc[2]] == ["a b"]
+    assert 3 not in by_doc
