@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Generate EXPLAINS.md: formatted physical plans for the headline queries,
+with the scale-relevant properties each plan must exhibit called out.
+
+This is evidence, not prose: the plans are captured from the live session
+(`df._jdf.queryExecution().explainString(FormattedMode)`), and each section
+lists the properties a 100 TB deployment depends on (pushed filters, pruned
+schemas, broadcast joins, absence of cartesian products, whole-stage
+codegen) so a reviewer can check the claim against the plan text directly
+below it. Regenerate with: python scripts/explain_report.py
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF = "/root/testdata/sf0.01"
+
+#: query -> the scale properties its plan is expected to show
+HEADLINERS: dict[str, list[str]] = {
+    "q02_filter_project": [
+        "filter pushed to the parquet scan (PushedFilters non-empty)",
+        "column-pruned ReadSchema (only the projected/filtered columns)",
+        "single WholeStageCodegen span, no exchange",
+    ],
+    "q07_join_multiway_broadcast": [
+        "dimension joins are BroadcastHashJoin (no shuffle for small dims)",
+        "no CartesianProduct / BroadcastNestedLoopJoin",
+    ],
+    "q13_agg_tpch_q1": [
+        "partial_ aggregation below the exchange (map-side combine), "
+        "final above — shuffle volume is O(groups), not O(rows)",
+        "decimal arithmetic (order-independent, oracle-exact)",
+    ],
+    "q17_latest_by_key": [
+        "single hash aggregation on the key (max_by) — latest-per-key "
+        "without a window sort",
+        "partial aggregation before the exchange",
+    ],
+    "q18_multi_get": [
+        "key-set filter pushed BELOW the latest-by-key aggregation "
+        "(prunes the scan, not the result)",
+    ],
+    "q22_topk_per_group": [
+        "rank window partitioned by group (no global sort, no single "
+        "partition)",
+    ],
+    "q41_dedup_decontaminate": [
+        "benchmark shingle set reaches the corpus via broadcast "
+        "(BroadcastHashJoin / broadcast exchange), zero corpus-sized "
+        "shuffle",
+    ],
+    "q43f_quality_filter": [
+        "row-local metrics in the scan-stage project; one (doc, word) "
+        "aggregation pair with partial_ below the exchange",
+        "no CartesianProduct / BroadcastNestedLoopJoin",
+    ],
+    "q43g_source_mix": [
+        "per-source rate table broadcast back over the corpus scan "
+        "(BroadcastHashJoin)",
+        "corpus side is scan + project + filter only",
+    ],
+    "q43i_chunking": [
+        "explode of row-local chunk windows at scan time — no exchange "
+        "anywhere in the plan",
+    ],
+    "q44d_embedding_neardup_lsh": [
+        "banded equi-join on (band, bucket) hash keys — O(n·bands) "
+        "candidates, no CartesianProduct",
+    ],
+}
+
+
+def main() -> None:
+    from fs2_kafka_streams_spark.queries import load_all
+    from fs2_kafka_streams_spark.session import get_spark
+
+    spark = get_spark(app_name="explain-report")
+    reg = load_all()
+    out = [
+        "# EXPLAINS — captured physical plans for the headline queries",
+        "",
+        f"Captured at sf=0.01 ({SF}) by `scripts/explain_report.py`;",
+        "regenerate after plan-affecting changes. Each section lists the",
+        "scale properties the plan MUST exhibit, then the formatted plan",
+        "captured from the live session. `tests/test_plan_properties.py`",
+        "and `tests/test_scale_joins.py` assert the load-bearing ones in",
+        "CI fashion; this file exists so a reviewer can eyeball the rest.",
+        "",
+    ]
+    for name, props in HEADLINERS.items():
+        df = reg[name].build(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # keep the operator tree + the first ~40 detail lines; full dumps
+        # of every attribute list would drown the signal
+        head, _, details = plan.partition("\n\n")
+        detail_lines = details.splitlines()[:40]
+        plan_txt = head + "\n\n" + "\n".join(detail_lines)
+        plan_txt = re.sub(r"#\d+L?", "", plan_txt)  # strip expr ids
+        out.append(f"## {name}")
+        out.append("")
+        out.append("Scale properties:")
+        for p in props:
+            out.append(f"- {p}")
+        out.append("")
+        out.append("```")
+        out.append(plan_txt.rstrip())
+        out.append("```")
+        out.append("")
+    Path(_REPO, "EXPLAINS.md").write_text("\n".join(out))
+    print(f"wrote EXPLAINS.md ({len(HEADLINERS)} plans)")
+
+
+if __name__ == "__main__":
+    main()
