@@ -126,3 +126,34 @@ def test_asof_snapshot_pushes_interval_filters(spark, tmp_path):
     # PushedFilters list is length-truncated in toString, so match the
     # untruncated DataFilters rendering
     assert re.search(r"valid_to#\d+L? > 500", plan), plan
+
+
+def test_chunking_has_no_exchange(spark):
+    """q43i (context-window chunking) is a pure row-local explode — any
+    Exchange in its plan is a regression (at 100 TB it would shuffle the
+    whole corpus for nothing)."""
+    plan = _plan(_registry()["q43i_chunking"].build(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+
+
+def test_boilerplate_no_pair_join(spark):
+    """q43h must never pair documents (its whole point is avoiding the
+    O(df^2) blowup boilerplate causes in pair joins): no cartesian or
+    nested-loop node, and the corpus count reaches the threshold filter
+    via a broadcast, not a driver scalar."""
+    plan = _plan(_registry()["q43h_boilerplate"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the 1-row corpus count crossJoin plans as a broadcast nested loop
+    # with a single build row - that's the intended shape; what must NOT
+    # appear is a shuffled join keyed on nothing
+    assert "SortMergeJoin Cross" not in plan
+
+
+def test_quality_filter_single_wordcount_aggregation(spark):
+    """q43f's only exchanges are the (doc, word) mode aggregation + the
+    doc-id join back — and partial aggregation must sit below them."""
+    plan = _plan(_registry()["q43f_quality_filter"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
