@@ -145,7 +145,7 @@ def driver_registry() -> dict[str, QuerySpec]:
     for name, spec in reg.items():
         if (
             name.startswith(
-                ("q38b", "q44e", "q43f", "q43g", "q43h", "q43i")
+                ("q38b", "q44e", "q43f", "q43g", "q43h", "q43i", "q50")
             )
             and name not in out
         ):

@@ -961,6 +961,48 @@ def q43g_source_mix(spark, sf_dir):
     )
 
 
+def _profile_oracle() -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def render(c: str) -> tuple[str, str]:
+        if c == "ts":
+            return (
+                f"strftime(min({c}), '%Y-%m-%d %H:%M:%S.%f')",
+                f"strftime(max({c}), '%Y-%m-%d %H:%M:%S.%f')",
+            )
+        if c == "value":
+            return (
+                f"CAST(CAST(min({c}) AS DECIMAL(18,2)) AS VARCHAR)",
+                f"CAST(CAST(max({c}) AS DECIMAL(18,2)) AS VARCHAR)",
+            )
+        return (f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)")
+
+    parts = []
+    for c in cols:
+        mn, mx = render(c)
+        parts.append(f"""
+    SELECT '{c}' AS column, count(*) AS n_rows,
+           count({c}) AS n_nonnull,
+           count(DISTINCT {c}) AS n_distinct,
+           {mn} AS min_value, {mx} AS max_value
+    FROM events""")
+    return "\n    UNION ALL".join(parts)
+
+
+@query("q50_table_profile", oracle=_profile_oracle(), tags=("profile",))
+def q50_table_profile(spark, sf_dir):
+    """Single-pass dataset profiling over `events`: row count, per-column
+    non-null and exact-distinct counts, min/max with explicit
+    cross-engine renderings (timestamps via a fixed format pattern,
+    doubles via exact decimal) — the ANALYZE / data-quality operator a
+    100 TB pipeline runs before trusting a table. One aggregation job;
+    the long-format pivot is a row-local explode of the 1-row result
+    (see :mod:`operators.profile`)."""
+    from fs2_kafka_streams_spark.operators.profile import table_profile
+
+    return table_profile(Catalog(spark, sf_dir).events)
+
+
 def _q47_oracle() -> str:
     stride_sums = ",\n        ".join(
         f"sum(CASE WHEN (i - 1) % 8 = {k} THEN bv ELSE 0 END) AS s{k}"

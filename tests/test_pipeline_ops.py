@@ -529,3 +529,19 @@ def test_chunk_documents_coverage_and_overlap(spark):
     # short doc: one chunk, loss-free; empty doc: no rows
     assert [r["chunk_text"] for r in by_doc[2]] == ["a b"]
     assert 3 not in by_doc
+
+
+# ---- table_profile --------------------------------------------------------
+
+
+def test_table_profile_nulls_and_distinct(spark):
+    from fs2_kafka_streams_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], ["id", "s"]
+    )
+    out = {r["column"]: r.asDict() for r in table_profile(df).collect()}
+    assert out["id"]["n_rows"] == 4 and out["id"]["n_nonnull"] == 4
+    assert out["id"]["n_distinct"] == 4
+    assert out["s"]["n_nonnull"] == 3 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_value"] == "a" and out["s"]["max_value"] == "b"

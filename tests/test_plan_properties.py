@@ -157,3 +157,12 @@ def test_quality_filter_single_wordcount_aggregation(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_profile_single_scan(spark):
+    """q50 profiles every column in ONE pass: exactly one parquet scan in
+    the plan (multiple exact DISTINCT aggregates go through Spark's
+    Expand, not per-column re-scans)."""
+    plan = _plan(_registry()["q50_table_profile"].build(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
