@@ -160,17 +160,27 @@ def minhash_signatures(
         if portable
         else F.pmod(F.xxhash64("_sh"), F.lit(MERSENNE))
     )
-    perms = F.array(
-        *[
-            F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE))
-            for a, b in _perm_consts(k)
-        ]
-    )
-    per_row = sh.select("_id", perms.alias("_hs"))
-    return per_row.groupBy("_id").agg(
-        F.array(
-            *[F.min(F.element_at("_hs", i + 1)) for i in range(k)]
-        ).alias("signature")
+    # k independent min-aggregates over the affine permutations, packed to
+    # an array AFTER the aggregation. (The previous formulation built a
+    # k-element array per shingle row and element_at-extracted each slot
+    # inside the agg — the per-row array allocation made it 5× slower at
+    # sf0.1; the partial aggregation itself is identical: k accumulators,
+    # map-side combined, O(docs·k) shuffle.)
+    mins = [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE))).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(_perm_consts(k))
+    ]
+    return (
+        sh.groupBy("_id")
+        .agg(*mins)
+        .select(
+            "_id",
+            F.array(*[F.col(f"_m{i}") for i in range(k)]).alias(
+                "signature"
+            ),
+        )
     )
 
 
