@@ -64,10 +64,17 @@ def connected_components(
         # RDD scan. Production clusters: reliable .checkpoint().
         .localCheckpoint(eager=True)
     )
+    # seed each vertex with min(self, min neighbor) — one aggregation over
+    # the (already materialized) edge table that is exactly the first
+    # propagation round, so small-diameter components (the common planted-
+    # duplicate case: pairs/triples) converge one round earlier
     lab = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_mn")).alias("lbl"),
+        )
         .persist()
     )
 
