@@ -74,6 +74,17 @@ HEADLINERS: dict[str, list[str]] = {
         "banded equi-join on (band, bucket) hash keys — O(n·bands) "
         "candidates, no CartesianProduct",
     ],
+    "q42b_minhash_lsh": [
+        "64 permutation minima aggregated directly (partial_min below the "
+        "exchange — shuffle is O(docs·k), not O(shingles·k))",
+        "band self-join on (band, hash) equi-keys, no CartesianProduct",
+        "candidate verification joins the persisted shingle table, "
+        "broadcast-side candidates",
+    ],
+    "q50_table_profile": [
+        "exactly ONE parquet scan for all per-column stats (multi-DISTINCT "
+        "via a single Expand, never per-column re-scans)",
+    ],
 }
 
 
