@@ -46,8 +46,18 @@ def main() -> None:
     # per-query numbers reflect steady-state execution, not session startup.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Measure real Structured Streaming entries LAST: their micro-batch
+    # machinery leaves session residue (RocksDB state-store maintenance,
+    # checkpoint cleanup, GC pressure) that measurably inflates whatever
+    # runs right after them (observed: the broadcast-join entries doubling
+    # when measured directly after the streaming block). Iteration order
+    # here is a measurement concern only — the driver's correctness order
+    # (`driver_registry()`) is unchanged.
+    ordered = sorted(
+        registry.items(), key=lambda kv: "streaming" in kv[1].tags
+    )
     timings: dict[str, float] = {}
-    for name, spec in registry.items():
+    for name, spec in ordered:
         t0 = time.perf_counter()
         df = spec.build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
