@@ -281,3 +281,50 @@ def q46_stream_dedup(spark, sf_dir):
         ["user_id", "event_type"]
     )
     return run_to_memory(spark, deduped, "q46_sink")
+
+
+def streaming_ann_topk(spark, sf_dir, k: int = 3):
+    """Continuous similarity search: a stream of query vectors scored per
+    micro-batch against the static embedding corpus (the streaming shape
+    of q44 — the EDBT'19 "similarity search for streaming data" pattern,
+    Spark-first).
+
+    Execution is ``foreachBatch`` — the standard batch-API-inside-
+    micro-batch composition: each trigger's query vectors are broadcast
+    against the (unchanging) corpus by the same :func:`operators.
+    similarity.cosine_topk` the batch tier uses, so streaming and batch
+    answers are IDENTICAL by construction (asserted in
+    ``tests/test_streaming_duality.py``). The harness accumulates batch
+    results and returns them as one DataFrame; a deployment would write
+    each micro-batch to its sink (Kafka/parquet) instead. At 100 TB the
+    corpus side is the big one and it streams once per trigger with the
+    tiny query side broadcast — same plan as batch q44.
+    """
+    import tempfile
+
+    from fs2_kafka_streams_spark.operators.similarity import cosine_topk
+
+    corpus = Catalog(spark, sf_dir).embeddings
+    qdir = replay_dir(sf_dir, table="embeddings", id_col="vec_id")
+    schema = spark.read.parquet(qdir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    collected: list = []
+
+    def score_batch(bdf, _epoch: int) -> None:
+        collected.extend(cosine_topk(corpus, bdf, k=k).collect())
+
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_ann_stream_")
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        collected, "query_id bigint, neighbor_id bigint, rank int, cos double"
+    )

@@ -210,3 +210,23 @@ def test_session_window_append_mode(spark):
     )
     got = sorted(tuple(r) for r in session_window_append(spark, SF_SMOKE).collect())
     assert got == expected and len(got) > 0
+
+
+def test_streaming_ann_equals_batch(spark):
+    """Streaming similarity search (micro-batched query stream scored
+    against the static corpus) must produce EXACTLY the batch q44 answer
+    for the same query set — the stream-batch duality of the ANN tier."""
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.operators.similarity import cosine_topk
+    from fs2_kafka_streams_spark.queries.streaming_ext import (
+        streaming_ann_topk,
+    )
+
+    emb = Catalog(spark, SF_SMOKE).embeddings
+    batch = sorted(
+        tuple(r) for r in cosine_topk(emb, emb, k=3).collect()
+    )
+    stream = sorted(
+        tuple(r) for r in streaming_ann_topk(spark, SF_SMOKE, k=3).collect()
+    )
+    assert stream == batch and len(stream) > 0
