@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         streaming_ext,
         llm,
         merged,
+        analytics,
     )
 
     return REGISTRY
@@ -145,7 +146,20 @@ def driver_registry() -> dict[str, QuerySpec]:
     for name, spec in reg.items():
         if (
             name.startswith(
-                ("q38b", "q44e", "q43f", "q43g", "q43h", "q43i", "q50")
+                (
+                    "q38b",
+                    "q44e",
+                    "q43f",
+                    "q43g",
+                    "q43h",
+                    "q43i",
+                    "q50",
+                    "q51",
+                    "q52",
+                    "q53",
+                    "q54",
+                    "q55",
+                )
             )
             and name not in out
         ):

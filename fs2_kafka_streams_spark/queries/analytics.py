@@ -1,0 +1,270 @@
+"""Event-sequence analytics (round 4): funnel, retention cohorts,
+transition matrix, SCD2 changelog history.
+
+These are the user-behavior queries a stream-processor deployment runs on
+top of its materialized tables — the reference materializes the keyed
+changelog (``streams/Tables.scala:46-70``) and this module adds the
+standard analytics that consume such a table/stream: ordered funnels,
+cohort retention, event-type transition counts, and the full versioned
+history (SCD type 2) that ``latest_by_key`` truncates to its head.
+
+Determinism notes (every query hash-matches a DuckDB oracle):
+
+- Funnel stage times use ``min`` aggregates and strict ``>`` comparisons —
+  no window-order dependence, so ties in ``ts`` cannot flip results.
+- Sequence windows order by ``(ts, event_id)``; ``event_id`` is unique, so
+  ``lag`` is deterministic.
+- Lag sums are integer epoch-seconds (Spark ``unix_timestamp`` ==
+  DuckDB ``floor(extract(epoch ...))`` for positive timestamps), summed as
+  BIGINT — exact and order-independent on both engines.
+
+Scale shape: everything here is one or two shuffles on ``user_id`` (the
+natural key the events stream is already keyed by in the reference's
+partitioned-consumer model, ``client/RecordStream.scala:14-16``), then a
+small re-aggregation. No Python in any plan; whole-stage codegen
+throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fs2_kafka_streams_spark.catalog import Catalog
+from fs2_kafka_streams_spark.operators.scd import changelog_history
+from fs2_kafka_streams_spark.queries import query
+
+
+@query(
+    "q51_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY 1
+    )
+    SELECT 'view' AS stage, CAST(1 AS INTEGER) AS stage_idx,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(NULL AS BIGINT) AS sum_lag_seconds
+    FROM v
+    UNION ALL
+    SELECT 'click', 2, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(extract(epoch FROM c.t_click)) AS BIGINT)
+                    - CAST(floor(extract(epoch FROM v.t_view)) AS BIGINT))
+                AS BIGINT)
+    FROM c JOIN v ON c.user_id = v.user_id
+    UNION ALL
+    SELECT 'purchase', 3, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(extract(epoch FROM p.t_purchase)) AS BIGINT)
+                    - CAST(floor(extract(epoch FROM c.t_click)) AS BIGINT))
+                AS BIGINT)
+    FROM p JOIN c ON p.user_id = c.user_id
+    """,
+    tags=("analytics", "events", "funnel"),
+)
+def q51_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase.
+
+    Each stage is the earliest qualifying event strictly after the previous
+    stage's time, per user; the output is one row per stage with the users
+    reaching it and the total integer-seconds lag from the previous stage.
+
+    Plan: three aggregations partitioned on ``user_id``; each stage joins
+    the previous stage's (user, min-ts) — at 100 TB the stage tables are
+    O(users), orders of magnitude smaller than the event log, and every
+    join/aggregate shares the ``user_id`` shuffle key so AQE coalesces the
+    exchanges. No windows, so skewed users cost one aggregate buffer, not
+    a sort.
+    """
+    e = Catalog(spark, sf_dir).events
+
+    def stage(df, etype, prev, prev_ts_col, out_col):
+        s = df.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts_col))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_col))
+
+    v = stage(e, "view", None, None, "t_view")
+    c = stage(e, "click", v, "t_view", "t_click")
+    p = stage(e, "purchase", c, "t_click", "t_purchase")
+
+    def epoch(col):
+        return F.unix_timestamp(F.col(col))
+
+    row_v = v.agg(
+        F.lit("view").alias("stage"),
+        F.lit(1).cast("int").alias("stage_idx"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.lit(None).cast("bigint").alias("sum_lag_seconds"),
+    )
+    row_c = (
+        c.join(v, "user_id")
+        .agg(
+            F.lit("click").alias("stage"),
+            F.lit(2).cast("int").alias("stage_idx"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(epoch("t_click") - epoch("t_view"))
+            .cast("bigint")
+            .alias("sum_lag_seconds"),
+        )
+    )
+    row_p = (
+        p.join(c, "user_id")
+        .agg(
+            F.lit("purchase").alias("stage"),
+            F.lit(3).cast("int").alias("stage_idx"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(epoch("t_purchase") - epoch("t_click"))
+            .cast("bigint")
+            .alias("sum_lag_seconds"),
+        )
+    )
+    return row_v.unionByName(row_c).unionByName(row_p)
+
+
+@query(
+    "q52_retention_cohort",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', CAST(f.cohort_week AS DATE),
+                                  CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+               AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity GROUP BY 1, 2
+    """,
+    tags=("analytics", "events", "retention"),
+)
+def q52_retention_cohort(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted as active per whole-week offset from that cohort week.
+
+    Plan: one ``user_id`` aggregation for first-seen, a join back to the
+    event log on the same key (shuffle reused), a distinct on
+    (user, cohort, offset) — O(users × weeks), tiny relative to the log —
+    then the final small groupBy. The week offset is computed as
+    floor(days/7) from the cohort week's Monday, which sidesteps
+    engine-specific ISO-week boundary rules.
+    """
+    e = Catalog(spark, sf_dir).events
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"),
+                           F.col("cohort_week").cast("date")) / 7.0
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+@query(
+    "q53_scd_history",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, event_type, value,
+             event_id AS valid_from,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS valid_to
+      FROM events
+    )
+    SELECT user_id, event_type, value, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM h WHERE event_type <> 'error'
+    """,
+    tags=("analytics", "scd", "changelog"),
+)
+def q53_scd_history(spark, sf_dir):
+    """SCD type-2 history of the events changelog keyed by ``user_id``
+    (``operators/scd.py``): every non-tombstone write stamped with its
+    validity interval; ``error`` events act as tombstones — they close the
+    preceding version's interval but emit no version row (the reference's
+    delete semantics, ``streams/Table.scala:52-56``). ``history.filter(
+    is_current)`` equals ``latest_by_key`` minus deleted keys (asserted in
+    tests/test_scd_history.py).
+
+    Plan: one shuffle on the key + a per-key ``lead`` window ordered by the
+    unique ``event_id`` — the operator's floor at any scale; output is
+    O(rows) by definition of a history.
+    """
+    e = Catalog(spark, sf_dir).events
+    hist = changelog_history(
+        e.withColumn("_tomb", F.col("event_type") == "error"),
+        key_cols=["user_id"],
+        order_col="event_id",
+        value_cols=["event_type", "value"],
+        tombstone_col="_tomb",
+    )
+    return hist.select(
+        "user_id", "event_type", "value", "valid_from", "valid_to",
+        "is_current",
+    )
+
+
+@query(
+    "q55_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "events", "sequence"),
+)
+def q55_event_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix (Markov bigram counts): for
+    each user's event sequence ordered by ``(ts, event_id)``, count
+    ``prev → next`` type pairs. The sequence-analytics primitive behind
+    path analysis on a partitioned, order-preserving stream (the
+    reference's per-partition ordering guarantee,
+    ``client/RecordStream.scala:14-16``).
+
+    Plan: one shuffle on ``user_id`` + per-key sort for ``lag``, then a
+    5×5 aggregate — map-side partials collapse it before the final
+    exchange.
+    """
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

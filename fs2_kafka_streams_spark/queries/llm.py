@@ -1307,3 +1307,55 @@ def q44e_ivf_ann(spark, sf_dir):
     return ivf_topk(emb, q, k=5, nlist=16, nprobe=4).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "q54_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_hyperplane_ctes()}, {_neardup_lsh_ctes()},
+    {_cc_ctes("ndp")},
+    sizes54 AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS n_members
+      FROM comp GROUP BY 1
+    )
+    SELECT comp.id AS vec_id, comp.component,
+           (comp.id = comp.component) AS is_kept,
+           sizes54.n_members
+    FROM comp JOIN sizes54 ON comp.component = sizes54.component
+    """,
+    tags=("llm", "similarity", "dedup", "clusters", "scale"),
+)
+def q54_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: hyperplane-LSH near-dup
+    pairs (cosine >= 0.4, banded candidates + exact verification) →
+    connected components → keep the min-id representative per semantic
+    cluster. One row per clustered vector with its cluster label, cluster
+    size, and keep/drop decision; vectors with no near-duplicate are
+    implicitly kept (join back with coalesce-to-self, as
+    ``dedup_keep_best`` does for text dedup).
+
+    Plan: O(n·bands) candidate shuffle (never O(n²)), then logarithmic
+    pointer-jumping rounds over the pair list — pairs are O(dups), tiny
+    relative to the corpus. The DuckDB oracle replays signature → band →
+    verify → min-reachable-id fixed point as a recursive CTE.
+    """
+    from fs2_kafka_streams_spark.operators.clusters import (
+        connected_components,
+    )
+    from fs2_kafka_streams_spark.operators.similarity import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    pairs = embedding_neardup_pairs_lsh(
+        Catalog(spark, sf_dir).embeddings, threshold=0.4
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("vec_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("is_kept"),
+        "n_members",
+    )
