@@ -159,6 +159,7 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q53",
                     "q54",
                     "q55",
+                    "q56",
                 )
             )
             and name not in out

@@ -268,3 +268,45 @@ def q55_event_transitions(spark, sf_dir):
         .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q56_incremental_upsert",
+    oracle="""
+    WITH last AS (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+               AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, value, event_id AS last_event_id
+    FROM last WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("analytics", "changelog", "incremental", "scale"),
+)
+def q56_incremental_upsert(spark, sf_dir):
+    """Incremental table maintenance (``operators/incremental.py``): fold
+    the first two-thirds of the events changelog into a snapshot, then
+    MERGE only the remaining third onto it — last-write-wins per key,
+    ``error`` writes delete the key (reference ``Table.scala:52-56``). The
+    oracle folds the WHOLE log in one pass; equality proves snapshot+delta
+    ≡ full fold, i.e. recovery from a checkpoint never rescans the prefix
+    (the reference's committed-offset recovery, ``Table.scala:64-95``).
+
+    Plan: the delta apply shuffles O(snapshot keys + delta rows),
+    independent of log length — the property that matters at 100 TB.
+    """
+    from fs2_kafka_streams_spark.operators.incremental import apply_changes
+
+    e = Catalog(spark, sf_dir).events.withColumn(
+        "_tomb", F.col("event_type") == "error"
+    )
+    split = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    seg1, seg2 = e.filter(F.col("ts") < split), e.filter(F.col("ts") >= split)
+    snap = apply_changes(
+        None, seg1, ["user_id"], "event_id", ["event_type", "value"], "_tomb"
+    )
+    merged = apply_changes(
+        snap, seg2, ["user_id"], "event_id", ["event_type", "value"], "_tomb"
+    )
+    return merged.withColumnRenamed("event_id", "last_event_id")
