@@ -160,6 +160,7 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q54",
                     "q55",
                     "q56",
+                    "q57",
                 )
             )
             and name not in out

@@ -310,3 +310,43 @@ def q56_incremental_upsert(spark, sf_dir):
         snap, seg2, ["user_id"], "event_id", ["event_type", "value"], "_tomb"
     )
     return merged.withColumnRenamed("event_id", "last_event_id")
+
+
+@query(
+    "q57_stream_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN ts END
+                        IGNORE NULLS) OVER w AS base_ts,
+             last_value(CASE WHEN event_type = 'view' THEN event_id END
+                        IGNORE NULLS) OVER w AS base_event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, base_event_id, event_id AS trigger_event_id,
+           base_ts, ts AS trigger_ts,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+           - CAST(floor(extract(epoch FROM base_ts)) AS BIGINT)
+             AS lag_seconds
+    FROM seq
+    WHERE event_type = 'click' AND base_ts IS NOT NULL
+      AND ts - base_ts <= INTERVAL '2 hours'
+    """,
+    tags=("streaming", "analytics", "cep", "stateful"),
+)
+def q57_stream_pattern_match(spark, sf_dir):
+    """Streaming pattern detection (CEP): "click within 2 hours after a
+    view" per user, run as a REAL stateful streaming query
+    (``streaming/cep.py`` — ``applyInPandasWithState`` over the
+    time-ordered replay, one base-event row of state per key). The oracle
+    is the batch last-prior-base window formulation; hash equality proves
+    the stream processed its per-key sequences in exact ``(ts, event_id)``
+    order with bounded O(keys) state."""
+    from fs2_kafka_streams_spark.streaming.cep import pattern_match_stream
+
+    return pattern_match_stream(
+        spark, sf_dir, base_type="view", trigger_type="click",
+        gap="120 minutes",
+    )

@@ -230,3 +230,20 @@ def test_streaming_ann_equals_batch(spark):
         tuple(r) for r in streaming_ann_topk(spark, SF_SMOKE, k=3).collect()
     )
     assert stream == batch and len(stream) > 0
+
+
+def test_cep_stream_equals_batch(spark):
+    """The stateful CEP stream must equal the batch window formulation
+    row-for-row — per-key order + state carry across micro-batches."""
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.streaming.cep import (
+        pattern_match_batch,
+        pattern_match_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    streamed = pattern_match_stream(spark, SF_SMOKE)
+    batch = pattern_match_batch(Catalog(spark, SF_SMOKE).events)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
