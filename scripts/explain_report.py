@@ -85,6 +85,22 @@ HEADLINERS: dict[str, list[str]] = {
         "exactly ONE parquet scan for all per-column stats (multi-DISTINCT "
         "via a single Expand, never per-column re-scans)",
     ],
+    "q51_funnel": [
+        "event-type filters pushed to each stage's parquet scan "
+        "(PushedFilters with EqualTo(event_type, ...))",
+        "stage tables are per-user aggregates (O(users)); no windows, "
+        "no single-partition sort",
+    ],
+    "q53_scd_history": [
+        "one exchange on the key + per-key lead window — the operator's "
+        "floor; tombstone filter above the window, no second shuffle",
+    ],
+    "q56_incremental_upsert": [
+        "delta folded by ONE hash aggregation (max_by), then a single "
+        "full-outer SortMergeJoin on the key — shuffle is O(snapshot keys "
+        "+ delta), never O(log)",
+        "no CartesianProduct / BroadcastNestedLoopJoin",
+    ],
 }
 
 
