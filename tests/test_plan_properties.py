@@ -166,3 +166,34 @@ def test_profile_single_scan(spark):
     plan = _plan(_registry()["q50_table_profile"].build(spark, SF_SMOKE))
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" in plan
+
+
+def test_funnel_no_window_and_pushed_stage_filters(spark):
+    """q51's stages must push their event-type equality to the scan and
+    must not plan any Window (a skewed user costs an agg buffer, not a
+    per-key sort)."""
+    plan = _plan(_registry()["q51_funnel"].build(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "EqualTo(event_type," in plan
+
+
+def test_incremental_upsert_single_join_no_nested_loop(spark):
+    """q56's merge must be one equi-join (full outer) — never a nested
+    loop / cartesian — and the delta fold must partial-aggregate before
+    its exchange."""
+    plan = _plan(_registry()["q56_incremental_upsert"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") >= 1
+    # one join only: the snapshot fold + delta fold + merge, no extra
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1
+
+
+def test_scd_history_single_exchange(spark):
+    """q53: one shuffle on the key, then the lead window — no second
+    exchange above the window."""
+    plan = _plan(_registry()["q53_scd_history"].build(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
