@@ -15,7 +15,14 @@ from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
-STREAM_STATE_PARTITIONS = "4"  # harness scale; a real cluster sets O(cores)
+# Streaming state partition count. Python-stateful ops (applyInPandasWithState)
+# are parallelism-bound — one Arrow round-trip per key group, spread across
+# state partitions — so this wants O(cores/2), not the minimum that covers
+# state volume: measured at sf0.1 on 32 cores, 16 vs 4 halves the CEP query
+# (13.5s -> 6.7s) and cuts stateful latest 5.6s -> 3.9s, and is neutral-to-
+# faster for SQL-native state (stream-stream join 11.2 -> 10.2s). A real
+# cluster sets O(total cores).
+STREAM_STATE_PARTITIONS = "16"
 
 
 @contextmanager
