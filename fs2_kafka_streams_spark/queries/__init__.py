@@ -161,6 +161,7 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q55",
                     "q56",
                     "q57",
+                    "q58",
                 )
             )
             and name not in out

@@ -350,3 +350,37 @@ def q57_stream_pattern_match(spark, sf_dir):
         spark, sf_dir, base_type="view", trigger_type="click",
         gap="120 minutes",
     )
+
+
+@query(
+    "q58_fuzzy_match",
+    oracle="""
+    WITH names AS (
+      SELECT p_name AS n, CAST(min(p_partkey) AS BIGINT) AS id
+      FROM part GROUP BY 1
+    ),
+    b AS (SELECT id, n, split_part(n, ' ', 1) AS tok FROM names)
+    SELECT a.id AS id_a, c.id AS id_b, a.n AS name_a, c.n AS name_b,
+           CAST(levenshtein(a.n, c.n) AS INTEGER) AS dist
+    FROM b a JOIN b c
+      ON a.tok = c.tok AND a.id < c.id
+      AND abs(length(a.n) - length(c.n)) <= 4
+    WHERE levenshtein(a.n, c.n) <= 4
+    """,
+    tags=("analytics", "dedup", "fuzzy", "entity-resolution"),
+)
+def q58_fuzzy_match(spark, sf_dir):
+    """Entity resolution over the part-name vocabulary
+    (``operators/fuzzy.py``): blocked fuzzy-match join — candidates from a
+    first-token blocking key, verified with banded Levenshtein ≤ 4. The
+    short-string counterpart of the shingle/LSH text-dedup family;
+    O(n·blocks) candidate shuffle with a block-size skew guard, and the
+    thresholded DP (O(d·len) per pair) replays exactly in DuckDB's
+    unthresholded ``levenshtein`` filtered to the same bound."""
+    from fs2_kafka_streams_spark.operators.fuzzy import fuzzy_pairs
+
+    p = Catalog(spark, sf_dir).part
+    names = p.groupBy(F.col("p_name").alias("n")).agg(
+        F.min("p_partkey").cast("bigint").alias("id")
+    )
+    return fuzzy_pairs(names, "n", "id", max_dist=4)
