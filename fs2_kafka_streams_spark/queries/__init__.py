@@ -162,6 +162,7 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q56",
                     "q57",
                     "q58",
+                    "q59",
                 )
             )
             and name not in out

@@ -384,3 +384,55 @@ def q58_fuzzy_match(spark, sf_dir):
         F.min("p_partkey").cast("bigint").alias("id")
     )
     return fuzzy_pairs(names, "n", "id", max_dist=4)
+
+
+@query(
+    "q59_stream_funnel_match",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN ts END
+                        IGNORE NULLS) OVER w AS v_ts,
+             last_value(CASE WHEN event_type = 'view' THEN event_id END
+                        IGNORE NULLS) OVER w AS v_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), s2 AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN q THEN ts END IGNORE NULLS) OVER w AS c_ts,
+             last_value(CASE WHEN q THEN event_id END IGNORE NULLS) OVER w
+               AS c_id,
+             last_value(CASE WHEN q THEN v_ts END IGNORE NULLS) OVER w
+               AS cv_ts,
+             last_value(CASE WHEN q THEN v_id END IGNORE NULLS) OVER w
+               AS cv_id
+      FROM (SELECT *, event_type = 'click' AND v_ts IS NOT NULL
+                      AND ts - v_ts <= INTERVAL '12 hours' AS q
+            FROM s1)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, cv_id AS view_event_id, c_id AS click_event_id,
+           event_id AS purchase_event_id, cv_ts AS view_ts,
+           c_ts AS click_ts, ts AS purchase_ts,
+           CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+           - CAST(floor(extract(epoch FROM cv_ts)) AS BIGINT)
+             AS total_lag_seconds
+    FROM s2
+    WHERE event_type = 'purchase' AND c_ts IS NOT NULL
+      AND ts - c_ts <= INTERVAL '12 hours'
+    """,
+    tags=("streaming", "analytics", "cep", "funnel", "stateful"),
+)
+def q59_stream_funnel_match(spark, sf_dir):
+    """3-stage streaming funnel (CEP): view → click → purchase, each hop
+    within 12 hours, as a REAL stateful streaming query
+    (``streaming/cep.py::funnel_match_stream``) — state per key is two
+    rows (last view; last qualified click + its view), bounded forever.
+    The oracle chains two last-prior-qualified windows; hash equality
+    proves multi-stage pattern state carries correctly across
+    micro-batches."""
+    from fs2_kafka_streams_spark.streaming.cep import funnel_match_stream
+
+    return funnel_match_stream(spark, sf_dir)

@@ -247,3 +247,20 @@ def test_cep_stream_equals_batch(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_funnel_stream_equals_batch(spark):
+    """The 3-stage funnel stream must equal the chained-window batch
+    formulation — two levels of qualified state across micro-batches."""
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.streaming.cep import (
+        funnel_match_batch,
+        funnel_match_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    streamed = funnel_match_stream(spark, SF_SMOKE)
+    batch = funnel_match_batch(Catalog(spark, SF_SMOKE).events)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
