@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm,
         merged,
         analytics,
+        timeseries,
     )
 
     return REGISTRY
@@ -163,6 +164,10 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q57",
                     "q58",
                     "q59",
+                    "q60",
+                    "q61",
+                    "q62",
+                    "q63",
                 )
             )
             and name not in out

@@ -1,0 +1,309 @@
+"""Time-series analytics (round 4, third batch): gap filling, equi-width
+histograms, rolling anomaly detection, time-weighted averages.
+
+The reference materializes keyed changelogs consumed in timestamp order
+(``client/RecordStream.scala:14-16``, ``streams/Tables.scala:46-70``);
+these are the standard time-series queries a deployment runs on top of
+such a stream: regularize an irregular series onto a fixed calendar spine
+(gap-fill + forward-fill), summarize a value distribution (histogram),
+flag outliers against a trailing baseline (rolling z-score), and average
+a sampled signal weighted by how long each sample was current (TWA — the
+right mean for irregularly-sampled state, e.g. a price or sensor level).
+
+Determinism notes (every query hash-matches a DuckDB oracle):
+
+- All money/value arithmetic is exact: 2-dp doubles become DECIMAL(18,2)
+  or BIGINT cents before any sum (see :mod:`..canonical`).
+- The anomaly decision |z| > 3 is evaluated on exact integer sufficient
+  statistics — ``(n·x − S1)²·(n−1) > 9·n·(n·S2 − S1²)`` — so no engine
+  ever computes a float stddev; there is no rounding boundary to disagree
+  on. (At 100 TB magnitudes the same identity runs in DECIMAL(38,0); the
+  driver tables fit comfortably in BIGINT cents.)
+- Forward fill orders by the day column, which is unique within each
+  partition, so ``last(..., ignorenulls)`` is frame-deterministic.
+- TWA weights are integer epoch-second gaps (``unix_timestamp`` ==
+  DuckDB ``floor(extract(epoch ...))``); the single final division is one
+  IEEE double op on bit-identical inputs, identical on both engines.
+
+Scale shape: the calendar spine is generated row-locally per group
+(``sequence`` + ``explode`` — zero extra shuffle); histograms are pure
+projection + one map-side-combined aggregate; the rolling window and TWA
+shuffle once on their natural key. Nothing here collects to the driver
+and no window is unpartitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fs2_kafka_streams_spark.canonical import dsum_expr, dec2
+from fs2_kafka_streams_spark.catalog import Catalog
+from fs2_kafka_streams_spark.queries import query
+
+
+@query(
+    "q60_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    )
+    SELECT s.event_type, s.day, d.rev,
+           last_value(d.rev IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS rev_filled,
+           (d.rev IS NOT NULL) AS has_data
+    FROM spine s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.day = d.day
+    """,
+    tags=("timeseries", "events", "gapfill"),
+)
+def q60_gapfill(spark, sf_dir):
+    """Gap-fill an irregular daily series onto a dense calendar spine and
+    forward-fill missing days (the ``time_bucket_gapfill`` / ``locf``
+    primitive of time-series stores).
+
+    Plan: the daily pre-aggregate is one shuffle on (type, day); the spine
+    is ``sequence(min_day, max_day)`` exploded **row-locally from the
+    per-type bounds row** — O(types) rows expanded to O(types × days),
+    never a driver loop or a cross join. The forward fill is a window
+    partitioned by type (bounded partitions: days don't scale with event
+    volume), and the spine ⋈ daily join is a broadcast hash join — both
+    sides are post-aggregation O(types × days) relations, never the raw
+    event log.
+    """
+    e = Catalog(spark, sf_dir).events
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(dsum_expr(dec2("value")).alias("rev"))
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            "rev",
+            F.last("rev", ignorenulls=True).over(w).alias("rev_filled"),
+            F.col("rev").isNotNull().alias("has_data"),
+        )
+    )
+
+
+@query(
+    "q61_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
+           CAST(CAST(floor(o_totalprice / 50000.0) AS INTEGER) * 50000.0
+                AS DOUBLE) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY 1
+    """,
+    tags=("timeseries", "analytics", "histogram"),
+)
+def q61_histogram(spark, sf_dir):
+    """Equi-width value histogram of order totals (bucket = 50k).
+
+    Equi-width, not equi-depth, is the 100 TB-safe formulation: bucket
+    assignment is a scan-stage projection and the aggregate map-side
+    combines to O(buckets) rows — an ``ntile`` equi-depth histogram would
+    need a global sort through a single partition. (Equi-depth at scale is
+    served by the existing ``approx_percentile`` tier in q13b.) The
+    bucket boundary is one IEEE double divide + floor on identical
+    inputs, so both engines bucket every row identically.
+    """
+    o = Catalog(spark, sf_dir).orders
+    bucket = F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum_expr(dec2("o_totalprice")).alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(50000.0)).alias("bucket_lo"),
+            "n",
+            "sum_price",
+            "min_price",
+            "max_price",
+        )
+    )
+
+
+@query(
+    "q62_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, day, cents,
+             sum(cents) OVER w AS s1,
+             sum(cents * cents) OVER w AS s2,
+             count(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day,
+           CAST(cents AS DOUBLE) / 100.0 AS rev,
+           CAST(n AS BIGINT) AS n_base,
+           CAST(s1 AS DOUBLE) / (100.0 * n) AS base_mean,
+           (n * cents - s1) * (n * cents - s1) * (n - 1)
+             > 9 * n * (n * s2 - s1 * s1) AS is_anomaly
+    FROM stats WHERE n >= 5
+    """,
+    tags=("timeseries", "events", "anomaly"),
+)
+def q62_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection: flag days whose revenue deviates
+    more than 3 trailing standard deviations from the preceding 7-day
+    baseline, per event type.
+
+    The |z| > 3 test is evaluated as ``(n·x − S1)²·(n−1) > 9·n·(n·S2 −
+    S1²)`` over exact BIGINT cent sums — algebraically identical to
+    ``((x−μ)/σ_samp)² > 9`` but with no floating-point mean, variance, or
+    sqrt anywhere, so the decision replays bit-for-bit in DuckDB. (The
+    same identity runs in DECIMAL(38,0) when magnitudes outgrow BIGINT.)
+
+    Plan: one (type, day) aggregation, then a window over the tiny daily
+    series partitioned by type — the window input is O(types × days),
+    independent of event volume, so the per-partition sort is bounded at
+    any scale.
+    """
+    e = Catalog(spark, sf_dir).events
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents).alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    x, s1, s2, n = (F.col(c) for c in ("cents", "s1", "s2", "n"))
+    return stats.filter(n >= 5).select(
+        "event_type",
+        "day",
+        (x.cast("double") / F.lit(100.0)).alias("rev"),
+        n.alias("n_base"),
+        (s1.cast("double") / (F.lit(100.0) * n)).alias("base_mean"),
+        (
+            (n * x - s1) * (n * x - s1) * (n - F.lit(1))
+            > F.lit(9) * n * (n * s2 - s1 * s1)
+        ).alias("is_anomaly"),
+    )
+
+
+@query(
+    "q63_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS t,
+             lead(CAST(floor(extract(epoch FROM ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             sum(cents * (t_next - t)) AS wsum,
+             sum(t_next - t) AS wtot,
+             count(*) AS n_events
+      FROM seq WHERE t_next IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, CAST(n_events + 1 AS BIGINT) AS n_events,
+           CAST(wtot AS BIGINT) AS span_seconds,
+           CAST(wsum AS DOUBLE) / (100.0 * wtot) AS twa_value
+    FROM agg WHERE wtot > 0
+    """,
+    tags=("timeseries", "events", "twa"),
+)
+def q63_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of each user's ``value`` signal: every
+    observation is weighted by how long it remained current (until the
+    next event), i.e. the integral of the last-observation-carried-forward
+    curve divided by the observed span — the correct mean for
+    irregularly-sampled state and the ``time_weight('locf')`` primitive
+    of time-series databases.
+
+    Exactness: weights are integer epoch-second gaps from ``lead`` over
+    the deterministic ``(ts, event_id)`` order; value·weight products are
+    BIGINT cent-seconds, summed exactly; the one final division is a
+    single IEEE double op on identical inputs.
+
+    Plan: one shuffle on ``user_id`` feeding both the ``lead`` window and
+    the aggregation (same key — AQE reuses the exchange), output O(users).
+    """
+    e = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_timestamp("ts").alias("t"),
+        F.lead(F.unix_timestamp("ts")).over(w).alias("t_next"),
+    )
+    gap = F.col("t_next") - F.col("t")
+    agg = (
+        seq.filter(F.col("t_next").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * gap).alias("wsum"),
+            F.sum(gap).alias("wtot"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return agg.filter(F.col("wtot") > 0).select(
+        "user_id",
+        (F.col("n_events") + 1).cast("bigint").alias("n_events"),
+        F.col("wtot").cast("bigint").alias("span_seconds"),
+        (F.col("wsum").cast("double") / (F.lit(100.0) * F.col("wtot"))).alias(
+            "twa_value"
+        ),
+    )
