@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
         merged,
         analytics,
         timeseries,
+        sketches,
     )
 
     return REGISTRY
@@ -168,6 +169,7 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q61",
                     "q62",
                     "q63",
+                    "q64",
                 )
             )
             and name not in out

@@ -1,0 +1,81 @@
+"""Mergeable sketch aggregates (round 4): the 100 TB distinct-count tier.
+
+An exact ``COUNT(DISTINCT)`` over 100 TB shuffles every distinct key; the
+deployment-shape alternative is a **mergeable sketch**: each shard builds
+a fixed-size HLL sketch (Apache DataSketches, built into Spark as
+``hll_sketch_agg`` / ``hll_union_agg``), partials merge associatively, and
+the estimate is read once at the end — O(shards × 2^lgK) bytes moved,
+independent of cardinality. This is also the only aggregate family that
+supports **incremental** maintenance: yesterday's sketch unions with
+today's delta without rescanning history (the sketch twin of
+``operators/incremental.py``'s snapshot+delta MERGE).
+
+DuckDB has no DataSketches HLL, so the oracle checks what IS
+engine-portable: the exact distinct counts, plus two *property columns*
+the Spark side must prove about its sketches —
+
+- ``merge_consistent``: the union of 8 shard-partial sketches estimates
+  EXACTLY what the one-pass sketch estimates (register-wise max is
+  insertion-partition-invariant — the associativity that makes the
+  pattern safe to distribute);
+- ``est_within_5pct``: the estimate lands within 5% of the exact count
+  (lgConfigK=12 → ~1.6% standard error; 5% is a hard bound, not a hope).
+
+The oracle emits ``TRUE`` for both, so a sketch regression fails the
+driver's hash check loudly rather than degrading silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fs2_kafka_streams_spark.catalog import Catalog
+from fs2_kafka_streams_spark.queries import query
+
+
+@query(
+    "q64_hll_sketch_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS merge_consistent,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY 1
+    """,
+    tags=("sketch", "approx", "scale", "events"),
+)
+def q64_hll_sketch_merge(spark, sf_dir):
+    """Distinct users per event type, three ways at once: exact, one-pass
+    HLL sketch, and an 8-shard partial-sketch union — asserting the merged
+    path equals the direct path and both land within 5% of exact.
+
+    Plan: the sharded path is the deployment shape — partials are
+    map-side-combinable fixed-size binaries, so the shuffle carries
+    O(types × shards × 4 KB) regardless of user cardinality; the exact
+    ``countDistinct`` here is the verification baseline, not the scale
+    recommendation."""
+    e = Catalog(spark, sf_dir).events
+    lg_k = 12
+
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+    )
+    merged = (
+        e.withColumn("shard", F.pmod(F.col("event_id"), F.lit(8)))
+        .groupBy("event_type", "shard")
+        .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("psk"))
+        .groupBy("event_type")
+        .agg(F.hll_union_agg("psk", F.lit(False)).alias("msk"))
+    )
+    est_d = F.hll_sketch_estimate("sk")
+    est_m = F.hll_sketch_estimate("msk")
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (est_d == est_m).alias("merge_consistent"),
+        (
+            F.abs(est_d - F.col("n_exact"))
+            <= F.lit(0.05) * F.col("n_exact")
+        ).alias("est_within_5pct"),
+    )
