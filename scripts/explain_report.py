@@ -101,6 +101,30 @@ HEADLINERS: dict[str, list[str]] = {
         "+ delta), never O(log)",
         "no CartesianProduct / BroadcastNestedLoopJoin",
     ],
+    "q60_gapfill": [
+        "calendar spine via Generate (sequence explode) from the per-type "
+        "bounds row — row-local, never a driver loop or cross join",
+        "spine ⋈ daily is a BroadcastHashJoin of two post-aggregation "
+        "relations; forward-fill window partitioned by type (O(days) "
+        "per partition at any scale)",
+    ],
+    "q62_anomaly": [
+        "rolling window consumes the (type, day) PRE-AGGREGATE — "
+        "HashAggregate below Window — never the raw event log",
+        "no single-partition window; |z|>3 decided on exact integer "
+        "sufficient statistics (no float stddev in the plan)",
+    ],
+    "q63_time_weighted_avg": [
+        "exactly ONE Exchange hashpartitioning(user_id): the lead window "
+        "and the aggregation share the shuffle",
+    ],
+    "q64_hll_sketch_merge": [
+        "both sketch paths partial-aggregate (ObjectHashAggregate "
+        "partial/final pairs) — fixed-size sketches map-side combine, so "
+        "shuffle volume is O(groups × 4 KB) regardless of cardinality",
+        "final per-type join of two tiny aggregates is broadcast, never "
+        "a nested loop",
+    ],
 }
 
 

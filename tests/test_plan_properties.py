@@ -197,3 +197,51 @@ def test_scd_history_single_exchange(spark):
     plan = _plan(_registry()["q53_scd_history"].build(spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_twa_single_exchange(spark):
+    """q63: the user_id shuffle must be paid ONCE — the lead window and the
+    aggregation share it (AQE must not insert a second hash exchange)."""
+    plan = _plan(_registry()["q63_time_weighted_avg"].build(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_gapfill_spine_is_rowlocal_and_join_broadcast(spark):
+    """q60: the calendar spine must come from Generate (sequence explode),
+    never a driver loop or a cartesian; the spine ⋈ daily join must be a
+    broadcast hash join between the two post-aggregation relations."""
+    plan = _plan(_registry()["q60_gapfill"].build(spark, SF_SMOKE))
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_histogram_is_projection_plus_partial_agg(spark):
+    """q61: bucket assignment must stay a scan-stage projection feeding a
+    map-side-combined aggregate — no window, no sort, no join."""
+    plan = _plan(_registry()["q61_histogram"].build(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_anomaly_window_runs_on_daily_preaggregate(spark):
+    """q62: the rolling-statistics window must consume the (type, day)
+    aggregate — an aggregation below the window in the plan tree — never
+    the raw event log, and stay partitioned (no single-partition window)."""
+    plan = _plan(_registry()["q62_anomaly"].build(spark, SF_SMOKE))
+    win = plan.index("Window")
+    assert "HashAggregate" in plan[win:], "window must sit above the daily agg"
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_sketch_merge_no_cartesian_and_partial_aggs(spark):
+    """q64: both sketch paths must partial-aggregate (map-side combinable
+    fixed-size sketches are the whole point); the final type-level join of
+    two tiny aggregates must never be a nested loop."""
+    plan = _plan(_registry()["q64_hll_sketch_merge"].build(spark, SF_SMOKE))
+    assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
