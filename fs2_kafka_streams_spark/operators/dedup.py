@@ -48,6 +48,24 @@ def exact_dedup(
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Redistribute a coarsely-partitioned input before CPU-heavy per-row
+    work (tokenization, shingle explode, vectorized packing).
+
+    A scan's parallelism is bounded by its row-group splits; a corpus
+    delivered as a few large files (or the harness's single-row-group
+    oracle tables) would otherwise serialize the whole pipeline on a
+    handful of cores while the rest idle. When the scan already yields at
+    least ``defaultParallelism`` splits — the normal 100 TB case, where
+    repartitioning would be a pointless extra shuffle of raw text — this
+    is a no-op and adds nothing to the plan.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _doc_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int, portable: bool = False
 ) -> DataFrame:
@@ -60,10 +78,12 @@ def _doc_shingles(
     against these same hashed sets so the tiers stay mutually consistent.
     ``portable`` selects the md5-derived hash that DuckDB can reproduce.
     """
-    tok = tokens(text_col)
     hasher = md5_int64 if portable else F.xxhash64
+    base = _spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    )
     return (
-        df.select(F.col(id_col).alias("_id"), tok.alias("_tok"))
+        base.select("_id", tokens("_txt").alias("_tok"))
         .filter(F.size("_tok") >= n)
         .select("_id", F.explode(shingles(F.col("_tok"), n)).alias("_sh_raw"))
         .select("_id", hasher(F.col("_sh_raw")).alias("_sh"))
@@ -316,7 +336,10 @@ def simhash(
     import numpy as np
     import pandas as pd
 
-    tok = tokens(text_col)
+    base = _spread(
+        df.select(F.col(id_col).alias("_sid"), F.col(text_col).alias("_txt"))
+    )
+    tok = tokens("_txt")
     if portable:
         lo = F.transform(tok, lambda t: md5_int64(t))  # bits 0-59
         hi = F.transform(tok, lambda t: md5_int64_hi(t))  # bits 60-63
@@ -356,8 +379,8 @@ def simhash(
 
     pack = F.pandas_udf(_pack, returnType="bigint")
     return (
-        df.select(
-            F.col(id_col).alias("_id"), lo.alias("_lo"), hi.alias("_hi")
+        base.select(
+            F.col("_sid").alias("_id"), lo.alias("_lo"), hi.alias("_hi")
         )
         .filter(F.size("_lo") > 0)
         .select(
