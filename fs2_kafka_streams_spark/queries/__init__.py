@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics,
         timeseries,
         sketches,
+        extensions,
     )
 
     return REGISTRY
@@ -170,6 +171,8 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q62",
                     "q63",
                     "q64",
+                    "q65",
+                    "q66",
                 )
             )
             and name not in out

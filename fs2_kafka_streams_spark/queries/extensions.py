@@ -1,0 +1,155 @@
+"""Engine-extension surface (round 4): VariantType semi-structured data
+and Python UDTFs — the two Spark-4 extension points a reference user
+migrating pipelines would reach for next.
+
+- **Variant** is Spark 4's open semi-structured type (binary-encoded
+  JSON, shredded for pushdown): ``parse_json`` replaces the
+  schema-on-write ``from_json`` when payload shape drifts — the same
+  in-band-error posture as the reference's decode path
+  (``model/package.scala:16``: malformed input is data, not an
+  exception), with ``try_parse_json``/``try_variant_get`` yielding NULL
+  in place of a thrown error.
+- **Python UDTF** is the table-function tier of the UDF surface (Q39/Q40
+  cover scalar + grouped-map): one input row → N output rows with an
+  Arrow-batched generator. Here it powers sentence segmentation, the
+  canonical pre-tokenization document transform.
+
+Both are hash-checked against DuckDB (JSON functions; ``unnest`` +
+``string_split``), so the extension surface is held to the same oracle
+bar as the relational core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fs2_kafka_streams_spark.catalog import Catalog
+from fs2_kafka_streams_spark.queries import query
+
+
+@query(
+    "q65_variant_json",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 20 = 0 THEN NULL
+                  ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+             (event_id % 20 = 0) AS is_corrupt
+      FROM (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 20 = 0 THEN 'x' || props
+                    ELSE props END AS props
+        FROM events
+      )
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS n_parsed,
+           CAST(sum(CAST(is_corrupt AS BIGINT)) AS BIGINT) AS n_corrupt,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM parsed GROUP BY 1
+    """,
+    tags=("extension", "variant", "json", "events"),
+)
+def q65_variant_json(spark, sf_dir):
+    """Semi-structured ingestion on the VariantType path: corrupt every
+    20th ``props`` payload (the q32 DLQ fixture shape), ``try_parse_json``
+    into a variant — malformed rows become NULL variants in-band, the
+    reference's deserialize-totality contract (``Tables.scala:24-27``) —
+    then ``try_variant_get`` the typed field and aggregate parse health
+    per event type.
+
+    Plan: pure scan-stage projections (variant parse/get are codegen
+    expressions) + one map-side-combined aggregate — the variant tier
+    costs no more plan structure than the string-JSON tier it replaces.
+    """
+    e = Catalog(spark, sf_dir).events
+    corrupted = e.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 20 == 0, F.concat(F.lit("x"), F.col("props"))
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = corrupted.select(
+        "event_type",
+        F.try_variant_get(
+            F.try_parse_json("props"), "$.k", "bigint"
+        ).alias("k"),
+        (F.col("event_id") % 20 == 0).alias("is_corrupt"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_parsed"),
+        F.sum(F.col("is_corrupt").cast("bigint")).alias("n_corrupt"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@query(
+    "q66_python_udtf",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, '.') AS ps
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    pos AS (
+      SELECT doc_id, ps,
+             unnest(generate_series(1, len(ps))) AS i
+      FROM parts
+    ),
+    sent AS (
+      SELECT doc_id, i, trim(ps[i]) AS sentence FROM pos
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                AS INTEGER) AS sentence_idx,
+           sentence,
+           CAST(length(sentence) AS INTEGER) AS n_chars
+    FROM sent WHERE sentence <> ''
+    """,
+    tags=("extension", "udtf", "documents"),
+)
+def q66_python_udtf(spark, sf_dir):
+    """Sentence segmentation via a real Python UDTF (`@udtf` table
+    function, Spark 4's row→rows extension tier): each document yields
+    one row per non-empty '.'-separated sentence with its ordinal and
+    length. The UDTF composes with a lateral join — the declared query
+    keeps the filter on ``doc_id`` BELOW the UDTF so the expansion only
+    runs on the selected documents.
+
+    Scale: the UDTF is a per-row generator (no state across rows), so it
+    parallelizes with the scan and adds no shuffle; the Python hop is
+    the cost of the tier and the reason `explode(split(...))` (q29b)
+    remains the recommendation when the transform is expressible in
+    column functions — this entry exists to prove the extension point
+    itself, on the same oracle bar.
+    """
+    from pyspark.sql.functions import udtf, lit
+
+    @udtf(returnType="sentence_idx int, sentence string, n_chars int")
+    class SplitSentences:
+        def eval(self, text: str):
+            idx = 0
+            for raw in (text or "").split("."):
+                s = raw.strip()
+                if s:
+                    yield idx, s, len(s)
+                    idx += 1
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    d = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 10 == 0)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_chars
+        FROM _udtf_docs d,
+             LATERAL split_sentences(d.text) s
+        """
+    )
