@@ -173,6 +173,7 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q64",
                     "q65",
                     "q66",
+                    "q67",
                 )
             )
             and name not in out

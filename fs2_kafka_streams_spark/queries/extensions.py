@@ -131,7 +131,7 @@ def q66_python_udtf(spark, sf_dir):
     column functions — this entry exists to prove the extension point
     itself, on the same oracle bar.
     """
-    from pyspark.sql.functions import udtf, lit
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="sentence_idx int, sentence string, n_chars int")
     class SplitSentences:
@@ -152,4 +152,50 @@ def q66_python_udtf(spark, sf_dir):
         FROM _udtf_docs d,
              LATERAL split_sentences(d.text) s
         """
+    )
+
+
+@query(
+    "q67_python_datasource",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value, props
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("extension", "source", "kafka-wire", "core"),
+)
+def q67_python_datasource(spark, sf_dir):
+    """The flagship fold (A7) run END-TO-END through our own source
+    implementation: the broker-less Kafka-wire Python DataSource
+    (``sources/python_source.py``) serves the events table as
+    key/value/partition/offset records, the A3 decode path parses the
+    JSON values back to typed rows (timestamps as epoch-µs — exact and
+    timezone-proof), and ``latest_by_key`` materializes the table. Hash
+    equality against the q17 oracle proves the whole wire round-trip
+    (serialize → partition → offset-order → deserialize → fold) is
+    lossless — the closest broker-less equivalent of the reference's
+    integration test (``RecordStreamSpec.scala:93-141``).
+
+    Plan: the source plans one read task per topic-partition; decode is
+    scan-stage projection; the fold is the same single max_by
+    aggregation as q17.
+    """
+    from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
+    from fs2_kafka_streams_spark.sources.python_source import (
+        decode_wire,
+        read_wire,
+    )
+
+    wire = read_wire(spark, sf_dir, table="events", partitions=4)
+    events = decode_wire(wire).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    return latest_by_key(
+        events,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_cols=["event_id", "ts", "event_type", "value", "props"],
     )
