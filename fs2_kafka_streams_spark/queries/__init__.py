@@ -174,6 +174,7 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q65",
                     "q66",
                     "q67",
+                    "q68",
                 )
             )
             and name not in out

@@ -199,3 +199,47 @@ def q67_python_datasource(spark, sf_dir):
         order_cols=["ts", "event_id"],
         value_cols=["event_id", "ts", "event_type", "value", "props"],
     )
+
+
+@query(
+    "q68_salted_join",
+    oracle=f"""
+    SELECT p.p_type AS p_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {{revenue}} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """.format(
+        revenue="cast(sum(cast(l_extendedprice as decimal(18,2))"
+        " * (1 - cast(l_discount as decimal(18,2)))) as double)"
+    ),
+    tags=("extension", "join", "skew", "scale"),
+)
+def q68_salted_join(spark, sf_dir):
+    """The skew-salting join tier (``operators/joins.py::salted_join``)
+    proved against the plain-join oracle: lineitem scattered across 8
+    deterministic salts, the part side replicated to every salt, then
+    revenue re-aggregated by part type. Hash equality certifies that
+    salting preserves join multiplicities exactly — the property that
+    makes it safe to deploy against a hot key too big for one partition
+    and a build side too big to broadcast.
+
+    The salt is a deterministic row hash (never
+    ``spark_partition_id``/``rand()``), so task retries recompute
+    identical salts — no lost or duplicated join rows under shuffle-fetch
+    failure, which is precisely the at-scale regime the operator targets.
+    """
+    from fs2_kafka_streams_spark.canonical import revenue_expr
+    from fs2_kafka_streams_spark.operators.joins import salted_join
+
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.select(
+        F.col("l_partkey").alias("k"),
+        revenue_expr().alias("_rev"),
+    )
+    part = c.part.select(F.col("p_partkey").alias("k"), "p_type")
+    joined = salted_join(li, part, "k", salt=8)
+    return joined.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_rev").cast("double").alias("revenue"),
+    )
