@@ -58,10 +58,12 @@ VALUE_DDL = (
 )
 
 
-def _load_partition(path: str, n_parts: int, pid: int):
-    """Rows of one topic-partition, offset-ordered: (key, value, offset,
-    ts_us) tuples. Runs inside the read task — the driver never touches
-    row data."""
+def _load_partition_batch(path: str, n_parts: int, pid: int, topic: str):
+    """One topic-partition as an offset-ordered ``pyarrow.RecordBatch`` in
+    the wire schema. Runs inside the read task — the driver never touches
+    row data — and is returned as ONE Arrow batch because the Python
+    DataSource API transfers yielded RecordBatches zero-copy, an order of
+    magnitude cheaper than per-row tuple pickling."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -85,8 +87,8 @@ def _load_partition(path: str, n_parts: int, pid: int):
             part.column("props").to_pylist(),
         )
     )
-    out = []
-    for off, (ts_us_v, eid, uid, etype, val, props) in enumerate(rows):
+    keys, values, ts_col = [], [], []
+    for ts_us_v, eid, uid, etype, val, props in rows:
         payload = {
             "event_id": eid,
             "ts_us": ts_us_v,
@@ -95,15 +97,21 @@ def _load_partition(path: str, n_parts: int, pid: int):
             "value": val,
             "props": props,
         }
-        out.append(
-            (
-                str(uid).encode(),
-                json.dumps(payload, separators=(",", ":")).encode(),
-                off,
-                ts_us_v,
-            )
-        )
-    return out
+        keys.append(str(uid).encode())
+        values.append(json.dumps(payload, separators=(",", ":")).encode())
+        ts_col.append(ts_us_v)
+    n = len(rows)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(keys, pa.binary()),
+            pa.array(values, pa.binary()),
+            pa.array([topic] * n, pa.string()),
+            pa.array([pid] * n, pa.int32()),
+            pa.array(range(n), pa.int64()),
+            pa.array(ts_col, pa.int64()),
+        ],
+        names=["key", "value", "topic", "partition", "offset", "timestamp_us"],
+    )
 
 
 class _Part(InputPartition):
@@ -123,10 +131,9 @@ class _BatchReader(DataSourceReader):
         return [_Part(p) for p in range(self.n_parts)]
 
     def read(self, part):
-        for key, value, off, ts_us in _load_partition(
-            self.path, self.n_parts, part.pid
-        ):
-            yield (key, value, self.topic, part.pid, off, ts_us)
+        yield _load_partition_batch(
+            self.path, self.n_parts, part.pid, self.topic
+        )
 
 
 #: default home for simulated-publication cursor files (see
@@ -221,9 +228,10 @@ class _StreamReader(DataSourceStreamReader):
         ]
 
     def read(self, part):
-        rows = _load_partition(self.path, self.n_parts, part.pid)
-        for key, value, off, ts_us in rows[part.start : part.end]:
-            yield (key, value, self.topic, part.pid, off, ts_us)
+        batch = _load_partition_batch(
+            self.path, self.n_parts, part.pid, self.topic
+        )
+        yield batch.slice(part.start, part.end - part.start)
 
     def commit(self, end):
         pass
