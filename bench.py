@@ -42,9 +42,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     registry = driver_registry()
 
-    # Warm the JVM + parquet footer caches outside the timed region so
-    # per-query numbers reflect steady-state execution, not session startup.
+    # Warm the JVM + parquet footer caches AND the Python UDF worker pool
+    # outside the timed region so per-query numbers reflect steady-state
+    # execution, not session startup (workers are reused across queries, so
+    # the first pandas/udtf entry would otherwise absorb interpreter
+    # spin-up that a long-running cluster amortizes away).
+    from pyspark.sql import functions as _F
+
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    _identity = _F.pandas_udf(lambda s: s, "long")
+    spark.range(64).select(_identity("id").alias("x")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Measure real Structured Streaming entries LAST: their micro-batch
     # machinery leaves session residue (RocksDB state-store maintenance,

@@ -118,6 +118,12 @@ HEADLINERS: dict[str, list[str]] = {
         "exactly ONE Exchange hashpartitioning(user_id): the lead window "
         "and the aggregation share the shuffle",
     ],
+    "q68_salted_join": [
+        "salted equi-join only: one hash join on (key, salt) — no "
+        "CartesianProduct / BroadcastNestedLoopJoin from the salt "
+        "replication",
+        "revenue re-aggregation partial-aggregates before its exchange",
+    ],
     "q64_hll_sketch_merge": [
         "both sketch paths partial-aggregate (ObjectHashAggregate "
         "partial/final pairs) — fixed-size sketches map-side combine, so "
