@@ -1293,19 +1293,93 @@ def q44b_lsh_ann(spark, sf_dir):
     return lsh_cosine_topk(emb, q, k=5, bits=8)
 
 
-@query("q44e_ivf_ann", oracle=None, tags=("llm", "similarity", "scale"))
+@query(
+    "q44e_ivf_ann",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), e AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS nv
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> qv[i] * nv[i])) AS DOUBLE)
+             / sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> qv[i] * qv[i])) AS DOUBLE))
+             / sqrt(CAST(list_sum(list_transform(range(1, len(nv) + 1),
+                    i -> nv[i] * nv[i])) AS DOUBLE)) AS cos
+      FROM e CROSS JOIN q
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id,
+           CAST(neighbor_id AS BIGINT) AS exact_top1,
+           CAST(5 AS BIGINT) AS n_ivf,
+           TRUE AS ivf_top1_ok,
+           TRUE AS recall_ok
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank = 1
+    """,
+    tags=("llm", "similarity", "scale"),
+)
 def q44e_ivf_ann(spark, sf_dir):
-    """IVF approximate top-k: learned spherical-k-means coarse quantizer,
-    nprobe nearest cells scored per query (``operators/similarity.py::
-    ivf_topk``). Data-adaptive alternative to the hyperplane-LSH tier;
-    rows-only here — ``nprobe = nlist`` provably equals the brute-force
-    top-k, asserted in ``tests/test_llm_operators.py``."""
-    from fs2_kafka_streams_spark.operators.similarity import ivf_topk
+    """IVF approximate top-k (``operators/similarity.py::ivf_topk``:
+    learned spherical-k-means coarse quantizer on a deterministic sample,
+    nprobe=4 of nlist=16 cells scored per query) — hash-checked via the
+    q64 property-column technique, since the iterative k-means trainer is
+    not SQL-expressible: the oracle recomputes the EXACT nearest neighbor
+    (quantized-integer cosine, hash-checked per query), and the Spark side
+    must additionally prove ``ivf_top1_ok`` (the IVF top-1 equals the
+    exact top-1 — the probed cells contain the true neighbor) and
+    ``recall_ok`` (IVF recall@5 ≥ 4/5 against the exact top-5) — the
+    oracle emits literal TRUE, so an index regression fails the driver
+    gate loudly. The full ``nprobe = nlist`` ≡ brute-force identity stays
+    asserted in ``tests/test_llm_operators.py``."""
+    from fs2_kafka_streams_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
 
     emb = Catalog(spark, sf_dir).embeddings
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return ivf_topk(emb, q, k=5, nlist=16, nprobe=4).orderBy(
-        "query_id", "rank"
+    ivf = ivf_topk(emb, q, k=5, nlist=16, nprobe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    exact = cosine_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    hits = (
+        ivf.select("query_id", "neighbor_id")
+        .intersect(exact.select("query_id", "neighbor_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n_hits"))
+    )
+    top1 = exact.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("exact_top1")
+    )
+    ivf1 = ivf.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("_ivf_top1")
+    )
+    n_ivf = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ivf"))
+    return (
+        top1.join(ivf1, "query_id")
+        .join(hits, "query_id")
+        .join(n_ivf, "query_id")
+        .select(
+            "query_id",
+            F.col("exact_top1").cast("bigint"),
+            F.col("n_ivf").cast("bigint"),
+            (F.col("_ivf_top1") == F.col("exact_top1")).alias("ivf_top1_ok"),
+            (F.col("_n_hits") >= 4).alias("recall_ok"),
+        )
     )
 
 

@@ -670,7 +670,8 @@ def q44b_lsh_ann_neardup(spark, sf_dir):
     oracle recomputes the seeded hyperplane sign-bits, bands, candidate
     joins, and quantized cosines in DuckDB. The IVF tier (learned k-means
     quantizer — iterative, not SQL-expressible) is the separate appended
-    entry q44e_ivf_ann; its nprobe=nlist ≡ brute-force identity is
+    entry q44e_ivf_ann, hash-checked since round 4 via exact-top-1 +
+    property columns; its nprobe=nlist ≡ brute-force identity is
     asserted in the test suite."""
     ann = _spec("q44b_lsh_ann").build(spark, sf_dir).select(
         F.lit("ann").alias("method"),
