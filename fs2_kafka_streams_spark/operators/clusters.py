@@ -79,15 +79,24 @@ def connected_components(
     )
 
     for _ in range(max_rounds):
-        # propagate: each vertex adopts the min label in its neighborhood
+        # propagate: each vertex adopts the min label in its neighborhood.
+        # The vertex's OLD label rides along through the aggregation
+        # (min over exactly one non-null value) so the convergence check
+        # below needs no join against the previous round's table — one
+        # fewer O(V) shuffle per round.
         via_edges = (
             edges.join(lab, edges["src"] == lab["id"])
-            .select(F.col("dst").alias("id"), "lbl")
+            .select(
+                F.col("dst").alias("id"),
+                "lbl",
+                F.lit(None).cast("long").alias("_old"),
+            )
         )
         prop = (
-            lab.unionByName(via_edges)
+            lab.select("id", "lbl", F.col("lbl").alias("_old"))
+            .unionByName(via_edges)
             .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"), F.min("_old").alias("_old"))
         )
         # pointer jump: lbl <- lbl(lbl) (labels are vertex ids, so they
         # index back into the label table)
@@ -100,25 +109,25 @@ def connected_components(
         # itself OOMs — the standard iterative-DataFrame pitfall. On a real
         # cluster use reliable checkpointing (spark.sparkContext.
         # setCheckpointDir + .checkpoint()) for fault tolerance.
-        new_lab = (
+        new_full = (
             prop.join(l2, prop["lbl"] == l2["_jid"], "left")
             .select(
                 "id",
                 F.least(
                     F.col("lbl"), F.coalesce("_jlbl", F.col("lbl"))
                 ).alias("lbl"),
+                "_old",
             )
             .localCheckpoint(eager=True)
         )
+        # every id in prop carries its own previous label (edges are
+        # symmetric, so via_edges introduces no new ids) — the convergence
+        # check is a filter over the just-materialized table, no join
         changed = (
-            new_lab.alias("n")
-            .join(lab.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
+            new_full.filter(F.col("lbl") != F.col("_old")).limit(1).count()
         )
         lab.unpersist()
-        lab = new_lab
+        lab = new_full.drop("_old")
         if changed == 0:
             break
     else:

@@ -104,9 +104,11 @@ def q60_gapfill(spark, sf_dir):
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # no explicit broadcast hint: the build side of a LEFT outer join must
+    # be the right (daily) side, and Spark auto-broadcasts it — both sides
+    # are post-aggregation O(types × days) relations
     return (
-        F.broadcast(spine)
-        .join(daily, ["event_type", "day"], "left")
+        spine.join(daily, ["event_type", "day"], "left")
         .select(
             "event_type",
             "day",
