@@ -175,6 +175,7 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q66",
                     "q67",
                     "q68",
+                    "q69",
                 )
             )
             and name not in out

@@ -79,3 +79,61 @@ def q64_hll_sketch_merge(spark, sf_dir):
             <= F.lit(0.05) * F.col("n_exact")
         ).alias("est_within_5pct"),
     )
+
+
+@query(
+    "q69_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_merged
+    FROM events GROUP BY 1
+    """,
+    tags=("sketch", "bitmap", "scale", "events"),
+)
+def q69_bitmap_distinct(spark, sf_dir):
+    """EXACT mergeable distinct counts via fixed-size bitmaps
+    (``bitmap_bucket_number`` / ``bitmap_construct_agg`` /
+    ``bitmap_or_agg`` / ``bitmap_count`` — Spark's bitmap aggregate
+    family): each (group, bucket) holds a 32k-bit bitmap of key
+    positions; bitmaps OR-merge associatively, and the count is exact —
+    the exact-tier twin of q64's approximate HLL for bounded integer
+    domains (the pattern behind bitmap indexes and audience-overlap
+    engines).
+
+    Two paths computed and BOTH hash-checked against the plain
+    ``COUNT(DISTINCT)`` oracle: a direct bitmap aggregation, and an
+    8-shard partial build OR-merged afterwards — equality of the merged
+    path to the exact count is the associativity proof, with no
+    approximate tolerance involved.
+
+    Scale: shuffle volume is O(groups × occupied buckets × 4 KB),
+    independent of row count; partials map-side combine; incremental
+    maintenance is a bitmap OR with yesterday's state.
+    """
+    e = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        "user_id",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        (F.col("event_id") % 8).alias("shard"),
+    )
+    direct = (
+        e.groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct"))
+    )
+    merged = (
+        e.groupBy("event_type", "bucket", "shard")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_merged"))
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("n_distinct_merged").cast("bigint").alias("n_distinct_merged"),
+    )
