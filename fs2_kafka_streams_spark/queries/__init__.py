@@ -176,6 +176,8 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q67",
                     "q68",
                     "q69",
+                    "q70",
+                    "q71",
                 )
             )
             and name not in out

@@ -243,3 +243,45 @@ def q68_salted_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("_rev").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "q70_listagg",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderstatus, ','
+                      ORDER BY o_orderdate, o_orderkey) AS status_seq,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders WHERE o_custkey < 100
+    GROUP BY 1
+    """,
+    tags=("extension", "sql", "aggregate"),
+)
+def q70_listagg(spark, sf_dir):
+    """Ordered string aggregation (``LISTAGG ... WITHIN GROUP``, the
+    SQL:2016 surface Spark 4 added): each customer's order-status
+    sequence in ``(o_orderdate, o_orderkey)`` order. The unique
+    ``o_orderkey`` tie-break makes the concatenation deterministic, so
+    the whole string hash-checks against DuckDB's ``string_agg`` with
+    the same ORDER BY.
+
+    Plan: one hash aggregation; the within-group order is resolved by a
+    partial sort inside the aggregate buffer, not a global sort. (For
+    unbounded groups at 100 TB the recommendation remains
+    ``collect_list`` capped via ``slice`` or an explicit top-k — a
+    per-group string of unbounded length is an output-contract smell;
+    this entry proves the SQL surface on bounded groups.)
+    """
+    o = Catalog(spark, sf_dir).orders.filter(F.col("o_custkey") < 100)
+    o.createOrReplaceTempView("_listagg_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               listagg(o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderdate, o_orderkey)
+                 AS status_seq,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM _listagg_orders
+        GROUP BY o_custkey
+        """
+    )

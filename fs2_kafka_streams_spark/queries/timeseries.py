@@ -309,3 +309,55 @@ def q63_time_weighted_avg(spark, sf_dir):
             "twa_value"
         ),
     )
+
+
+@query(
+    "q71_resample_ohlc",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, day,
+           min(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq GROUP BY 1, 2
+    """,
+    tags=("timeseries", "events", "resample"),
+)
+def q71_resample_ohlc(spark, sf_dir):
+    """OHLC downsampling (the candlestick / ``first-last-min-max``
+    resample): per (type, day) bucket, the first and last observed value
+    in ``(ts, event_id)`` order plus the extremes and the sample count —
+    the canonical time-series compaction for dashboards and downstream
+    models.
+
+    Determinism: open/close use ``min_by``/``max_by`` over the composite
+    ``(ts, event_id)`` struct — ``event_id`` is unique, so ties in ``ts``
+    cannot flip the selection (the oracle replays the same order with
+    ascending/descending row_numbers); high/low/n are order-free.
+
+    Plan: ONE hash aggregation over the scan — min_by/max_by are
+    map-side-combinable, so shuffle volume is O(types × days) rows of
+    fixed width, never a per-bucket sort. This is the aggregation-only
+    formulation of what a window-based first/last would pay a per-bucket
+    sort for.
+    """
+    e = Catalog(spark, sf_dir).events
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.min_by("value", ordk).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordk).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
