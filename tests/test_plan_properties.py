@@ -245,3 +245,37 @@ def test_sketch_merge_no_cartesian_and_partial_aggs(spark):
     assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 4
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_registrywide_no_accidental_nested_loops(spark):
+    """Regression net over EVERY batch registry entry: no CartesianProduct
+    anywhere, and BroadcastNestedLoopJoin only where it is the documented
+    bounded-broadcast pattern — a 1-row global-stats aggregate crossed
+    into the scan (q13b/q28/q28b/q43g/q43h) or the tiny fixed query set
+    of the brute-force similarity oracle tier (q44/q44e). Any OTHER entry
+    growing a nested loop is a scale regression and fails here."""
+    from fs2_kafka_streams_spark.queries import load_all
+
+    BNLJ_OK = {
+        # 1-row broadcast aggregate crossed into the scan (the round-2
+        # replacement for single-partition `count() OVER ()` windows)
+        "q13b_stats_percentiles",
+        "q28_conditional_json",
+        "q28b_null_semantics",
+        "q43g_source_mix",
+        "q43h_boilerplate",
+        # fixed 3-vector query set broadcast against the corpus (the
+        # documented exact/oracle tier; the scale path is q44b/q44d)
+        "q44_cosine_topk",
+        "q44e_ivf_ann",
+    }
+    bad = []
+    for name, spec in sorted(load_all().items()):
+        if "streaming" in spec.tags:
+            continue  # streaming plans are asserted in their own suites
+        plan = _plan(spec.build(spark, SF_SMOKE))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            bad.append((name, "BroadcastNestedLoopJoin"))
+    assert not bad, bad
