@@ -178,6 +178,7 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q69",
                     "q70",
                     "q71",
+                    "q72",
                 )
             )
             and name not in out

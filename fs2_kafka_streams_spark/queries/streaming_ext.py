@@ -30,8 +30,11 @@ def _events_stream(
     files_per_trigger: int = 1,
     time_ordered: bool = False,
     ts_type: str = "timestamp_ntz",
+    sentinel_minutes: int | None = None,
 ):
     kwargs = {"order_col": "ts"} if time_ordered else {}
+    if sentinel_minutes:
+        kwargs["sentinel_minutes"] = sentinel_minutes
     return (
         spark.readStream.schema(EVENTS_SCHEMA.replace("timestamp_ntz", ts_type))
         .option("maxFilesPerTrigger", files_per_trigger)
@@ -328,3 +331,84 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3):
     return spark.createDataFrame(
         collected, "query_id bigint, neighbor_id bigint, rank int, cos double"
     )
+
+
+@query(
+    "q72_stream_outer_join",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           a.event_type AS type_a, b.event_type AS type_b
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND b.ts BETWEEN a.ts - INTERVAL '5 minutes'
+                  AND a.ts + INTERVAL '5 minutes'
+    """,
+    tags=("streaming", "join", "watermark", "outer"),
+)
+def q72_stream_outer_join(spark, sf_dir):
+    """LEFT OUTER stream–stream join — the streaming shape of the
+    reference's enrichment-with-miss contract (A14: ``Option[V] = None``
+    when no match, ``ReadOnlyTableSpec.scala:71-79``) between two live
+    streams rather than stream and table: q48's watermarked ±5-minute
+    self-join, but every left event is emitted, matched or not.
+
+    The outer-specific mechanics under test: Spark emits a left row's
+    NULL result only when the watermark PASSES its join window — on a
+    finite replay the watermark stops short of the last events and their
+    pending state would never flush. The replay therefore appends a
+    watermark SENTINEL row (one synthetic event an hour past the data,
+    filtered out of both join inputs after the ``withWatermark`` node —
+    watermark tracking sees it, the join never does). With the final
+    watermark past every real event, the emitted multiset exactly equals
+    the batch LEFT JOIN — matched rows once, unmatched rows once with
+    NULLs — hash-checked against the oracle.
+
+    State bound: identical to q48 (watermark + range condition evicts
+    rows past ``ts + 5 minutes``); delay (10m) ≥ range (5m) with
+    time-ordered replay keeps on-time matches alive until their partner
+    arrives, so no false NULLs."""
+    # 1 file/trigger: the two sentinel files MUST arrive in separate
+    # triggers — the first advances the watermark, the second's batch
+    # flushes the outer state that advance unlocked
+    a = _events_stream(
+        spark, sf_dir, files_per_trigger=1, time_ordered=True,
+        ts_type="timestamp", sentinel_minutes=60,
+    )
+    b = _events_stream(
+        spark, sf_dir, files_per_trigger=1, time_ordered=True,
+        ts_type="timestamp", sentinel_minutes=60,
+    )
+    # The sentinel rows are filtered AFTER the join, never before it: a
+    # pre-join filter(user_id != -1) doesn't reference the event-time
+    # column, so Catalyst pushes it below the EventTimeWatermark node into
+    # the scan — and the sentinel then never reaches the watermark
+    # statistics it exists to advance. Post-join, sentinel lefts surface
+    # (if at all) as -1 ids and drop here; sentinel rights can never
+    # satisfy the join condition against real rows (user_id -1 matches
+    # only the other sentinel, and -1 < -1 fails the id inequality).
+    a = a.withWatermark("ts", "10 minutes")
+    b = b.withWatermark("ts", "10 minutes")
+    a, b = a.alias("a"), b.alias("b")
+    joined = a.join(
+        b,
+        on=[
+            F.col("a.user_id") == F.col("b.user_id"),
+            F.col("a.event_id") < F.col("b.event_id"),
+            F.col("b.ts").between(
+                F.col("a.ts") - F.expr("INTERVAL 5 MINUTES"),
+                F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"),
+            ),
+        ],
+        how="left_outer",
+    ).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    )
+    out = run_to_memory(
+        spark, joined, "q72_sink",
+        extra_conf={"spark.sql.session.timeZone": "UTC"},
+    )
+    return out.filter(F.col("user_id") != -1)

@@ -46,6 +46,7 @@ def _source_stamp(path: str) -> str:
 def replay_dir(
     sf_dir: str, table: str = "events", id_col: str = "event_id",
     n_files: int = N_FILES, order_col: str | None = None,
+    sentinel_minutes: int | None = None,
 ) -> str:
     """Split ``{sf_dir}/{table}.parquet`` into ``n_files`` replay files with
     ordered mtimes; idempotent (cached per (sf, table, n, order)), with the
@@ -55,11 +56,22 @@ def replay_dir(
     Timestamps are coerced to microseconds so Spark's file source reads them
     natively as TIMESTAMP_NTZ (the driver parquet is TIMESTAMP(NANOS), which
     Spark rejects).
+
+    ``sentinel_minutes`` appends ONE extra final file holding a single
+    synthetic row whose timestamps sit that many minutes past the data's
+    maximum (ids = -1, strings = ``__sentinel__``). Outer stream–stream
+    joins and other watermark-flushed operators only emit their pending
+    state when the watermark PASSES the last real event — which a finite
+    replay otherwise never does. The sentinel is the deterministic
+    stand-in for "the topic keeps flowing"; consumers filter the -1 ids
+    out of their results.
     """
     src = os.path.join(sf_dir, f"{table}.parquet")
     stamp = _source_stamp(src)
     sf_name = os.path.basename(sf_dir.rstrip("/"))
     suffix = f"_by_{order_col}" if order_col else ""
+    if sentinel_minutes:
+        suffix += f"_sent{sentinel_minutes}v2"
     out = os.path.join(CACHE_ROOT, f"{sf_name}_{table}_{n_files}{suffix}")
     marker = os.path.join(out, "_SPARK_GRAFT_READY")
     if os.path.exists(marker):
@@ -96,6 +108,34 @@ def replay_dir(
         ids = t.column(id_col).to_numpy()
         bucket = ids % n_files
         parts = [t.filter(pa.array(bucket == k)) for k in range(n_files)]
+    if sentinel_minutes:
+        import datetime as _dt
+
+        # TWO sentinel files: the first advances the watermark past every
+        # real event; the second gives the engine a further DATA batch in
+        # which that advanced watermark flushes the remaining outer-join /
+        # timeout state (a no-data flush batch is not reliably awaited by
+        # processAllAvailable).
+        for mult in (1, 2):
+            arrays, names = [], []
+            for f in t.schema:
+                if pa.types.is_timestamp(f.type):
+                    mx = pc.max(t.column(f.name)).as_py()
+                    arrays.append(
+                        pa.array(
+                            [mx + _dt.timedelta(minutes=mult * sentinel_minutes)],
+                            f.type,
+                        )
+                    )
+                elif pa.types.is_string(f.type):
+                    arrays.append(pa.array(["__sentinel__"], f.type))
+                elif pa.types.is_floating(f.type):
+                    arrays.append(pa.array([0.0], f.type))
+                else:
+                    arrays.append(pa.array([-1], f.type))
+                names.append(f.name)
+            parts.append(pa.table(arrays, names=names))
+
     for k, part in enumerate(parts):
         path = os.path.join(out, f"part-{k:04d}.parquet")
         pq.write_table(part, path)
