@@ -179,6 +179,7 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q70",
                     "q71",
                     "q72",
+                    "q73",
                 )
             )
             and name not in out

@@ -285,3 +285,52 @@ def q70_listagg(spark, sf_dir):
         GROUP BY o_custkey
         """
     )
+
+
+_Q73_SQL = """
+    WITH RECURSIVE users AS (
+      SELECT user_id AS id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    tree(anc, node) AS (
+      SELECT id, id FROM users
+      UNION ALL
+      SELECT t.anc, u.id
+      FROM tree t JOIN users u
+        ON CAST(floor(u.id / 2.0) AS BIGINT) = t.node AND u.id <> t.node
+    )
+    SELECT t.anc AS user_id,
+           CAST(count(*) AS BIGINT) AS n_subtree,
+           CAST(sum(u.cents) AS DOUBLE) / 100.0 AS subtree_revenue
+    FROM tree t JOIN users u ON t.node = u.id
+    GROUP BY 1
+"""
+
+
+@query(
+    "q73_recursive_cte",
+    oracle=_Q73_SQL,
+    tags=("extension", "sql", "recursive", "hierarchy"),
+)
+def q73_recursive_cte(spark, sf_dir):
+    """Hierarchical rollup via a RECURSIVE CTE (Spark 4's ``WITH
+    RECURSIVE``): users form a referral tree (parent = ``id div 2``) and
+    each user's subtree is expanded recursively to roll up descendant
+    count and revenue — the classic org-chart/BOM recursion, run from the
+    IDENTICAL SQL text on both engines (the Spark side registers the
+    catalog as temp views and executes the oracle string verbatim).
+
+    Determinism/termination: the recursion follows strictly increasing
+    child ids (children of ``n`` are ``2n``/``2n+1``), so the UNION ALL
+    recursion — the only form Spark supports — terminates at tree depth
+    (~log₂ of the max id, far under the 100-level default limit) on any
+    input; revenue is exact BIGINT cents until the final division.
+
+    Scale: each recursion level is one equi-join on the parent key —
+    Spark executes levels as iterated joins over the previous frontier,
+    the same shuffle shape as the pointer-jumping CC operator
+    (`operators/clusters.py`), with state = the frontier, O(users) rows.
+    """
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(_Q73_SQL)

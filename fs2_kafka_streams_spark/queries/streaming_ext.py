@@ -31,10 +31,13 @@ def _events_stream(
     time_ordered: bool = False,
     ts_type: str = "timestamp_ntz",
     sentinel_minutes: int | None = None,
+    n_files: int | None = None,
 ):
     kwargs = {"order_col": "ts"} if time_ordered else {}
     if sentinel_minutes:
         kwargs["sentinel_minutes"] = sentinel_minutes
+    if n_files:
+        kwargs["n_files"] = n_files
     return (
         spark.readStream.schema(EVENTS_SCHEMA.replace("timestamp_ntz", ts_type))
         .option("maxFilesPerTrigger", files_per_trigger)
@@ -369,14 +372,16 @@ def q72_stream_outer_join(spark, sf_dir):
     arrives, so no false NULLs."""
     # 1 file/trigger: the two sentinel files MUST arrive in separate
     # triggers — the first advances the watermark, the second's batch
-    # flushes the outer state that advance unlocked
+    # flushes the outer state that advance unlocked. 2 data files keep
+    # cross-batch join state under test at half the per-batch machinery
+    # cost (4 triggers total).
     a = _events_stream(
         spark, sf_dir, files_per_trigger=1, time_ordered=True,
-        ts_type="timestamp", sentinel_minutes=60,
+        ts_type="timestamp", sentinel_minutes=60, n_files=2,
     )
     b = _events_stream(
         spark, sf_dir, files_per_trigger=1, time_ordered=True,
-        ts_type="timestamp", sentinel_minutes=60,
+        ts_type="timestamp", sentinel_minutes=60, n_files=2,
     )
     # The sentinel rows are filtered AFTER the join, never before it: a
     # pre-join filter(user_id != -1) doesn't reference the event-time
