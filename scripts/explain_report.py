@@ -124,6 +124,11 @@ HEADLINERS: dict[str, list[str]] = {
         "replication",
         "revenue re-aggregation partial-aggregates before its exchange",
     ],
+    "q73_recursive_cte": [
+        "recursion compiles to an iterated frontier join (UnionLoop) — "
+        "each level one equi-join on the parent key, no cartesian",
+        "identical SQL text runs on the DuckDB oracle",
+    ],
     "q64_hll_sketch_merge": [
         "both sketch paths partial-aggregate (ObjectHashAggregate "
         "partial/final pairs) — fixed-size sketches map-side combine, so "
