@@ -180,6 +180,7 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q71",
                     "q72",
                     "q73",
+                    "q74",
                 )
             )
             and name not in out

@@ -334,3 +334,62 @@ def q73_recursive_cte(spark, sf_dir):
     """
     Catalog(spark, sf_dir).register_views()
     return spark.sql(_Q73_SQL)
+
+
+@query(
+    "q74_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS BIGINT)
+             AS n_large,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS BIGINT)
+             AS n_null_status
+    FROM orders
+    """,
+    tags=("extension", "observe", "quality", "ops"),
+)
+def q74_observe_metrics(spark, sf_dir):
+    """Data-quality observability via ``df.observe`` (the Observation
+    API): row count, predicate counts, an exact decimal sum, and a
+    null-count are collected AS A SIDE EFFECT of a real pass over the
+    data — the operational pattern for production pipelines, where
+    quality metrics must not cost a second scan. The observed values are
+    returned as a one-row DataFrame and hash-checked against the oracle
+    computing the same aggregates, proving the piggybacked metrics equal
+    a dedicated aggregation exactly.
+
+    Scale: ``observe`` attaches an ``CollectMetrics`` node to the
+    existing plan — metrics accumulate per task and merge on the driver,
+    O(metrics) overhead, zero extra I/O.
+    """
+    from pyspark.sql import Observation, Row
+
+    o = Catalog(spark, sf_dir).orders
+    obs = Observation("q74")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_large"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count(F.when(F.col("o_orderstatus").isNull(), 1)).alias(
+            "n_null_status"
+        ),
+    )
+    # the driving action is the pipeline's own work (here: write to the
+    # noop sink — the same execution shape as any downstream consumer)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            Row(
+                n_rows=int(m["n_rows"]),
+                n_large=int(m["n_large"]),
+                sum_price=float(m["sum_price"]),
+                n_null_status=int(m["n_null_status"]),
+            )
+        ]
+    )
