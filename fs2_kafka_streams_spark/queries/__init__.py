@@ -181,6 +181,7 @@ def driver_registry() -> dict[str, QuerySpec]:
                     "q72",
                     "q73",
                     "q74",
+                    "q75",
                 )
             )
             and name not in out

@@ -393,3 +393,42 @@ def q74_observe_metrics(spark, sf_dir):
             )
         ]
     )
+
+
+@query(
+    "q75_state_reader",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value, props
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("extension", "streaming", "statestore", "core"),
+)
+def q75_state_reader(spark, sf_dir):
+    """Interactive state reads (A10, ``ReadOnlyTable.get`` /
+    ``Table.scala:11``) proved at the STATE level in the driver gate: the
+    latest-by-key changelog materialization runs as a real stateful
+    streaming query, then its live per-key state is read DIRECTLY from
+    the checkpoint via Spark's State Data Source
+    (``streaming/stateful.py::read_table_state``) — not from any sink.
+    Hash equality against the batch q17 oracle proves the persisted state
+    itself (the reference's RocksDB table, A9) equals the batch fold, so
+    get(k)/multi-get/scan served from state are exactly correct.
+
+    Plan: the state read is a parallel scan over the state-store shards
+    (partition-pruned by key layout at scale); point lookups are filters
+    over it.
+    """
+    import tempfile
+
+    from fs2_kafka_streams_spark.streaming.stateful import (
+        latest_by_key_streaming,
+        read_table_state,
+    )
+
+    ckpt = tempfile.mkdtemp(prefix="q75_state_")
+    latest_by_key_streaming(spark, sf_dir, checkpoint=ckpt)
+    return read_table_state(spark, ckpt)
