@@ -331,12 +331,15 @@ def read_table_state(spark: SparkSession, checkpoint: str) -> DataFrame:
     # the user state nested under value.groupState; ts is epoch micros
     # (state schema, _STATE_SCHEMA).
     st = F.col("value.groupState")
+    # NTZ via timestampadd on an NTZ epoch literal — timestamp_micros()
+    # would build an instant whose NTZ cast shifts by the session TZ
     return raw.select(
         F.col("key.user_id").alias("user_id"),
         st.getField("event_id").alias("event_id"),
-        F.timestamp_micros(st.getField("ts_us"))
-        .cast("timestamp_ntz")
-        .alias("ts"),
+        F.expr(
+            "timestampadd(MICROSECOND, value.groupState.ts_us, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("ts"),
         st.getField("event_type").alias("event_type"),
         st.getField("value").alias("value"),
         st.getField("props").alias("props"),
