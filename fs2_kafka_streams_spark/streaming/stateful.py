@@ -79,8 +79,15 @@ def _latest_update(key, pdf_iter, state: GroupState):
 
 try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
     # The API's state server speaks protobuf — require it up front so an
-    # environment without it (like this test container) degrades to
-    # applyInPandasWithState instead of crashing the driver worker.
+    # environment without it degrades to applyInPandasWithState instead of
+    # crashing the driver worker. When the real distribution is absent the
+    # vendored pure-Python wire-format shim (vendor/protobuf_shim) takes
+    # over — PB_MODE records which one is active ("real" | "shim" | "none").
+    from fs2_kafka_streams_spark.vendor import ensure_protobuf
+
+    PB_MODE = ensure_protobuf()
+    if PB_MODE == "none":
+        raise ImportError("google.protobuf unavailable and shim missing")
     from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
@@ -134,6 +141,7 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
     HAS_TWS = True
 except ImportError:  # pragma: no cover
     HAS_TWS = False
+    PB_MODE = "none"
 # The gate is asserted against the actual environment (and against the
 # driver registry's q38b exposure) in tests/test_kafka_contract.py::
 # test_tws_gate_matches_environment — closed gate must fail loudly.
@@ -146,6 +154,13 @@ def latest_by_key_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise NotImplementedError(
             "transformWithStateInPandas requires Spark >= 4.0"
         )
+    if PB_MODE == "shim":
+        # Python workers are fresh processes: expose the vendored shim on
+        # their module path (worker daemons are keyed by env, so this takes
+        # effect without a JVM restart).
+        from fs2_kafka_streams_spark.vendor import inject_worker_path
+
+        inject_worker_path(spark)
     proc = LatestProcessor()
 
     src = (
@@ -159,7 +174,23 @@ def latest_by_key_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    return _run_upsert_sink(spark, updates)
+    # transformWithState keeps each state variable in its own column family,
+    # which only RocksDBStateStoreProvider supports — the default HDFS-backed
+    # provider of a vanilla session throws STATE_STORE_MULTIPLE_COLUMN_FAMILIES.
+    # Pin it here so the operator is self-sufficient (get_spark() also sets it,
+    # but the driver runs a vanilla session).
+    from fs2_kafka_streams_spark.streaming.conf import pinned_conf
+
+    with pinned_conf(
+        spark,
+        {
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    ):
+        return _run_upsert_sink(spark, updates)
 
 
 #: Key-bucket count for the upsert sink's partitioned layout. At 100 TB this

@@ -176,7 +176,12 @@ def test_tws_gate_matches_environment():
     """A22: the ``transformWithStateInPandas`` tier must be exactly as
     available as its ``google.protobuf`` dependency — gate open ⟺ q38b
     registered with the driver; gate closed ⟹ a loud NotImplementedError,
-    never a silent no-op (VERDICT r3 item 6)."""
+    never a silent no-op (VERDICT r3 item 6).
+
+    Since round 5 the dependency is satisfiable three ways, recorded in
+    ``stateful.PB_MODE``: "real" (distribution installed), "shim" (the
+    vendored pure-Python wire-format shim — the expected mode in this
+    container), "none" (gate closed)."""
     from fs2_kafka_streams_spark.queries import driver_registry
     from fs2_kafka_streams_spark.streaming import stateful
 
@@ -188,6 +193,7 @@ def test_tws_gate_matches_environment():
         has_pb = False
 
     assert stateful.HAS_TWS == has_pb
+    assert (stateful.PB_MODE in ("real", "shim")) == has_pb
     registered = [n for n in driver_registry() if n.startswith("q38b")]
     assert bool(registered) == has_pb
     if not has_pb:

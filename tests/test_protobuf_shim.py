@@ -1,0 +1,215 @@
+"""Unit tests for the vendored pure-Python protobuf shim
+(vendor/protobuf_shim) that activates the A22 ``transformWithStateInPandas``
+tier when the real ``google.protobuf`` distribution is absent.
+
+The shim is validated two ways:
+- wire-format invariants checked against hand-computed byte strings from
+  the PUBLIC encoding spec (https://protobuf.dev/programming-guides/encoding/);
+- executing PySpark's real generated ``StateMessage_pb2`` module and
+  round-tripping the exact message shapes the TWS state-server clients build.
+
+End-to-end coverage (JVM state server parsing our bytes) lives in
+test_streaming_dual.py::test_q38b_tws_matches_batch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fs2_kafka_streams_spark.vendor import ensure_protobuf
+
+MODE = ensure_protobuf()
+
+pytestmark = pytest.mark.skipif(
+    MODE == "none", reason="no protobuf implementation available"
+)
+
+
+def _rt():
+    from google.protobuf import _shim_runtime as rt
+
+    return rt
+
+
+# ---------------------------------------------------------------------------
+# wire-format primitives (shim only — the real lib doesn't expose these)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(MODE != "shim", reason="shim internals")
+def test_varint_spec_vectors():
+    rt = _rt()
+    # spec examples: 1 -> 01, 150 -> 9601, 300 -> ac02
+    assert rt.encode_varint(1) == b"\x01"
+    assert rt.encode_varint(150) == b"\x96\x01"
+    assert rt.encode_varint(300) == b"\xac\x02"
+    # negative int64 encodes as 10-byte two's-complement varint
+    assert len(rt.encode_varint(-1)) == 10
+    for v in (0, 1, 127, 128, 300, 2**32, 2**63 - 1, -1, -7, -(2**63)):
+        enc = rt.encode_varint(v)
+        dec, pos = rt.decode_varint(enc, 0)
+        assert pos == len(enc)
+        assert rt._to_signed64(dec) == v
+
+
+@pytest.mark.skipif(MODE != "shim", reason="shim internals")
+def test_iter_wire_skips_unknown_and_handles_fixed():
+    rt = _rt()
+    import struct
+
+    buf = (
+        b"\x08\x2a"  # field 1, varint 42
+        + b"\x15" + struct.pack("<I", 7)  # field 2, fixed32
+        + b"\x19" + struct.pack("<Q", 9)  # field 3, fixed64
+        + b"\x22\x03abc"  # field 4, bytes
+    )
+    got = list(rt.iter_wire(buf))
+    assert got == [(1, 0, 42), (2, 5, 7), (3, 1, 9), (4, 2, b"abc")]
+
+
+# ---------------------------------------------------------------------------
+# the generated StateMessage_pb2 module under the shim (or real lib)
+# ---------------------------------------------------------------------------
+
+
+def _sm():
+    from pyspark.sql.streaming.proto import StateMessage_pb2 as sm
+
+    return sm
+
+
+def test_handle_state_request_exact_bytes():
+    """SetHandleState(INITIALIZED) inside StateRequest: bytes computable by
+    hand from the spec — field 2 LEN{ field 1 LEN{ field 1 VARINT 2 } }."""
+    sm = _sm()
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.INITIALIZED)
+        )
+    )
+    assert req.SerializeToString() == b"\x12\x04\n\x02\x08\x02"
+
+
+def test_module_level_enum_constants():
+    sm = _sm()
+    assert sm.PRE_INIT == 0
+    assert sm.CREATED == 1
+    assert sm.INITIALIZED == 2
+    assert sm.DATA_PROCESSED == 3
+    assert sm.TIMER_PROCESSED == 4
+    assert sm.CLOSED == 5
+
+
+def test_nested_autovivified_presence():
+    """The clients' ``cmd.ttl.durationMs = x`` pattern must mark ``ttl``
+    present; an untouched read must NOT serialize the field."""
+    sm = _sm()
+    untouched = sm.StateCallCommand(stateName="s")
+    _ = untouched.ttl  # read-only access
+    assert b"durationMs" not in untouched.SerializeToString()
+    ser_before = untouched.SerializeToString()
+
+    cmd = sm.StateCallCommand(stateName="s")
+    cmd.ttl.durationMs = 5000
+    ser_after = cmd.SerializeToString()
+    assert ser_after != ser_before
+    back = sm.StateCallCommand()
+    back.ParseFromString(ser_after)
+    assert back.ttl.durationMs == 5000
+    assert back.stateName == "s"
+
+
+def test_empty_message_oneof_is_serialized():
+    """Exists()/Get()/Clear() are zero-field messages set as oneof arms —
+    they MUST appear on the wire as zero-length LEN fields (that's how the
+    server learns which method was called)."""
+    sm = _sm()
+    call = sm.ValueStateCall(stateName="s", exists=sm.Exists())
+    data = call.SerializeToString()
+    # field 1 "s", field 2 zero-length
+    assert data == b"\n\x01s\x12\x00"
+
+
+def test_value_state_update_roundtrip():
+    sm = _sm()
+    req = sm.StateRequest(
+        stateVariableRequest=sm.StateVariableRequest(
+            valueStateCall=sm.ValueStateCall(
+                stateName="latest",
+                valueStateUpdate=sm.ValueStateUpdate(value=b"\x00\x01\xff"),
+            )
+        )
+    )
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    vsc = back.stateVariableRequest.valueStateCall
+    assert vsc.stateName == "latest"
+    assert vsc.valueStateUpdate.value == b"\x00\x01\xff"
+
+
+def test_response_parsing_defaults_and_repeated():
+    sm = _sm()
+    # absent fields read as proto3 defaults
+    resp = sm.StateResponse()
+    resp.ParseFromString(b"")
+    assert resp.statusCode == 0
+    assert resp.errorMessage == ""
+    assert resp.value == b""
+
+    src = sm.StateResponseWithListGet(
+        statusCode=0, value=[b"a", b"bb"], requireNextFetch=True
+    )
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(src.SerializeToString())
+    assert list(back.value) == [b"a", b"bb"]
+    assert back.requireNextFetch is True
+
+    t = sm.TimerInfo()
+    t.timestampMs = -5  # negative int64 must round-trip
+    src2 = sm.StateResponseWithTimer(timer=[t, sm.TimerInfo(timestampMs=9)])
+    back2 = sm.StateResponseWithTimer()
+    back2.ParseFromString(src2.SerializeToString())
+    assert [x.timestampMs for x in back2.timer] == [-5, 9]
+
+
+def test_unknown_fields_are_skipped():
+    sm = _sm()
+    resp = sm.StateResponse()
+    # field 99 varint + a real statusCode=7
+    resp.ParseFromString(b"\xb8\x06\x01\x08\x07")
+    assert resp.statusCode == 7
+
+
+def test_long_and_string_typed_responses():
+    sm = _sm()
+    lv = sm.StateResponseWithLongTypeVal(statusCode=0, value=2**40)
+    back = sm.StateResponseWithLongTypeVal()
+    back.ParseFromString(lv.SerializeToString())
+    assert back.value == 2**40
+
+    sv = sm.StateResponseWithStringTypeVal(value="schéma ✓")
+    back2 = sm.StateResponseWithStringTypeVal()
+    back2.ParseFromString(sv.SerializeToString())
+    assert back2.value == "schéma ✓"
+
+
+def test_map_state_call_shapes():
+    sm = _sm()
+    req = sm.StateRequest(
+        stateVariableRequest=sm.StateVariableRequest(
+            mapStateCall=sm.MapStateCall(
+                stateName="m",
+                updateValue=sm.UpdateValue(userKey=b"k", value=b"v"),
+            )
+        )
+    )
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    msc = back.stateVariableRequest.mapStateCall
+    assert (msc.updateValue.userKey, msc.updateValue.value) == (b"k", b"v")
+
+    pair = sm.KeyAndValuePair(key=b"k1", value=b"v1")
+    it = sm.StateResponseWithMapIterator(kvPair=[pair], requireNextFetch=False)
+    back2 = sm.StateResponseWithMapIterator()
+    back2.ParseFromString(it.SerializeToString())
+    assert [(p.key, p.value) for p in back2.kvPair] == [(b"k1", b"v1")]

@@ -264,3 +264,29 @@ def test_funnel_stream_equals_batch(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_q38b_tws_matches_batch(spark):
+    """A22 end-to-end: ``transformWithStateInPandas`` (typed ValueState via
+    the protobuf state-server protocol — reference ``streams/Key.scala:3-17``,
+    ``streams/Table.scala:115-137``) must equal batch latest-by-key. In this
+    container the protocol runs through the vendored pure-Python protobuf
+    shim (vendor/protobuf_shim), so a pass here proves the JVM state server
+    accepted the shim's wire bytes for the full get/update/exists cycle."""
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
+    from fs2_kafka_streams_spark.streaming import stateful
+
+    if not stateful.HAS_TWS:
+        pytest.skip("transformWithStateInPandas gate closed (no protobuf)")
+
+    streamed = stateful.latest_by_key_tws(spark, SF_SMOKE)
+    batch = latest_by_key(
+        Catalog(spark, SF_SMOKE).events,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_cols=["event_id", "ts", "event_type", "value", "props"],
+    ).select("user_id", "event_id", "ts", "event_type", "value", "props")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.select(*streamed.columns).collect())
+    )
