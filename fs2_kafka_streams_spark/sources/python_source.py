@@ -4,7 +4,7 @@ The reference IS a Kafka source library (``client/RecordStream.scala``,
 ``client/Subscription.scala``); this sandbox has no broker, so the
 built-in Kafka connector (``sources/kafka.py``) can only be
 option-plumbing-tested. This module closes the gap at the protocol
-level: a custom ``DataSource`` that serves a parquet table AS Kafka wire
+level: a custom ``DataSource`` that serves parquet tables AS Kafka wire
 records — ``key``/``value`` bytes, ``topic``, ``partition``, monotone
 per-partition ``offset``, ``timestamp`` — with BOTH a batch reader and a
 micro-batch ``DataSourceStreamReader`` whose offset planning and
@@ -18,26 +18,54 @@ Wire shape (mirrors the reference's consumer record,
 
 - ``partition`` = ``user_id % n_partitions`` — the reference's keyed
   partitioning (same key → same partition → per-key total order);
-- ``offset`` = dense ordinal within the partition in ``(ts, event_id)``
-  order — per-partition monotone, globally unordered, exactly Kafka's
-  guarantee;
+- ``offset`` = dense ordinal within the partition in publish order
+  (global ``(ts, event_id)`` order restricted to the partition) —
+  per-partition monotone, globally unordered, exactly Kafka's guarantee;
 - ``value`` = deterministic JSON bytes; ``ts`` travels as integer epoch
   microseconds so decoding is timezone-proof and exact (the catalog's
   own NTZ technique);
 - ``key`` = the user id as UTF-8 bytes.
 
-Scale notes: partition planning is O(n_partitions) on the driver; each
-task reads ONLY its partition's rows (pyarrow filter pushdown on the
-modulus — a real deployment's source would read its own partition log
-natively, which is exactly how the per-partition files would be laid
-out). The stream reader advances ``batch_rows`` offsets per partition
-per trigger — the ``maxOffsetsPerTrigger`` backpressure contract (A18).
+Subscription model (A23, reference ``client/Subscription.scala:5-6`` —
+``Topics(list)`` | ``Pattern(regex)``; compile+subscribe
+``client/ConsumerAlgebra.scala:90-94``):
+
+- single topic: ``path`` + ``topic`` (back-compat);
+- topic list: ``broker_dir`` + ``topics`` (comma-separated); every
+  ``<name>.parquet`` under ``broker_dir`` is a topic in the simulated
+  broker's namespace;
+- pattern: ``broker_dir`` + ``topic_pattern`` — a regex full-matched
+  against topic names, RE-RESOLVED on every ``latestOffset`` call
+  exactly like the consumer's metadata refresh, so a topic file that
+  appears mid-query is picked up on the next trigger (the
+  assign-on-topic-appearing half of A19's rebalance bookkeeping;
+  reference ``applyRebalanceEvents``, ``client/RecordStream.scala:71-108``).
+
+Partition growth (the other rebalance event — Kafka topics can gain
+partitions, moving NEW records onto the new layout while produced
+records stay put): ``grow_to``/``grow_at`` switch the key→partition
+modulus from ``partitions`` to ``grow_to`` for records at global publish
+position ≥ ``grow_at``. Per-key ordering across the boundary is NOT
+preserved — exactly Kafka's documented caveat — which is why the
+materializer folds on data-derived order ``(ts, event_id)``, making the
+result invariant under reassignment (asserted against the q17 oracle in
+tests/test_python_datasource.py).
+
+Scale notes: partition planning is O(topics × partitions) on the driver;
+row data is only touched in read tasks. Each task materializes its
+topic's publish-ordered log once and serves slices from a worker-local
+LRU (executor Python workers are daemon-reused across micro-batches, so
+a multi-batch replay costs one sort, not one per trigger). The stream
+reader advances ``batch_rows`` offsets per partition per trigger — the
+``maxOffsetsPerTrigger`` backpressure contract (A18).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+from collections import OrderedDict
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -58,50 +86,121 @@ VALUE_DDL = (
 )
 
 
-def _load_partition_batch(path: str, n_parts: int, pid: int, topic: str):
+def _publish_order(path: str):
+    """(ts_us, event_id, user_id, sorted row indices) of the table in
+    global publish order — the simulated broker's produce sequence."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["ts", "event_id", "user_id"])
+    ts = t.column("ts")
+    if pa.types.is_timestamp(ts.type) and ts.type.unit == "ns":
+        ts_us = ts.cast("int64").to_numpy() // 1000
+    else:
+        ts_us = ts.cast(pa.timestamp("us")).cast("int64").to_numpy()
+    eid = t.column("event_id").to_numpy()
+    uid = t.column("user_id").to_numpy()
+    order = np.lexsort((eid, ts_us))
+    return ts_us, eid, uid, order
+
+
+def _partition_assignment(
+    path: str, n_parts: int, grow_to: int, grow_at: int
+):
+    """Per-row partition ids in publish order.
+
+    Returns (sorted_row_indices, pids_in_publish_order). Records at
+    publish position < ``grow_at`` (or all, when ``grow_to`` is 0) use
+    ``user_id % n_parts``; later ones use ``user_id % grow_to`` — fixed
+    at "produce" time exactly like Kafka partition growth.
+    """
+    import numpy as np
+
+    _ts, _eid, uid, order = _publish_order(path)
+    uid_sorted = uid[order]
+    pids = uid_sorted % n_parts
+    if grow_to and grow_to != n_parts:
+        pos = np.arange(len(order))
+        pids = np.where(pos < grow_at, pids, uid_sorted % grow_to)
+    return order, pids.astype("int64")
+
+
+def _partition_counts(
+    path: str, n_parts: int, grow_to: int, grow_at: int
+) -> dict[int, int]:
+    """End offset (record count) per partition under the assignment."""
+    import numpy as np
+
+    _order, pids = _partition_assignment(path, n_parts, grow_to, grow_at)
+    total = max(n_parts, grow_to or 0)
+    counts = np.bincount(pids, minlength=total)
+    return {p: int(counts[p]) for p in range(total)}
+
+
+#: worker-local cache of materialized per-partition wire batches, keyed by
+#: (path, n_parts, grow_to, grow_at, pid, topic). Executor Python workers
+#: are daemon-reused across micro-batches, so without this a multi-batch
+#: replay re-reads and re-sorts the partition per trigger — O(triggers ×
+#: rows). Bounded LRU: worst case holds one table copy per distinct
+#: partition served by this worker.
+_BATCH_CACHE: OrderedDict[tuple, object] = OrderedDict()
+_BATCH_CACHE_MAX = 32
+
+
+def _load_partition_batch(
+    path: str,
+    n_parts: int,
+    pid: int,
+    topic: str,
+    grow_to: int = 0,
+    grow_at: int = 0,
+):
     """One topic-partition as an offset-ordered ``pyarrow.RecordBatch`` in
     the wire schema. Runs inside the read task — the driver never touches
     row data — and is returned as ONE Arrow batch because the Python
     DataSource API transfers yielded RecordBatches zero-copy, an order of
     magnitude cheaper than per-row tuple pickling."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    key = (os.path.abspath(path), n_parts, grow_to, grow_at, pid, topic)
+    cached = _BATCH_CACHE.get(key)
+    if cached is not None:
+        _BATCH_CACHE.move_to_end(key)
+        return cached
+
+    order, pids = _partition_assignment(path, n_parts, grow_to, grow_at)
+    mine = order[pids == pid]  # row indices, already in publish order
 
     t = pq.read_table(path)
     ts = t.column("ts")
     if pa.types.is_timestamp(ts.type) and ts.type.unit == "ns":
-        ts_us = pc.divide(ts.cast("int64"), 1000)
+        ts_us_all = ts.cast("int64").to_numpy() // 1000
     else:
-        ts_us = ts.cast(pa.timestamp("us")).cast("int64")
-    t = t.append_column("_ts_us", ts_us)
-    mask = pa.array(t.column("user_id").to_numpy() % n_parts == pid)
-    part = t.filter(mask)
-    rows = sorted(
-        zip(
-            part.column("_ts_us").to_pylist(),
-            part.column("event_id").to_pylist(),
-            part.column("user_id").to_pylist(),
-            part.column("event_type").to_pylist(),
-            part.column("value").to_pylist(),
-            part.column("props").to_pylist(),
-        )
-    )
+        ts_us_all = ts.cast(pa.timestamp("us")).cast("int64").to_numpy()
+
+    part = t.take(pa.array(mine))
+    eid_all = t.column("event_id").to_numpy()
+    uid_all = t.column("user_id").to_numpy()
+    etypes = part.column("event_type").to_pylist()
+    vals = part.column("value").to_pylist()
+    props_l = part.column("props").to_pylist()
     keys, values, ts_col = [], [], []
-    for ts_us_v, eid, uid, etype, val, props in rows:
+    for i, row_idx in enumerate(mine):
         payload = {
-            "event_id": eid,
-            "ts_us": ts_us_v,
-            "user_id": uid,
-            "event_type": etype,
-            "value": val,
-            "props": props,
+            "event_id": int(eid_all[row_idx]),
+            "ts_us": int(ts_us_all[row_idx]),
+            "user_id": int(uid_all[row_idx]),
+            "event_type": etypes[i],
+            "value": vals[i],
+            "props": props_l[i],
         }
-        keys.append(str(uid).encode())
+        keys.append(str(payload["user_id"]).encode())
         values.append(json.dumps(payload, separators=(",", ":")).encode())
-        ts_col.append(ts_us_v)
-    n = len(rows)
-    return pa.RecordBatch.from_arrays(
+        ts_col.append(payload["ts_us"])
+    n = len(keys)
+    batch = pa.RecordBatch.from_arrays(
         [
             pa.array(keys, pa.binary()),
             pa.array(values, pa.binary()),
@@ -112,10 +211,54 @@ def _load_partition_batch(path: str, n_parts: int, pid: int, topic: str):
         ],
         names=["key", "value", "topic", "partition", "offset", "timestamp_us"],
     )
+    _BATCH_CACHE[key] = batch
+    while len(_BATCH_CACHE) > _BATCH_CACHE_MAX:
+        _BATCH_CACHE.popitem(last=False)
+    return batch
+
+
+def _resolve_topics(options) -> dict[str, str]:
+    """Subscription → {topic: parquet path} (A23).
+
+    ``broker_dir`` defines the broker's topic namespace (every
+    ``<name>.parquet`` file); ``topics`` subscribes an explicit list,
+    ``topic_pattern`` a regex full-matched against topic names (the
+    reference's ``Subscription.Pattern``). Without ``broker_dir`` the
+    single-topic ``path``/``topic`` form applies."""
+    broker_dir = options.get("broker_dir")
+    if not broker_dir:
+        return {options.get("topic", "events"): options["path"]}
+    available = {
+        fn[: -len(".parquet")]: os.path.join(broker_dir, fn)
+        for fn in sorted(os.listdir(broker_dir))
+        if fn.endswith(".parquet")
+    }
+    pattern = options.get("topic_pattern")
+    if pattern:
+        rx = re.compile(pattern)
+        names = sorted(n for n in available if rx.fullmatch(n))
+        if not names:
+            raise ValueError(
+                f"topic_pattern {pattern!r} matches no topic in {broker_dir}"
+            )
+    elif options.get("topics"):
+        names = [t.strip() for t in options["topics"].split(",") if t.strip()]
+        missing = [t for t in names if t not in available]
+        if missing:
+            raise ValueError(f"unknown topics {missing} in {broker_dir}")
+    else:
+        raise ValueError("broker_dir requires 'topics' or 'topic_pattern'")
+    return {n: available[n] for n in names}
+
+
+def _growth(options) -> tuple[int, int]:
+    return int(options.get("grow_to", "0")), int(options.get("grow_at", "0"))
 
 
 class _Part(InputPartition):
-    def __init__(self, pid: int, start: int = 0, end: int | None = None):
+    def __init__(self, topic, path, pid, start=0, end=None):
+        self.topic = topic
+        self.path = path
         self.pid = pid
         self.start = start
         self.end = end
@@ -123,16 +266,21 @@ class _Part(InputPartition):
 
 class _BatchReader(DataSourceReader):
     def __init__(self, options):
-        self.path = options["path"]
-        self.topic = options.get("topic", "events")
+        self.options = options
         self.n_parts = int(options.get("partitions", "4"))
+        self.grow_to, self.grow_at = _growth(options)
 
     def partitions(self):
-        return [_Part(p) for p in range(self.n_parts)]
+        out = []
+        total = max(self.n_parts, self.grow_to or 0)
+        for topic, path in _resolve_topics(self.options).items():
+            out.extend(_Part(topic, path, p) for p in range(total))
+        return out
 
     def read(self, part):
         yield _load_partition_batch(
-            self.path, self.n_parts, part.pid, self.topic
+            part.path, self.n_parts, part.pid, part.topic,
+            self.grow_to, self.grow_at,
         )
 
 
@@ -151,8 +299,8 @@ _CURSOR_HOME = os.path.join(
 
 
 class _StreamReader(DataSourceStreamReader):
-    """Micro-batch reader: offsets are ``{partition: next_offset}`` dicts
-    (the Kafka source's own offset shape).
+    """Micro-batch reader: offsets are ``{topic: {partition: next_offset}}``
+    dicts (the Kafka source's own offset shape).
 
     With ``batch_rows`` unset the whole log is available immediately —
     one catch-up batch, unconditionally restart-safe. Setting
@@ -162,74 +310,110 @@ class _StreamReader(DataSourceStreamReader):
     replays as a genuine multi-batch stream; after a restart Spark hands
     the committed start offsets back to ``partitions``/``read`` and only
     unserved ranges are read (exactly-once, asserted in
-    tests/test_python_datasource.py)."""
+    tests/test_python_datasource.py).
+
+    Rebalance events surface here exactly as in Kafka's source: a topic
+    matching ``topic_pattern`` that appears between triggers enters the
+    offset map at 0 on the next ``latestOffset`` (assign); partitions
+    beyond the pre-growth count enter when ``grow_to``/``grow_at`` put
+    records on them. Spark feeds the changed map back through
+    ``partitions()`` — reassignment needs no reader-side bookkeeping,
+    which is the A19 "n/a by design" claim made executable.
+    """
 
     def __init__(self, options):
-        self.path = options["path"]
-        self.topic = options.get("topic", "events")
+        self.options = options
         self.n_parts = int(options.get("partitions", "4"))
+        self.grow_to, self.grow_at = _growth(options)
         self.batch_rows = int(options.get("batch_rows", "0"))
         self.cursor_file = options.get("cursor_file")
         if self.batch_rows > 0 and not self.cursor_file:
             import hashlib
 
-            key = f"{self.path}:{self.n_parts}:{self.batch_rows}"
-            self.cursor_file = os.path.join(
-                _CURSOR_HOME, hashlib.md5(key.encode()).hexdigest() + ".json"
+            ident = json.dumps(
+                {k: options.get(k) for k in sorted(
+                    ("path", "topic", "topics", "topic_pattern",
+                     "broker_dir", "partitions", "batch_rows",
+                     "grow_to", "grow_at")
+                ) if options.get(k)},
+                sort_keys=True,
             )
-        self._ends = None
+            self.cursor_file = os.path.join(
+                _CURSOR_HOME,
+                hashlib.md5(ident.encode()).hexdigest() + ".json",
+            )
+        self._ends: dict[str, dict[int, int]] = {}
 
-    def _load_cursor(self):
+    # -- simulated broker metadata ---------------------------------------
+    def _topic_paths(self) -> dict[str, str]:
+        return _resolve_topics(self.options)
+
+    def _end_offsets(self, topic: str, path: str) -> dict[int, int]:
+        if topic not in self._ends:
+            self._ends[topic] = _partition_counts(
+                path, self.n_parts, self.grow_to, self.grow_at
+            )
+        return self._ends[topic]
+
+    # -- cursor (simulated publication point) ----------------------------
+    def _load_cursor(self) -> dict:
         try:
             with open(self.cursor_file) as fh:
                 return json.load(fh)
         except (OSError, ValueError):
-            return {str(p): 0 for p in range(self.n_parts)}
+            return {}
 
-    def _save_cursor(self, cur):
+    def _save_cursor(self, cur: dict) -> None:
         os.makedirs(os.path.dirname(self.cursor_file), exist_ok=True)
         tmp = self.cursor_file + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(cur, fh)
         os.replace(tmp, self.cursor_file)
 
-    def _end_offsets(self):
-        if self._ends is None:
-            import pyarrow.parquet as pq
-
-            uids = pq.read_table(self.path, columns=["user_id"]).column(
-                "user_id"
-            ).to_numpy()
-            mods = uids % self.n_parts
-            self._ends = {
-                p: int((mods == p).sum()) for p in range(self.n_parts)
-            }
-        return self._ends
-
+    # -- DataSourceStreamReader contract ---------------------------------
     def initialOffset(self):
-        return {str(p): 0 for p in range(self.n_parts)}
+        out = {}
+        for topic, path in self._topic_paths().items():
+            ends = self._end_offsets(topic, path)
+            out[topic] = {str(p): 0 for p in ends}
+        return out
 
     def latestOffset(self):
-        ends = self._end_offsets()
-        if self.batch_rows <= 0:
-            return {str(p): ends[p] for p in range(self.n_parts)}
-        cur = self._load_cursor()
-        cur = {
-            p: min(c + self.batch_rows, ends[int(p)]) for p, c in cur.items()
-        }
-        self._save_cursor(cur)
-        return dict(cur)
+        # re-resolve the subscription every trigger — pattern topics that
+        # appeared since the last call are assigned here, from offset 0
+        out = {}
+        cur = self._load_cursor() if self.batch_rows > 0 else None
+        for topic, path in self._topic_paths().items():
+            ends = self._end_offsets(topic, path)
+            if self.batch_rows <= 0:
+                out[topic] = {str(p): ends[p] for p in ends}
+            else:
+                tc = cur.get(topic, {})
+                out[topic] = {
+                    str(p): min(
+                        int(tc.get(str(p), 0)) + self.batch_rows, ends[p]
+                    )
+                    for p in ends
+                }
+        if cur is not None:
+            self._save_cursor(out)
+        return out
 
     def partitions(self, start, end):
-        return [
-            _Part(int(p), start.get(p, 0), end[p])
-            for p in end
-            if end[p] > start.get(p, 0)
-        ]
+        paths = self._topic_paths()
+        out = []
+        for topic, pmap in end.items():
+            spmap = start.get(topic, {})
+            for p, hi in pmap.items():
+                lo = int(spmap.get(p, 0))
+                if hi > lo and topic in paths:
+                    out.append(_Part(topic, paths[topic], int(p), lo, hi))
+        return out
 
     def read(self, part):
         batch = _load_partition_batch(
-            self.path, self.n_parts, part.pid, self.topic
+            part.path, self.n_parts, part.pid, part.topic,
+            self.grow_to, self.grow_at,
         )
         yield batch.slice(part.start, part.end - part.start)
 
@@ -274,21 +458,44 @@ def read_wire_stream(
     partitions: int = 4,
     batch_rows: int = 0,
     cursor_file: str | None = None,
+    broker_dir: str | None = None,
+    topics: list[str] | None = None,
+    topic_pattern: str | None = None,
+    grow_to: int = 0,
+    grow_at: int = 0,
 ):
-    """Micro-batch stream of the wire records. ``batch_rows=0`` serves
-    the whole log in one catch-up batch (always restart-safe);
-    ``batch_rows>0`` simulates a live topic publishing that many offsets
-    per partition per trigger, with the publication cursor persisted at
-    ``cursor_file`` (auto-derived if unset) so the simulated log end
-    stays monotone across query restarts."""
+    """Micro-batch stream of the wire records.
+
+    ``batch_rows=0`` serves the whole log in one catch-up batch (always
+    restart-safe); ``batch_rows>0`` simulates a live topic publishing that
+    many offsets per partition per trigger, with the publication cursor
+    persisted at ``cursor_file`` (auto-derived if unset) so the simulated
+    log end stays monotone across query restarts.
+
+    Subscription: default single ``table`` under ``sf_dir``; or
+    ``broker_dir`` with an explicit ``topics`` list or a
+    ``topic_pattern`` regex (re-resolved every trigger — Kafka pattern
+    subscription). ``grow_to``/``grow_at`` simulate partition growth at a
+    publish position (see module docstring).
+    """
     spark.dataSource.register(KafkaReplaySource)
     rd = (
         spark.readStream.format("kafka_replay")
-        .option("path", os.path.join(sf_dir, f"{table}.parquet"))
-        .option("topic", table)
         .option("partitions", str(partitions))
         .option("batch_rows", str(batch_rows))
     )
+    if broker_dir:
+        rd = rd.option("broker_dir", broker_dir)
+        if topic_pattern:
+            rd = rd.option("topic_pattern", topic_pattern)
+        elif topics:
+            rd = rd.option("topics", ",".join(topics))
+    else:
+        rd = rd.option(
+            "path", os.path.join(sf_dir, f"{table}.parquet")
+        ).option("topic", table)
+    if grow_to:
+        rd = rd.option("grow_to", str(grow_to)).option("grow_at", str(grow_at))
     if cursor_file:
         rd = rd.option("cursor_file", cursor_file)
     return rd.load()

@@ -1,0 +1,235 @@
+"""Rebalance semantics on the broker-less wire source (A19/A23 residue,
+VERDICT r4 item 2):
+
+- pattern subscription resolves a regex to a topic SET (reference
+  ``Subscription.Pattern``, ``client/Subscription.scala:5-6``; compile +
+  subscribe ``client/ConsumerAlgebra.scala:90-94``);
+- a topic appearing between runs is assigned from offset 0 (the
+  metadata-refresh half of ``applyRebalanceEvents``,
+  ``client/RecordStream.scala:71-108``);
+- partition growth mid-log reassigns NEW records to the grown layout while
+  produced records stay put (Kafka's actual partition-add semantics), and
+  the latest-by-key fold stays correct across the reassignment because it
+  orders by data-derived (ts, event_id), not arrival.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from fs2_kafka_streams_spark.catalog import Catalog
+from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
+from fs2_kafka_streams_spark.sources.python_source import (
+    decode_wire,
+    read_wire_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _split_events_broker(tmp_path, n_topics=2):
+    """Split the events table into n 'topics' by user hash — every event in
+    exactly one topic, so the union over the subscription ≡ the table."""
+    t = pq.read_table(f"{SF}/events.parquet")
+    df = t.to_pandas()
+    broker = tmp_path / "broker"
+    broker.mkdir(exist_ok=True)
+    for i in range(n_topics):
+        part = df[df["user_id"] % n_topics == i]
+        part.to_parquet(broker / f"events-{i}.parquet", index=False)
+    return broker
+
+
+def _drain(spark, stream, ckpt, sink_rows, timeout_s=90):
+    """Run the stream until idle; append each batch's decoded rows."""
+
+    def sink(bdf, bid):
+        pdf = decode_wire(bdf).toPandas()
+        pdf["bid"] = bid
+        sink_rows.append(pdf)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    q.awaitTermination()
+
+
+def test_pattern_subscription_union_equals_table(spark, tmp_path):
+    """Subscribe ``events-.*`` over a 2-topic broker dir: the decoded union
+    must equal the events table row-for-row and the fold must equal the
+    direct batch latest-by-key (same invariant as q67, through a topic SET)."""
+    broker = _split_events_broker(tmp_path)
+    rows: list = []
+    stream = read_wire_stream(
+        spark, SF, partitions=3,
+        broker_dir=str(broker), topic_pattern="events-.*",
+    )
+    _drain(spark, stream, tmp_path / "ck", rows)
+    got = pd.concat(rows, ignore_index=True)
+
+    assert set(got["topic"]) == {"events-0", "events-1"}
+    assert len(got) == 1000
+    assert got["event_id"].is_unique
+
+    # per-(topic, partition) offsets dense from 0
+    for (_t, _p), g in got.groupby(["topic", "partition"]):
+        offs = sorted(g["offset"])
+        assert offs == list(range(len(offs)))
+
+    # fold over the union == direct batch fold
+    sdf = spark.createDataFrame(
+        got[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    )
+    via_wire = latest_by_key(
+        sdf, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_cols=["event_id", "event_type", "value"],
+    )
+    direct = latest_by_key(
+        Catalog(spark, SF).events,
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_cols=["event_id", "event_type", "value"],
+    )
+    assert sorted(map(tuple, via_wire.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_explicit_topic_list_and_bad_subscription(spark, tmp_path):
+    broker = _split_events_broker(tmp_path)
+    rows: list = []
+    stream = read_wire_stream(
+        spark, SF, partitions=2,
+        broker_dir=str(broker), topics=["events-1"],
+    )
+    _drain(spark, stream, tmp_path / "ck", rows)
+    got = pd.concat(rows, ignore_index=True)
+    assert set(got["topic"]) == {"events-1"}
+    assert (got["user_id"] % 2 == 1).all()
+
+    from fs2_kafka_streams_spark.sources.python_source import _resolve_topics
+
+    with pytest.raises(ValueError):
+        _resolve_topics({"broker_dir": str(broker), "topics": "nope"})
+    with pytest.raises(ValueError):
+        _resolve_topics({"broker_dir": str(broker), "topic_pattern": "zzz.*"})
+    # Kafka full-matches the pattern: a prefix-only regex matches nothing
+    with pytest.raises(ValueError):
+        _resolve_topics({"broker_dir": str(broker), "topic_pattern": "event"})
+
+
+def test_pattern_topic_appearing_between_runs(spark, tmp_path):
+    """Rebalance (assign) on metadata refresh: a topic that appears AFTER
+    the first run's checkpoint commit is picked up from offset 0 on the
+    next run; nothing already committed is re-served."""
+    t = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    broker = tmp_path / "broker"
+    broker.mkdir()
+    t[t["user_id"] % 2 == 0].to_parquet(broker / "events-0.parquet", index=False)
+
+    rows: list = []
+    ckpt = tmp_path / "ck"
+
+    def stream():
+        return read_wire_stream(
+            spark, SF, partitions=3,
+            broker_dir=str(broker), topic_pattern="events-.*",
+        )
+
+    _drain(spark, stream(), ckpt, rows)
+    n_first = sum(len(p) for p in rows)
+    assert n_first == int((t["user_id"] % 2 == 0).sum())
+
+    # the topic appears; the pattern re-resolves on the next run
+    t[t["user_id"] % 2 == 1].to_parquet(broker / "events-1.parquet", index=False)
+    _drain(spark, stream(), ckpt, rows)
+
+    got = pd.concat(rows, ignore_index=True)
+    assert len(got) == 1000
+    assert got["event_id"].is_unique, "a committed offset was re-served"
+    late = got[got["topic"] == "events-1"]
+    assert len(late) == 1000 - n_first
+    assert (late["bid"] > got[got["topic"] == "events-0"]["bid"].max() - 1).all()
+
+
+def test_partition_growth_exactly_once_and_fold(spark, tmp_path):
+    """Kafka partition-add semantics: records published before ``grow_at``
+    stay on ``user_id % 3``; later ones land on ``user_id % 5``. Across a
+    mid-replay restart the source must deliver each record exactly once
+    with dense per-partition offsets, the assignment must match an
+    independent pandas reconstruction, and the latest-by-key fold must
+    still equal the batch result (order-insensitivity across reassignment
+    — the reference's fold correctness under ``applyRebalanceEvents``)."""
+    n_parts, grow_to, grow_at = 3, 5, 500
+    cursor = tmp_path / "cursor.json"
+    rows: list = []
+    ckpt = tmp_path / "ck"
+
+    def stream():
+        return read_wire_stream(
+            spark, SF, partitions=n_parts, batch_rows=120,
+            cursor_file=str(cursor), grow_to=grow_to, grow_at=grow_at,
+        )
+
+    # several runs with a stop in between — the cursor paces publication,
+    # so each run advances some batches and the restart crosses offsets
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        _drain(spark, stream(), ckpt, rows, timeout_s=60)
+        if sum(len(p) for p in rows) >= 1000:
+            break
+    got = pd.concat(rows, ignore_index=True)
+
+    assert len(got) == 1000
+    assert got["event_id"].is_unique, "re-served or lost records"
+    assert set(got["partition"]) == set(range(grow_to)), "growth partitions used"
+
+    for p, g in got.groupby("partition"):
+        offs = sorted(g["offset"])
+        assert offs == list(range(len(offs))), f"offsets not dense on p{p}"
+
+    # independent reconstruction of the publish-time assignment
+    t = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    t["ts_us"] = t["ts"].astype("int64") // 1000
+    t = t.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+    t["expected_p"] = t["user_id"] % n_parts
+    t.loc[grow_at:, "expected_p"] = t.loc[grow_at:, "user_id"] % grow_to
+    exp = dict(zip(t["event_id"], t["expected_p"]))
+    assert all(exp[e] == p for e, p in zip(got["event_id"], got["partition"]))
+
+    # fold across the reassignment == batch latest-by-key
+    sdf = spark.createDataFrame(
+        got[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    )
+    via_wire = latest_by_key(
+        sdf, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_cols=["event_id", "event_type", "value"],
+    )
+    direct = latest_by_key(
+        Catalog(spark, SF).events,
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_cols=["event_id", "event_type", "value"],
+    )
+    assert sorted(map(tuple, via_wire.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # the offset map in the checkpoint is the nested Kafka shape
+    import glob
+
+    off_files = sorted(glob.glob(str(ckpt / "offsets" / "*")))
+    last = open(off_files[-1]).read().splitlines()[-1]
+    offmap = json.loads(json.loads(last)) if last.startswith('"') else json.loads(last)
+    assert "events" in offmap and set(offmap["events"]) == {
+        str(p) for p in range(grow_to)
+    }
