@@ -370,6 +370,18 @@ def q72_stream_outer_join(spark, sf_dir):
     rows past ``ts + 5 minutes``); delay (10m) ≥ range (5m) with
     time-ordered replay keeps on-time matches alive until their partner
     arrives, so no false NULLs."""
+    joined = outer_join_stream(spark, sf_dir)
+    out = run_to_memory(
+        spark, joined, "q72_sink",
+        extra_conf={"spark.sql.session.timeZone": "UTC"},
+    )
+    return out.filter(F.col("user_id") != -1)
+
+
+def outer_join_stream(spark, sf_dir):
+    """The un-sinked LEFT OUTER stream–stream join of q72 (split out so the
+    crash-recovery tests can drive it through their own checkpointed sink).
+    Output still contains the -1 sentinel lefts; callers filter them."""
     # 1 file/trigger: the two sentinel files MUST arrive in separate
     # triggers — the first advances the watermark, the second's batch
     # flushes the outer state that advance unlocked. 2 data files keep
@@ -394,7 +406,7 @@ def q72_stream_outer_join(spark, sf_dir):
     a = a.withWatermark("ts", "10 minutes")
     b = b.withWatermark("ts", "10 minutes")
     a, b = a.alias("a"), b.alias("b")
-    joined = a.join(
+    return a.join(
         b,
         on=[
             F.col("a.user_id") == F.col("b.user_id"),
@@ -412,8 +424,3 @@ def q72_stream_outer_join(spark, sf_dir):
         F.col("a.event_type").alias("type_a"),
         F.col("b.event_type").alias("type_b"),
     )
-    out = run_to_memory(
-        spark, joined, "q72_sink",
-        extra_conf={"spark.sql.session.timeZone": "UTC"},
-    )
-    return out.filter(F.col("user_id") != -1)

@@ -95,6 +95,32 @@ def _pattern_update_fn(base_type: str, trigger_type: str, gap_us: int):
     return update
 
 
+def pattern_matches_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    base_type: str = "view",
+    trigger_type: str = "click",
+    gap: str = "10 minutes",
+) -> DataFrame:
+    """The UN-SINKED streaming match DataFrame (shared by the memory-sink
+    runner and the crash-recovery tests, which drive it through their own
+    checkpointed sink)."""
+    n, unit = gap.split()
+    gap_us = int(n) * {"minutes": 60, "seconds": 1}[unit] * 1_000_000
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir(sf_dir, "events", order_col="ts"))
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _pattern_update_fn(base_type, trigger_type, gap_us),
+        outputStructType=_MATCH_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def pattern_match_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -104,19 +130,8 @@ def pattern_match_stream(
 ) -> DataFrame:
     """Run the followed-by pattern as a REAL streaming query over the
     time-ordered replay; returns the materialized match table."""
-    n, unit = gap.split()
-    gap_us = int(n) * {"minutes": 60, "seconds": 1}[unit] * 1_000_000
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir(sf_dir, "events", order_col="ts"))
-    )
-    matches = src.groupBy("user_id").applyInPandasWithState(
-        _pattern_update_fn(base_type, trigger_type, gap_us),
-        outputStructType=_MATCH_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    matches = pattern_matches_stream(
+        spark, sf_dir, base_type, trigger_type, gap
     )
     return run_to_memory(spark, matches, "cep_sink")
 
@@ -257,6 +272,30 @@ def _funnel_update_fn(stages: tuple[str, str, str], gap_us: int):
     return update
 
 
+def funnel_matches_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    gap: str = "12 hours",
+) -> DataFrame:
+    """The un-sinked 3-stage funnel stream (see
+    :func:`pattern_matches_stream` for why this is split out)."""
+    n, unit = gap.split()
+    gap_us = int(n) * {"hours": 3600, "minutes": 60, "seconds": 1}[unit] * 1_000_000
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir(sf_dir, "events", order_col="ts"))
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _funnel_update_fn(stages, gap_us),
+        outputStructType=_FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def funnel_match_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -268,20 +307,7 @@ def funnel_match_stream(
     turn carries ITS last prior base event), each hop within ``gap``.
     State per key is two rows (last base; last qualified mid + base refs)
     — still O(keys), bounded forever."""
-    n, unit = gap.split()
-    gap_us = int(n) * {"hours": 3600, "minutes": 60, "seconds": 1}[unit] * 1_000_000
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir(sf_dir, "events", order_col="ts"))
-    )
-    matches = src.groupBy("user_id").applyInPandasWithState(
-        _funnel_update_fn(stages, gap_us),
-        outputStructType=_FUNNEL_SCHEMA,
-        stateStructType=_FUNNEL_STATE,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    matches = funnel_matches_stream(spark, sf_dir, stages, gap)
     return run_to_memory(spark, matches, "funnel_sink")
 
 
