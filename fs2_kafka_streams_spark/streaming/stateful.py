@@ -77,6 +77,66 @@ def _latest_update(key, pdf_iter, state: GroupState):
         )
 
 
+def _latest_update_deletes(tombstone_col: str):
+    """Last-write-wins upsert WITH tombstones: if a key's latest change (by
+    ``(ts, event_id)``) is a delete marker, the key's state is REMOVED
+    (``state.remove()``) and a ``_dead`` row is emitted so the sink drops
+    the key from the materialized view.
+
+    This drives the API the reference exposes but never itself emits
+    (``Table.delete``, ``streams/Table.scala:31``; its ``Tables.scala``
+    changelog is upsert-only — SURVEY invariant 6), with compacted-topic
+    semantics: a tombstone erases the key; a LATER record re-inserts it.
+    Exactly mirrors the batch MERGE (``operators/incremental.py``) on an
+    order-respecting changelog — duality-tested in
+    tests/test_streaming_duality.py::test_streaming_deletes_match_batch_merge.
+    """
+
+    def update(key, pdf_iter, state: GroupState):
+        best = tuple(state.get) + (False,) if state.exists else None
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            ts_us = pdf["ts"].astype("int64") // 1000
+            idx = (
+                pd.DataFrame({"t": ts_us, "e": pdf["event_id"]})
+                .sort_values(["t", "e"])
+                .index[-1]
+            )
+            row = pdf.loc[idx]
+            cand = (
+                int(row["event_id"]),
+                int(ts_us.loc[idx]),
+                str(row["event_type"]),
+                float(row["value"]),
+                str(row["props"]),
+                bool(row[tombstone_col]),
+            )
+            if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+                best = cand
+        if best is not None:
+            dead = best[5]
+            if dead:
+                # the reference's delete: drop the key from the store
+                if state.exists:
+                    state.remove()
+            else:
+                state.update(best[:5])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_id": [best[0]],
+                    "ts": [pd.to_datetime(best[1], unit="us")],
+                    "event_type": [best[2]],
+                    "value": [best[3]],
+                    "props": [best[4]],
+                    "_dead": [dead],
+                }
+            )
+
+    return update
+
+
 try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
     # The API's state server speaks protobuf — require it up front so an
     # environment without it degrades to applyInPandasWithState instead of
@@ -199,21 +259,34 @@ def latest_by_key_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 SINK_BUCKETS = 8
 
 
-def _read_upsert_log(spark: SparkSession, sink_dir: str) -> DataFrame:
+def _read_upsert_log(
+    spark: SparkSession, sink_dir: str, row_schema: str = _OUTPUT_SCHEMA
+) -> DataFrame:
     return spark.read.schema(
-        _OUTPUT_SCHEMA + ", _epoch long, _bucket int"
+        row_schema + ", _epoch long, _bucket int"
     ).parquet(sink_dir)
 
 
-def _log_head(log: DataFrame) -> DataFrame:
+def _log_head(log: DataFrame, dead_col: str | None = None) -> DataFrame:
+    """Latest row per key from the append log; with ``dead_col``, keys
+    whose head is a tombstone drop out — exactly a compacted topic's read
+    view (tombstoned keys vanish once the tombstone is the head)."""
+    from pyspark.sql import functions as F
+
     from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
 
-    return latest_by_key(
+    value_cols = ["event_id", "ts", "event_type", "value", "props"]
+    if dead_col is not None:
+        value_cols = value_cols + [dead_col]
+    head = latest_by_key(
         log,
         key_cols=["user_id"],
         order_cols=["_epoch", "ts", "event_id"],
-        value_cols=["event_id", "ts", "event_type", "value", "props"],
+        value_cols=value_cols,
     )
+    if dead_col is not None:
+        head = head.filter(~F.col(dead_col)).drop(dead_col)
+    return head
 
 
 def compact_upsert_log(spark: SparkSession, sink_dir: str) -> tuple[int, int]:
@@ -259,7 +332,8 @@ def compact_upsert_log(spark: SparkSession, sink_dir: str) -> tuple[int, int]:
 
 def _run_upsert_sink(
     spark: SparkSession, updates: DataFrame, checkpoint: str | None = None,
-    sink_dir: str | None = None,
+    sink_dir: str | None = None, row_schema: str = _OUTPUT_SCHEMA,
+    dead_col: str | None = None,
 ) -> DataFrame:
     """Drive the update stream to completion; materialize the view through a
     KEYED PARQUET UPSERT SINK (the Spark-native analogue of a compacted
@@ -312,7 +386,9 @@ def _run_upsert_sink(
         )
         q.awaitTermination()
 
-    return _log_head(_read_upsert_log(spark, sink_dir))
+    return _log_head(
+        _read_upsert_log(spark, sink_dir, row_schema), dead_col=dead_col
+    )
 
 
 def latest_by_key_streaming(
@@ -341,6 +417,43 @@ def latest_by_key_streaming(
     )
     return _run_upsert_sink(
         spark, updates, checkpoint=checkpoint, sink_dir=sink_dir
+    )
+
+
+def latest_by_key_streaming_with_deletes(
+    spark: SparkSession,
+    replay_path: str,
+    tombstone_col: str = "deleted",
+    checkpoint: str | None = None,
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """Changelog→table materialization where the changelog carries DELETE
+    markers (boolean ``tombstone_col``): a key whose latest change is a
+    tombstone is removed from the state store (``state.remove()``) and
+    from the materialized view — the streaming twin of the batch MERGE's
+    tombstone branch (``operators/incremental.py``) and the reference's
+    ``Table.delete`` (``streams/Table.scala:31``).
+
+    ``replay_path`` is a directory of parquet files in changelog order
+    (events schema + the tombstone column), replayed 2 files/trigger so
+    delete/re-insert sequences cross micro-batch boundaries.
+    """
+    schema = EVENTS_SCHEMA + f", {tombstone_col} boolean"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(replay_path)
+    )
+    updates = src.groupBy("user_id").applyInPandasWithState(
+        _latest_update_deletes(tombstone_col),
+        outputStructType=_OUTPUT_SCHEMA + ", _dead boolean",
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_upsert_sink(
+        spark, updates, checkpoint=checkpoint, sink_dir=sink_dir,
+        row_schema=_OUTPUT_SCHEMA + ", _dead boolean", dead_col="_dead",
     )
 
 

@@ -290,3 +290,67 @@ def test_q38b_tws_matches_batch(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.select(*streamed.columns).collect())
     )
+
+
+def test_streaming_deletes_match_batch_merge(spark, tmp_path):
+    """Tombstoned changelog: streaming latest-by-key with ``state.remove()``
+    on delete markers ≡ the batch MERGE's tombstone branch
+    (``operators/incremental.py``). Covers keys whose head is a tombstone
+    (dropped), keys re-inserted after a tombstone, and delete/re-insert
+    sequences crossing micro-batch boundaries (2-file triggers over a
+    5-file replay)."""
+    import pandas as pd
+
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.operators.incremental import apply_changes
+    from fs2_kafka_streams_spark.streaming.stateful import (
+        latest_by_key_streaming_with_deletes,
+    )
+
+    ev = Catalog(spark, SF_SMOKE).events.toPandas()
+    ev = ev.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    # µs precision so the parquet files read back as TIMESTAMP_NTZ(MICROS)
+    # under the streaming schema (pandas default ns would collide with the
+    # session's nanosAsLong legacy read)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["deleted"] = (ev["event_id"] % 7 == 0)
+    replay = tmp_path / "changelog"
+    replay.mkdir()
+    n = len(ev)
+    for i in range(5):
+        chunk = ev.iloc[i * n // 5 : (i + 1) * n // 5]
+        chunk.to_parquet(replay / f"part-{i:02d}.parquet", index=False)
+
+    # sanity: the fixture must exercise both tombstone-at-head and
+    # re-insert-after-tombstone, else the test proves nothing
+    heads = ev.groupby("user_id").tail(1)
+    assert heads["deleted"].any(), "no key ends on a tombstone"
+    tomb_keys = set(ev[ev["deleted"]]["user_id"])
+    live_heads = set(heads[~heads["deleted"]]["user_id"])
+    assert tomb_keys & live_heads, "no key re-inserted after a tombstone"
+
+    streamed = latest_by_key_streaming_with_deletes(
+        spark, str(replay), tombstone_col="deleted"
+    ).select("user_id", "event_id", "event_type", "value", "props")
+
+    changes = spark.createDataFrame(
+        ev.assign(seq=range(len(ev)))[
+            ["user_id", "event_id", "ts", "event_type", "value", "props",
+             "deleted", "seq"]
+        ]
+    )
+    batch = apply_changes(
+        None,
+        changes,
+        key_cols=["user_id"],
+        order_col="seq",
+        value_cols=["event_id", "event_type", "value", "props"],
+        tombstone_col="deleted",
+    ).select("user_id", "event_id", "event_type", "value", "props")
+
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # every tombstone-headed key is absent from the view
+    dead_keys = set(heads[heads["deleted"]]["user_id"])
+    assert not dead_keys & {r.user_id for r in streamed.collect()}
