@@ -289,7 +289,7 @@ def q46_stream_dedup(spark, sf_dir):
     return run_to_memory(spark, deduped, "q46_sink")
 
 
-def streaming_ann_topk(spark, sf_dir, k: int = 3):
+def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
     """Continuous similarity search: a stream of query vectors scored per
     micro-batch against the static embedding corpus (the streaming shape
     of q44 — the EDBT'19 "similarity search for streaming data" pattern,
@@ -300,11 +300,14 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3):
     against the (unchanging) corpus by the same :func:`operators.
     similarity.cosine_topk` the batch tier uses, so streaming and batch
     answers are IDENTICAL by construction (asserted in
-    ``tests/test_streaming_duality.py``). The harness accumulates batch
-    results and returns them as one DataFrame; a deployment would write
-    each micro-batch to its sink (Kafka/parquet) instead. At 100 TB the
-    corpus side is the big one and it streams once per trigger with the
-    tiny query side broadcast — same plan as batch q44.
+    ``tests/test_streaming_duality.py``).
+
+    ``sink(result_df, epoch_id)`` receives each micro-batch's scored
+    top-k DataFrame — a deployment points it at Kafka/parquet/a feature
+    store and NOTHING flows through the driver. With ``sink=None`` the
+    harness default appends each batch to a parquet spool (an
+    executor-side write) and returns the read-back spool, so even the
+    harness path keeps the driver holding no row data.
     """
     import tempfile
 
@@ -318,10 +321,20 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3):
         .option("maxFilesPerTrigger", 1)
         .parquet(qdir)
     )
-    collected: list = []
+    out_schema = "query_id bigint, neighbor_id bigint, rank int, cos double"
+    spool = None
+    if sink is None:
+        spool = tempfile.mkdtemp(prefix="sink_ann_stream_")
 
-    def score_batch(bdf, _epoch: int) -> None:
-        collected.extend(cosine_topk(corpus, bdf, k=k).collect())
+        def sink(result_df, epoch_id: int) -> None:
+            # idempotent per-batch overwrite — re-run of an uncommitted
+            # batch lands in the same directory
+            result_df.write.mode("overwrite").parquet(
+                f"{spool}/epoch={epoch_id}"
+            )
+
+    def score_batch(bdf, epoch_id: int) -> None:
+        sink(cosine_topk(corpus, bdf, k=k), epoch_id)
 
     checkpoint = tempfile.mkdtemp(prefix="ckpt_ann_stream_")
     q = (
@@ -331,8 +344,13 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3):
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(
-        collected, "query_id bigint, neighbor_id bigint, rank int, cos double"
+    if spool is None:
+        return None
+    return (
+        spark.read.schema(out_schema)
+        .option("basePath", spool)
+        .parquet(spool)
+        .select("query_id", "neighbor_id", "rank", "cos")
     )
 
 
