@@ -55,13 +55,28 @@ def _spread(df: DataFrame) -> DataFrame:
     A scan's parallelism is bounded by its row-group splits; a corpus
     delivered as a few large files (or the harness's single-row-group
     oracle tables) would otherwise serialize the whole pipeline on a
-    handful of cores while the rest idle. When the scan already yields at
-    least ``defaultParallelism`` splits — the normal 100 TB case, where
-    repartitioning would be a pointless extra shuffle of raw text — this
-    is a no-op and adds nothing to the plan.
+    handful of cores while the rest idle. When the scan already reads at
+    least ``defaultParallelism`` input files — the normal 100 TB case,
+    where repartitioning would be a pointless extra shuffle of raw text —
+    this is a no-op and adds nothing to the plan.
+
+    The width probe uses ``inputFiles()`` (file count lower-bounds the
+    scan's split count), not ``df.rdd.getNumPartitions()``: the RDD
+    conversion forced a JVM round-trip per call and is unsupported under
+    Spark Connect. An input with no file provenance (in-memory
+    createDataFrame, post-shuffle lineage) reports 0 files and is
+    repartitioned — such inputs are either tiny (tests) or already wide.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    spark = df.sparkSession
+    try:
+        target = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext handle
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits >= target:
         return df
     return df.repartition(target)
 

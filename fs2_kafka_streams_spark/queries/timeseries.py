@@ -171,7 +171,7 @@ def q61_histogram(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
                AS cents
       FROM events GROUP BY 1, 2
     ),
@@ -200,10 +200,17 @@ def q62_anomaly(spark, sf_dir):
     baseline, per event type.
 
     The |z| > 3 test is evaluated as ``(n·x − S1)²·(n−1) > 9·n·(n·S2 −
-    S1²)`` over exact BIGINT cent sums — algebraically identical to
+    S1²)`` over exact integer cent sums — algebraically identical to
     ``((x−μ)/σ_samp)² > 9`` but with no floating-point mean, variance, or
-    sqrt anywhere, so the decision replays bit-for-bit in DuckDB. (The
-    same identity runs in DECIMAL(38,0) when magnitudes outgrow BIGINT.)
+    sqrt anywhere, so the decision replays bit-for-bit in DuckDB.
+
+    Overflow posture: the sufficient statistics run in DECIMAL (Spark) /
+    HUGEINT (DuckDB) — both exact up to ~1e38 — instead of BIGINT, whose
+    ~9.2e18 ceiling the squared terms cross once daily cent sums exceed
+    ~1.2e9 (bigger scale factors / hot event types; under ANSI mode that
+    would throw, otherwise silently wrap). Exactness now holds while
+    ``64·max_daily_cents²·7 < 1e38``, i.e. daily revenue up to ~10¹⁵
+    dollars — beyond any 100 TB corpus.
 
     Plan: one (type, day) aggregation, then a window over the tiny daily
     series partitioned by type — the window input is O(types × days),
@@ -211,10 +218,11 @@ def q62_anomaly(spark, sf_dir):
     any scale.
     """
     e = Catalog(spark, sf_dir).events
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    # decimal(19,0) BEFORE the day-sum so even the aggregation can't wrap
+    cents = F.round(F.col("value") * 100).cast("decimal(19,0)")
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.sum(cents).alias("cents"))
+    ).agg(F.sum(cents).cast("decimal(38,0)").alias("cents"))
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -224,11 +232,18 @@ def q62_anomaly(spark, sf_dir):
         "event_type",
         "day",
         "cents",
-        F.sum("cents").over(w).alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+        F.sum("cents").over(w).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents"))
+        .over(w)
+        .cast("decimal(38,0)")
+        .alias("s2"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
-    x, s1, s2, n = (F.col(c) for c in ("cents", "s1", "s2", "n"))
+    x, s1, s2 = (
+        F.col(c).cast("decimal(38,0)") for c in ("cents", "s1", "s2")
+    )
+    n = F.col("n")
+    nd = n.cast("decimal(38,0)")
     return stats.filter(n >= 5).select(
         "event_type",
         "day",
@@ -236,8 +251,8 @@ def q62_anomaly(spark, sf_dir):
         n.alias("n_base"),
         (s1.cast("double") / (F.lit(100.0) * n)).alias("base_mean"),
         (
-            (n * x - s1) * (n * x - s1) * (n - F.lit(1))
-            > F.lit(9) * n * (n * s2 - s1 * s1)
+            (nd * x - s1) * (nd * x - s1) * (nd - F.lit(1))
+            > F.lit(9) * nd * (nd * s2 - s1 * s1)
         ).alias("is_anomaly"),
     )
 
