@@ -56,7 +56,7 @@ def _events_stream(
 def q45_stream_table_join(spark, sf_dir):
     """Stream–table enrichment join as a real streaming query (A14):
     events stream ⟕ broadcast customer table, append mode."""
-    src = _events_stream(spark, sf_dir)
+    src = _events_stream(spark, sf_dir, files_per_trigger=2)
     cust = Catalog(spark, sf_dir).customer.select(
         F.col("c_custkey"), "c_nationkey", "c_mktsegment"
     )
@@ -98,7 +98,7 @@ def q35b_session_window_streaming(spark, sf_dir):
     state. At scale the same plan runs in append mode with a watermark
     bounding state; complete mode here isolates the session-merge logic
     from watermark-trajectory modeling (that part is covered by q36)."""
-    src = _events_stream(spark, sf_dir)
+    src = _events_stream(spark, sf_dir, files_per_trigger=2)
     agg = (
         src.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
@@ -134,7 +134,7 @@ def q33b_tumbling_window_streaming(spark, sf_dir):
     late-data drops is q36."""
     from fs2_kafka_streams_spark.canonical import dsum
 
-    src = _events_stream(spark, sf_dir)
+    src = _events_stream(spark, sf_dir, files_per_trigger=2)
     agg = (
         src.groupBy(F.window("ts", "5 minutes").alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
@@ -282,7 +282,7 @@ def q46_stream_dedup(spark, sf_dir):
     """Streaming dropDuplicates on (user_id, event_type): the seen-key set
     is streaming state carried across micro-batches; emitting only the key
     columns makes first-arrival nondeterminism irrelevant."""
-    src = _events_stream(spark, sf_dir)
+    src = _events_stream(spark, sf_dir, files_per_trigger=2)
     deduped = src.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )

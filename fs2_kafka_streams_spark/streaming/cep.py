@@ -107,9 +107,13 @@ def pattern_matches_stream(
     checkpointed sink)."""
     n, unit = gap.split()
     gap_us = int(n) * {"minutes": 60, "seconds": 1}[unit] * 1_000_000
+    # 2 files/trigger: cross-batch state is still exercised (2 triggers
+    # over the 4-file ts-ordered replay) at half the per-batch machinery
+    # cost; the update fn sorts each batch by (ts, event_id) so intra-
+    # trigger file order is irrelevant
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(replay_dir(sf_dir, "events", order_col="ts"))
     )
     return src.groupBy("user_id").applyInPandasWithState(
@@ -282,9 +286,10 @@ def funnel_matches_stream(
     :func:`pattern_matches_stream` for why this is split out)."""
     n, unit = gap.split()
     gap_us = int(n) * {"hours": 3600, "minutes": 60, "seconds": 1}[unit] * 1_000_000
+    # 2 files/trigger — same rationale as pattern_matches_stream
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(replay_dir(sf_dir, "events", order_col="ts"))
     )
     return src.groupBy("user_id").applyInPandasWithState(

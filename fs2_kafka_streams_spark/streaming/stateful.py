@@ -223,9 +223,11 @@ def latest_by_key_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         inject_worker_path(spark)
     proc = LatestProcessor()
 
+    # 2 files/trigger — cross-batch typed state still exercised (q38's
+    # rationale) at half the micro-batch machinery cost
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(replay_dir(sf_dir, "events"))
     )
     updates = src.groupBy("user_id").transformWithStateInPandas(

@@ -37,7 +37,7 @@ class _InjectedCrash(RuntimeError):
     pass
 
 
-def _crash_resume_run(spark, build_stream, out, ckpt, crash_after=2):
+def _crash_resume_run(spark, build_stream, out, ckpt, crash_after=1):
     """Drive the stream to a mid-replay crash, then resume and drain.
 
     Returns the read-back union of all batch outputs (bid partition
