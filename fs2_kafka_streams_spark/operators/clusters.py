@@ -32,6 +32,13 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "dedup_keep_best"]
 
 
+#: Observability: propagation rounds used by the most recent
+#: :func:`connected_components` call (scale runs assert round-count
+#: stability — label propagation with pointer jumping converges in
+#: O(log diameter), so corpus growth must NOT grow rounds).
+LAST_ROUNDS: int = 0
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -78,7 +85,8 @@ def connected_components(
         .persist()
     )
 
-    for _ in range(max_rounds):
+    global LAST_ROUNDS
+    for _round in range(max_rounds):
         # propagate: each vertex adopts the min label in its neighborhood.
         # The vertex's OLD label rides along through the aggregation
         # (min over exactly one non-null value) so the convergence check
@@ -129,6 +137,7 @@ def connected_components(
         lab.unpersist()
         lab = new_full.drop("_old")
         if changed == 0:
+            LAST_ROUNDS = _round + 1
             break
     else:
         raise RuntimeError(

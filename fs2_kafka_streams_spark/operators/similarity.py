@@ -209,8 +209,9 @@ def embedding_neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits_per_band: int = 8,
+    bits_per_band: int | None = 8,
     bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup, 100 TB path: banded hyperplane LSH.
 
@@ -221,10 +222,31 @@ def embedding_neardup_pairs_lsh(
     probabilistic: two vectors at cosine θ collide in one band with prob
     (1 − arccos(θ)/π)^bits, amplified across bands — with 8×16 defaults
     that is ≈0.996 at θ=0.9 (the regime real near-dups live in) but small
-    at θ≈0.4. Band width must scale with corpus size (2^bits buckets per
-    band bounds expected candidates at n²/2^bits per band); 8 bits suits
-    10³–10⁵ rows, 16–20 suits 10⁸+. Candidate-set reduction and recall are
-    asserted against the exact tier in the test suite."""
+    at θ≈0.4.
+
+    Band width must scale with corpus size: each band's expected candidate
+    count is ~n²/2^bits, so FIXED 8-bit bands turn superlinear once n
+    outgrows ~10⁴ (measured: 10× rows → 62× wall time at n=20k, SCALE.md
+    "measured scaling"). Pass ``bits_per_band=None`` to auto-size to
+    ⌈log2 n⌉ (clamped to [8, 20]) — buckets ≈ corpus size, so expected
+    candidates stay O(n·bands); trade recall back by raising ``bands`` if
+    the target regime is below θ≈0.95. The default stays pinned at 8
+    because the DuckDB oracle replays the exact 8-bit pipeline.
+
+    ``max_bucket_size`` is the skew guard (same contract as
+    ``minhash_lsh_pairs``): real corpora are CLUSTERED, and a dense
+    cluster's band bucket emits O(f²) candidates no matter the bit width.
+    With a cap, oversized buckets are dropped before the self-join; a true
+    near-dup pair still meets in its other bands, so recall decays
+    gracefully while the worst-case join stays bounded.
+
+    Candidate-set reduction and recall are asserted against the exact tier
+    in the test suite."""
+    if bits_per_band is None:
+        import math
+
+        n = embeddings.count()
+        bits_per_band = max(8, min(20, math.ceil(math.log2(max(n, 2)))))
     e = embeddings.select(
         F.col(id_col).alias("id"),
         quantized(F.col(vec_col)).alias("q"),
@@ -233,6 +255,14 @@ def embedding_neardup_pairs_lsh(
     tagged = e.select(
         "id", "q", "n2", F.posexplode("sigs").alias("band", "sig")
     )
+    if max_bucket_size is not None:
+        ok_buckets = (
+            tagged.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") <= max_bucket_size)
+            .select("band", "sig")
+        )
+        tagged = tagged.join(ok_buckets, on=["band", "sig"], how="left_semi")
     cand = (
         tagged.alias("a")
         .join(

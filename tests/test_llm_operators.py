@@ -335,3 +335,46 @@ def test_ivf_topk_correctness_and_recall(spark):
         for r in ivf_topk(emb, q, k=5, nlist=8, nprobe=8).collect()
     }
     assert full == brute
+
+
+def test_embedding_lsh_auto_bits_and_bucket_cap(spark):
+    """The scale path: bits_per_band=None auto-sizes the band width to
+    ~log2(n) so expected candidates stay O(n·bands) (fixed 8-bit bands
+    measured 62× slower at 10× rows — SCALE.md), and max_bucket_size drops
+    degenerate buckets before the self-join. Precision must stay 1 and
+    planted near-dups (cosine ≈ 1, the target regime) must still be found."""
+    from pyspark.sql import functions as F
+
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = Catalog(spark, SF_SMOKE).embeddings.limit(100)
+    planted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+
+    got = embedding_neardup_pairs_lsh(
+        corpus, threshold=0.95, bits_per_band=None, max_bucket_size=64
+    ).collect()
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_neardup_pairs(corpus, threshold=0.95).collect()
+    }
+    for r in got:
+        assert (r["id_a"], r["id_b"]) in exact  # precision 1
+    want = {(i, i + 1_000_000) for i in range(100)}
+    found = {(r["id_a"], r["id_b"]) for r in got} & want
+    assert len(found) >= 90, f"only {len(found)}/100 planted dups found"
+
+    # a pathological cap still runs and can only shrink the candidate set
+    tiny = embedding_neardup_pairs_lsh(
+        corpus, threshold=0.95, bits_per_band=None, max_bucket_size=1
+    ).count()
+    assert tiny <= len(got)
