@@ -235,12 +235,11 @@ def _resolve_topics(options) -> dict[str, str]:
     }
     pattern = options.get("topic_pattern")
     if pattern:
+        # zero matches is LEGAL for a pattern subscription (Kafka semantics:
+        # the consumer idles until a matching topic appears; our stream
+        # reader re-resolves every latestOffset, picking it up then)
         rx = re.compile(pattern)
         names = sorted(n for n in available if rx.fullmatch(n))
-        if not names:
-            raise ValueError(
-                f"topic_pattern {pattern!r} matches no topic in {broker_dir}"
-            )
     elif options.get("topics"):
         names = [t.strip() for t in options["topics"].split(",") if t.strip()]
         missing = [t for t in names if t not in available]

@@ -121,11 +121,11 @@ def test_explicit_topic_list_and_bad_subscription(spark, tmp_path):
 
     with pytest.raises(ValueError):
         _resolve_topics({"broker_dir": str(broker), "topics": "nope"})
-    with pytest.raises(ValueError):
-        _resolve_topics({"broker_dir": str(broker), "topic_pattern": "zzz.*"})
+    # zero pattern matches is LEGAL (Kafka: consumer idles until a
+    # matching topic appears) — resolves to the empty topic set
+    assert _resolve_topics({"broker_dir": str(broker), "topic_pattern": "zzz.*"}) == {}
     # Kafka full-matches the pattern: a prefix-only regex matches nothing
-    with pytest.raises(ValueError):
-        _resolve_topics({"broker_dir": str(broker), "topic_pattern": "event"})
+    assert _resolve_topics({"broker_dir": str(broker), "topic_pattern": "event"}) == {}
 
 
 def test_pattern_topic_appearing_between_runs(spark, tmp_path):
