@@ -44,30 +44,49 @@ N_CLUSTERS = 50
 
 
 def gen_documents(path: str, n: int, seed: int = 7) -> None:
+    """Seeded synthetic corpus: Zipf-ish vocabulary (shingles repeat across
+    documents like real text) + NEAR_DUP_FRAC planted near-duplicates
+    (~5% token mutations of an original doc). Vectorized — one token draw
+    for all originals, one for all mutations — so 100× corpora generate in
+    seconds, not minutes."""
     if os.path.exists(path):
         return
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.RandomState(seed)
-    # Zipf-ish vocabulary so shingles repeat across documents (boilerplate
-    # + genuine overlap), like real text
     probs = 1.0 / np.arange(1, VOCAB + 1) ** 0.9
     probs /= probs.sum()
     words = np.array([f"w{i:04d}" for i in range(VOCAB)])
-    texts: list[str] = []
-    for i in range(n):
-        if i > 0 and rng.rand() < NEAR_DUP_FRAC:
-            # near-dup: mutate ~5% of a previous doc's tokens
-            base = texts[rng.randint(0, i)].split()
-            toks = np.array(base, dtype=object)
-            n_mut = max(1, int(0.05 * len(toks)))
-            pos = rng.choice(len(toks), size=n_mut, replace=False)
-            toks[pos] = words[rng.choice(VOCAB, size=n_mut, p=probs)]
-            texts.append(" ".join(toks.tolist()))
-        else:
-            ln = rng.randint(40, 200)
-            texts.append(" ".join(words[rng.choice(VOCAB, size=ln, p=probs)]))
+
+    is_dup = rng.rand(n) < NEAR_DUP_FRAC
+    is_dup[0] = False
+    orig_idx = np.flatnonzero(~is_dup)
+    # originals: one big token draw, sliced by per-doc length
+    lengths = rng.randint(40, 200, size=len(orig_idx))
+    flat = rng.choice(VOCAB, size=int(lengths.sum()), p=probs)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    texts: list[str | None] = [None] * n
+    for j, i in enumerate(orig_idx):
+        texts[i] = " ".join(words[flat[offsets[j] : offsets[j + 1]]])
+    # near-dups: mutate ~5% of a random ORIGINAL's tokens (clusters form
+    # when several dups pick the same base)
+    dup_idx = np.flatnonzero(is_dup)
+    bases = orig_idx[rng.randint(0, len(orig_idx), size=len(dup_idx))]
+    mut_flat = rng.choice(VOCAB, size=10 * len(dup_idx) + 1, p=probs)
+    mp = 0
+    for i, b in zip(dup_idx, bases):
+        toks = np.array(texts[b].split(), dtype=object)
+        n_mut = max(1, int(0.05 * len(toks)))
+        pos = rng.choice(len(toks), size=n_mut, replace=False)
+        take = mut_flat[mp : mp + n_mut]
+        if len(take) < n_mut:  # refill if the mutation pool ran dry
+            mut_flat = rng.choice(VOCAB, size=10 * len(dup_idx) + 1, p=probs)
+            mp = 0
+            take = mut_flat[:n_mut]
+        mp += n_mut
+        toks[pos] = words[take]
+        texts[i] = " ".join(toks.tolist())
     t = pa.table(
         {
             "doc_id": pa.array(range(n), pa.int64()),
@@ -78,6 +97,8 @@ def gen_documents(path: str, n: int, seed: int = 7) -> None:
 
 
 def gen_embeddings(path: str, n: int, seed: int = 11) -> None:
+    """Clustered unit vectors + NEAR_DUP_FRAC tiny-perturbation near-dups
+    of earlier ORIGINAL vectors. Vectorized."""
     if os.path.exists(path):
         return
     import pyarrow as pa
@@ -86,14 +107,19 @@ def gen_embeddings(path: str, n: int, seed: int = 11) -> None:
     rng = np.random.RandomState(seed)
     centers = rng.randn(N_CLUSTERS, DIM)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    vecs = np.empty((n, DIM), dtype=np.float32)
-    for i in range(n):
-        if i > 0 and rng.rand() < NEAR_DUP_FRAC:
-            v = vecs[rng.randint(0, i)] + 0.02 * rng.randn(DIM)
-        else:
-            c = centers[rng.randint(0, N_CLUSTERS)]
-            v = c + 0.25 * rng.randn(DIM)
-        vecs[i] = v / np.linalg.norm(v)
+    is_dup = rng.rand(n) < NEAR_DUP_FRAC
+    is_dup[0] = False
+    vecs = np.empty((n, DIM), dtype=np.float64)
+    orig_idx = np.flatnonzero(~is_dup)
+    vecs[orig_idx] = (
+        centers[rng.randint(0, N_CLUSTERS, size=len(orig_idx))]
+        + 0.25 * rng.randn(len(orig_idx), DIM)
+    )
+    dup_idx = np.flatnonzero(is_dup)
+    bases = orig_idx[rng.randint(0, len(orig_idx), size=len(dup_idx))]
+    vecs[dup_idx] = vecs[bases] + 0.02 * rng.randn(len(dup_idx), DIM)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs.astype(np.float32)
     t = pa.table(
         {
             "vec_id": pa.array(range(n), pa.int64()),
