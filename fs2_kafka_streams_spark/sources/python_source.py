@@ -438,16 +438,38 @@ class KafkaReplaySource(DataSource):
         return _StreamReader(self.options)
 
 
-def read_wire(spark, sf_dir: str, table: str = "events", partitions: int = 4):
-    """Batch-read a driver table through the wire-shape source."""
+def read_wire(
+    spark,
+    sf_dir: str,
+    table: str = "events",
+    partitions: int = 4,
+    broker_dir: str | None = None,
+    topics: list[str] | None = None,
+    topic_pattern: str | None = None,
+    grow_to: int = 0,
+    grow_at: int = 0,
+):
+    """Batch-read through the wire-shape source — the whole log(s) as one
+    DataFrame. Supports the same subscription forms and partition-growth
+    simulation as :func:`read_wire_stream` (a batch backfill over the same
+    topic set a streaming job subscribes to)."""
     spark.dataSource.register(KafkaReplaySource)
-    return (
-        spark.read.format("kafka_replay")
-        .option("path", os.path.join(sf_dir, f"{table}.parquet"))
-        .option("topic", table)
-        .option("partitions", str(partitions))
-        .load()
+    rd = spark.read.format("kafka_replay").option(
+        "partitions", str(partitions)
     )
+    if broker_dir:
+        rd = rd.option("broker_dir", broker_dir)
+        if topic_pattern:
+            rd = rd.option("topic_pattern", topic_pattern)
+        elif topics:
+            rd = rd.option("topics", ",".join(topics))
+    else:
+        rd = rd.option(
+            "path", os.path.join(sf_dir, f"{table}.parquet")
+        ).option("topic", table)
+    if grow_to:
+        rd = rd.option("grow_to", str(grow_to)).option("grow_at", str(grow_at))
+    return rd.load()
 
 
 def read_wire_stream(

@@ -233,3 +233,34 @@ def test_partition_growth_exactly_once_and_fold(spark, tmp_path):
     assert "events" in offmap and set(offmap["events"]) == {
         str(p) for p in range(grow_to)
     }
+
+
+def test_batch_reader_multi_topic_and_growth(spark, tmp_path):
+    """The BATCH wire view (a backfill over the same subscription a stream
+    uses) supports pattern topic-sets and partition growth identically:
+    union over topics ≡ the events table, and the growth assignment matches
+    the stream reader's."""
+    from fs2_kafka_streams_spark.sources.python_source import read_wire
+
+    broker = _split_events_broker(tmp_path)
+    wire = read_wire(
+        spark, SF, partitions=3,
+        broker_dir=str(broker), topic_pattern="events-.*",
+    )
+    got = decode_wire(wire).toPandas()
+    assert set(got["topic"]) == {"events-0", "events-1"}
+    assert len(got) == 1000 and got["event_id"].is_unique
+
+    grown = read_wire(spark, SF, partitions=3, grow_to=5, grow_at=500)
+    gp = decode_wire(grown).toPandas()
+    assert len(gp) == 1000
+    assert set(gp["partition"]) == set(range(5))
+
+    # growth assignment identical to an independent reconstruction
+    t = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    t["ts_us"] = t["ts"].astype("int64") // 1000
+    t = t.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+    t["expected_p"] = t["user_id"] % 3
+    t.loc[500:, "expected_p"] = t.loc[500:, "user_id"] % 5
+    exp = dict(zip(t["event_id"], t["expected_p"]))
+    assert all(exp[e] == p for e, p in zip(gp["event_id"], gp["partition"]))
