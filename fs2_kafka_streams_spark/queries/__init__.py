@@ -132,11 +132,13 @@ DRIVER_ORDER: list[str] = [
 
 
 def driver_registry() -> dict[str, QuerySpec]:
-    """The curated, ordered registry exported to the driver (≤ ~50 entries).
+    """The curated, ordered registry exported to the driver.
 
-    Env-gated extras (e.g. q38b when ``transformWithStateInPandas`` is
-    available) are appended after the curated window so they never displace
-    a checked entry.
+    The first 50 entries (DRIVER_ORDER) are the driver's correctness
+    window; extras — including the env-gated q38b when
+    ``transformWithStateInPandas`` is available — are appended after it so
+    they never displace a checked entry (82 entries total when the TWS
+    gate is open).
     """
     reg = load_all()
     out = {name: reg[name] for name in DRIVER_ORDER}

@@ -291,11 +291,22 @@ def _log_head(log: DataFrame, dead_col: str | None = None) -> DataFrame:
     return head
 
 
-def compact_upsert_log(spark: SparkSession, sink_dir: str) -> tuple[int, int]:
+def compact_upsert_log(
+    spark: SparkSession, sink_dir: str, dead_col: str | None = None,
+    retain_tombstones: bool = True,
+) -> tuple[int, int]:
     """Kafka-style log compaction for the upsert sink: rewrite the append
     log to exactly one row per key — the (epoch, ts, event_id)-max one,
     keeping its original ``_epoch`` so later appends (higher epochs) still
     order after it. Returns (rows_before, rows_after).
+
+    For a DELETES sink (``latest_by_key_streaming_with_deletes``), pass its
+    ``dead_col``: the tombstone flag must survive compaction — compacting
+    with the default schema would silently strip it and RESURRECT deleted
+    keys. ``retain_tombstones=True`` keeps the tombstone head row (Kafka's
+    delete-retention window: replicas that haven't seen the delete yet can
+    still learn it); ``False`` is the post-retention garbage collection
+    that drops the whole key.
 
     The reference's table IS a compacted topic (``streams/Tables.scala``);
     this bounds the sink's storage at O(distinct keys) for a long-running
@@ -312,14 +323,22 @@ def compact_upsert_log(spark: SparkSession, sink_dir: str) -> tuple[int, int]:
 
     from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
 
-    log = _read_upsert_log(spark, sink_dir)
+    row_schema = _OUTPUT_SCHEMA
+    value_cols = ["event_id", "ts", "event_type", "value", "props", "_epoch"]
+    if dead_col is not None:
+        row_schema = row_schema + f", {dead_col} boolean"
+        value_cols = value_cols + [dead_col]
+    log = _read_upsert_log(spark, sink_dir, row_schema)
     rows_before = log.count()
     compacted = latest_by_key(
         log,
         key_cols=["user_id"],
         order_cols=["_epoch", "ts", "event_id"],
-        value_cols=["event_id", "ts", "event_type", "value", "props", "_epoch"],
-    ).withColumn(
+        value_cols=value_cols,
+    )
+    if dead_col is not None and not retain_tombstones:
+        compacted = compacted.filter(~F.col(dead_col))
+    compacted = compacted.withColumn(
         "_bucket", F.pmod(F.xxhash64("user_id"), F.lit(SINK_BUCKETS))
     )
     tmp_dir = sink_dir.rstrip("/") + ".compacting"
@@ -328,7 +347,7 @@ def compact_upsert_log(spark: SparkSession, sink_dir: str) -> tuple[int, int]:
     os.rename(sink_dir, old_dir)
     os.rename(tmp_dir, sink_dir)
     shutil.rmtree(old_dir)
-    rows_after = _read_upsert_log(spark, sink_dir).count()
+    rows_after = _read_upsert_log(spark, sink_dir, row_schema).count()
     return rows_before, rows_after
 
 

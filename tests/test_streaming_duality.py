@@ -354,3 +354,64 @@ def test_streaming_deletes_match_batch_merge(spark, tmp_path):
     # every tombstone-headed key is absent from the view
     dead_keys = set(heads[heads["deleted"]]["user_id"])
     assert not dead_keys & {r.user_id for r in streamed.collect()}
+
+
+def test_compaction_preserves_tombstones(spark, tmp_path):
+    """Compacting a deletes-sink must keep the tombstone flag — a compaction
+    that strips it would RESURRECT deleted keys on the next read. With
+    retain_tombstones=False (post-retention GC) the dead-headed keys drop
+    entirely; either way the materialized view is unchanged."""
+    import pandas as pd
+
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.streaming.stateful import (
+        _log_head,
+        _read_upsert_log,
+        compact_upsert_log,
+        latest_by_key_streaming_with_deletes,
+    )
+
+    ev = Catalog(spark, SF_SMOKE).events.toPandas()
+    ev = ev.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["deleted"] = (ev["event_id"] % 5 == 0)
+    replay = tmp_path / "changelog"
+    replay.mkdir()
+    n = len(ev)
+    for i in range(4):
+        ev.iloc[i * n // 4 : (i + 1) * n // 4].to_parquet(
+            replay / f"part-{i:02d}.parquet", index=False
+        )
+
+    sink = str(tmp_path / "sink")
+    view_before = sorted(
+        map(
+            tuple,
+            latest_by_key_streaming_with_deletes(
+                spark, str(replay), tombstone_col="deleted", sink_dir=sink
+            ).collect(),
+        )
+    )
+    schema = (
+        "user_id long, event_id long, ts timestamp_ntz, event_type string, "
+        "value double, props string, _dead boolean"
+    )
+
+    # retention compaction: one row per key, tombstone heads retained
+    before, after = compact_upsert_log(spark, sink, dead_col="_dead")
+    assert after < before
+    log = _read_upsert_log(spark, sink, schema)
+    assert log.count() == log.select("user_id").distinct().count()
+    view_after = sorted(
+        map(tuple, _log_head(log, dead_col="_dead").collect())
+    )
+    assert view_after == view_before
+
+    # post-retention GC: dead-headed keys disappear from the log itself
+    _, after_gc = compact_upsert_log(
+        spark, sink, dead_col="_dead", retain_tombstones=False
+    )
+    log_gc = _read_upsert_log(spark, sink, schema)
+    assert log_gc.filter("_dead").count() == 0
+    view_gc = sorted(map(tuple, _log_head(log_gc, dead_col="_dead").collect()))
+    assert view_gc == view_before
