@@ -19,6 +19,8 @@ Reference has no dedup operator; mandated by the north star
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -55,27 +57,44 @@ def _spread(df: DataFrame) -> DataFrame:
     A scan's parallelism is bounded by its row-group splits; a corpus
     delivered as a few large files (or the harness's single-row-group
     oracle tables) would otherwise serialize the whole pipeline on a
-    handful of cores while the rest idle. When the scan already reads at
-    least ``defaultParallelism`` input files — the normal 100 TB case,
-    where repartitioning would be a pointless extra shuffle of raw text —
-    this is a no-op and adds nothing to the plan.
+    handful of cores while the rest idle. When the scan already yields at
+    least ``defaultParallelism`` splits — the normal 100 TB case, where
+    repartitioning would be a pointless extra shuffle of raw text — this
+    is a no-op and adds nothing to the plan.
 
-    The width probe uses ``inputFiles()`` (file count lower-bounds the
-    scan's split count), not ``df.rdd.getNumPartitions()``: the RDD
-    conversion forced a JVM round-trip per call and is unsupported under
-    Spark Connect. An input with no file provenance (in-memory
-    createDataFrame, post-shuffle lineage) reports 0 files and is
-    repartitioned — such inputs are either tiny (tests) or already wide.
+    Width probe: the exact ``df.rdd.getNumPartitions()`` on classic Spark
+    (one cheap RPC; counts actual scan splits, so a few LARGE files with
+    many row groups correctly no-op); under Spark Connect — where the RDD
+    handle doesn't exist — fall back to estimating splits from
+    ``inputFiles()`` sizes against ``spark.sql.files.maxPartitionBytes``
+    (file count alone would under-count splittable files and force the
+    very shuffle this guard avoids).
     """
     spark = df.sparkSession
     try:
         target = spark.sparkContext.defaultParallelism
     except Exception:  # Spark Connect: no SparkContext handle
         target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_splits = None
     try:
-        n_splits = len(df.inputFiles())
-    except Exception:
-        n_splits = 0
+        n_splits = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: estimate from file sizes
+        try:
+            max_bytes = int(
+                str(
+                    spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+                ).rstrip("b")
+            )
+            n_splits = 0
+            for f in df.inputFiles():
+                local = f[len("file:"):] if f.startswith("file:") else f
+                try:
+                    size = os.path.getsize(local)
+                    n_splits += max(1, -(-size // max_bytes))
+                except OSError:  # remote/object-store path: count the file
+                    n_splits += 1
+        except Exception:
+            n_splits = 0
     if n_splits >= target:
         return df
     return df.repartition(target)

@@ -452,5 +452,16 @@ def q75_state_reader(spark, sf_dir):
     ).hexdigest()
     ckpt = os.path.join(CACHE_ROOT, "state_ckpt", key)
     os.makedirs(ckpt, exist_ok=True)
-    latest_by_key_streaming(spark, sf_dir, checkpoint=ckpt)
+    # streaming checkpoints are single-writer: serialize concurrent
+    # processes (bench + tests overlapping) on an advisory lock so the
+    # second run resumes AFTER the first finishes instead of corrupting
+    # the shared offset/commit log
+    import fcntl
+
+    with open(os.path.join(ckpt, ".writer_lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            latest_by_key_streaming(spark, sf_dir, checkpoint=ckpt)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
     return read_table_state(spark, ckpt)

@@ -51,8 +51,13 @@ materializer folds on data-derived order ``(ts, event_id)``, making the
 result invariant under reassignment (asserted against the q17 oracle in
 tests/test_python_datasource.py).
 
-Scale notes: partition planning is O(topics × partitions) on the driver;
-row data is only touched in read tasks. Each task materializes its
+Scale notes: partition planning reads ONE column per topic (end offsets
+are a modulus bincount — no sort) and is otherwise O(topics ×
+partitions) on the driver; the growth SIMULATION additionally ranks the
+table by publish order once per topic (cached per file stamp) because
+its threshold is a position — a real broker tracks end offsets natively
+and pays neither. Row data is only decoded in read tasks. Each task
+materializes its
 topic's publish-ordered log once and serves slices from a worker-local
 LRU (executor Python workers are daemon-reused across micro-batches, so
 a multi-batch replay costs one sort, not one per trigger). The stream
@@ -86,6 +91,13 @@ VALUE_DDL = (
 )
 
 
+def _file_stamp(path: str) -> tuple[int, int]:
+    """(size, mtime_ns) — cache-identity of a topic file, so a parquet
+    REWRITTEN at the same path is never served from a stale cache entry."""
+    st = os.stat(path)
+    return st.st_size, st.st_mtime_ns
+
+
 def _publish_order(path: str):
     """(ts_us, event_id, user_id, sorted row indices) of the table in
     global publish order — the simulated broker's produce sequence."""
@@ -105,6 +117,14 @@ def _publish_order(path: str):
     return ts_us, eid, uid, order
 
 
+#: per-process cache of the publish-order partition assignment, shared by
+#: ALL of a topic's partition read tasks in a worker (the assignment is a
+#: whole-table property; computing it per task would redo the global sort
+#: P times). Keyed by file stamp so a rewritten file recomputes.
+_ASSIGN_CACHE: OrderedDict[tuple, tuple] = OrderedDict()
+_ASSIGN_CACHE_MAX = 8
+
+
 def _partition_assignment(
     path: str, n_parts: int, grow_to: int, grow_at: int
 ):
@@ -117,33 +137,61 @@ def _partition_assignment(
     """
     import numpy as np
 
+    key = (
+        os.path.abspath(path), _file_stamp(path), n_parts, grow_to, grow_at
+    )
+    cached = _ASSIGN_CACHE.get(key)
+    if cached is not None:
+        _ASSIGN_CACHE.move_to_end(key)
+        return cached
+
     _ts, _eid, uid, order = _publish_order(path)
     uid_sorted = uid[order]
     pids = uid_sorted % n_parts
     if grow_to and grow_to != n_parts:
         pos = np.arange(len(order))
         pids = np.where(pos < grow_at, pids, uid_sorted % grow_to)
-    return order, pids.astype("int64")
+    out = (order, pids.astype("int64"))
+    _ASSIGN_CACHE[key] = out
+    while len(_ASSIGN_CACHE) > _ASSIGN_CACHE_MAX:
+        _ASSIGN_CACHE.popitem(last=False)
+    return out
 
 
 def _partition_counts(
     path: str, n_parts: int, grow_to: int, grow_at: int
 ) -> dict[int, int]:
-    """End offset (record count) per partition under the assignment."""
+    """End offset (record count) per partition under the assignment.
+
+    Without growth the counts don't depend on publish ORDER, so the
+    planner reads ONE column and bincounts — no sort, keeping offset
+    planning O(n) single-column driver-side work. Only the growth
+    simulation needs the publish ranking (the threshold is a position)."""
     import numpy as np
 
+    if not grow_to or grow_to == n_parts:
+        import pyarrow.parquet as pq
+
+        uids = (
+            pq.read_table(path, columns=["user_id"]).column("user_id").to_numpy()
+        )
+        counts = np.bincount(uids % n_parts, minlength=n_parts)
+        return {p: int(counts[p]) for p in range(n_parts)}
+
     _order, pids = _partition_assignment(path, n_parts, grow_to, grow_at)
-    total = max(n_parts, grow_to or 0)
+    total = max(n_parts, grow_to)
     counts = np.bincount(pids, minlength=total)
     return {p: int(counts[p]) for p in range(total)}
 
 
 #: worker-local cache of materialized per-partition wire batches, keyed by
-#: (path, n_parts, grow_to, grow_at, pid, topic). Executor Python workers
-#: are daemon-reused across micro-batches, so without this a multi-batch
-#: replay re-reads and re-sorts the partition per trigger — O(triggers ×
-#: rows). Bounded LRU: worst case holds one table copy per distinct
-#: partition served by this worker.
+#: (path, file stamp, n_parts, grow_to, grow_at, pid, topic). Executor
+#: Python workers are daemon-reused across micro-batches, so without this
+#: a multi-batch replay re-reads and re-sorts the partition per trigger —
+#: O(triggers × rows). The file stamp in the key means a topic file
+#: REWRITTEN at the same path (refreshed fixture, re-produced topic) is
+#: recomputed, never served stale. Bounded LRU: worst case holds one
+#: table copy per distinct partition served by this worker.
 _BATCH_CACHE: OrderedDict[tuple, object] = OrderedDict()
 _BATCH_CACHE_MAX = 32
 
@@ -164,7 +212,10 @@ def _load_partition_batch(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    key = (os.path.abspath(path), n_parts, grow_to, grow_at, pid, topic)
+    key = (
+        os.path.abspath(path), _file_stamp(path), n_parts, grow_to, grow_at,
+        pid, topic,
+    )
     cached = _BATCH_CACHE.get(key)
     if cached is not None:
         _BATCH_CACHE.move_to_end(key)

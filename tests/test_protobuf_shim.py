@@ -213,3 +213,42 @@ def test_map_state_call_shapes():
     back2 = sm.StateResponseWithMapIterator()
     back2.ParseFromString(it.SerializeToString())
     assert [(p.key, p.value) for p in back2.kvPair] == [(b"k1", b"v1")]
+
+
+def test_nested_repeated_append_marks_presence():
+    """Appending to a repeated field of an auto-vivified submessage must
+    serialize the whole chain — a plain-list container would leave the
+    parent unmarked and silently drop the submessage from the wire."""
+    sm = _sm()
+    req = sm.StateRequest()
+    req.stateVariableRequest.listStateCall.stateName = "l"
+    req.stateVariableRequest.listStateCall.listStatePut.value.append(b"x")
+    data = req.SerializeToString()
+    assert data != b""
+    back = sm.StateRequest()
+    back.ParseFromString(data)
+    lsc = back.stateVariableRequest.listStateCall
+    assert lsc.stateName == "l"
+    assert list(lsc.listStatePut.value) == [b"x"]
+
+
+@pytest.mark.skipif(MODE != "shim", reason="shim internals")
+def test_sint_fields_rejected_not_corrupted():
+    """sint32/sint64 use zigzag varints the shim does not implement; they
+    must raise, never encode/decode silently wrong values."""
+    rt = _rt()
+    f = rt.FieldInfo("s", 1, 1, rt.TYPE_SINT64, "")
+    with pytest.raises(TypeError):
+        rt.ShimMessage._emit(bytearray(), f, -5)
+    with pytest.raises(TypeError):
+        rt.ShimMessage._coerce(f, 9)
+
+
+def test_mode_reporting_matches_resolution():
+    from fs2_kafka_streams_spark.vendor import SHIM_DIR, ensure_protobuf
+
+    import google.protobuf as gp
+
+    mode = ensure_protobuf()
+    resolved_shim = SHIM_DIR in (getattr(gp, "__file__", "") or "")
+    assert (mode == "shim") == resolved_shim
