@@ -252,3 +252,82 @@ def test_mode_reporting_matches_resolution():
     mode = ensure_protobuf()
     resolved_shim = SHIM_DIR in (getattr(gp, "__file__", "") or "")
     assert (mode == "shim") == resolved_shim
+
+
+# ---------------------------------------------------------------------------
+# property-based round-trips (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    status=_i32,
+    err=st.text(max_size=40),
+    values=st.lists(st.binary(max_size=32), max_size=8),
+    more=st.booleans(),
+)
+def test_list_response_roundtrip_property(status, err, values, more):
+    sm = _sm()
+    src = sm.StateResponseWithListGet(
+        statusCode=status, errorMessage=err, value=values,
+        requireNextFetch=more,
+    )
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(src.SerializeToString())
+    assert back.statusCode == status
+    assert back.errorMessage == err
+    assert list(back.value) == values
+    assert back.requireNextFetch == more
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.binary(max_size=24), st.binary(max_size=24)), max_size=6
+    ),
+    ts=st.lists(_i64, max_size=6),
+)
+def test_map_iterator_and_timer_roundtrip_property(pairs, ts):
+    sm = _sm()
+    src = sm.StateResponseWithMapIterator(
+        kvPair=[sm.KeyAndValuePair(key=k, value=v) for k, v in pairs]
+    )
+    back = sm.StateResponseWithMapIterator()
+    back.ParseFromString(src.SerializeToString())
+    assert [(p.key, p.value) for p in back.kvPair] == pairs
+
+    src2 = sm.StateResponseWithTimer(
+        timer=[sm.TimerInfo(timestampMs=t) for t in ts]
+    )
+    back2 = sm.StateResponseWithTimer()
+    back2.ParseFromString(src2.SerializeToString())
+    assert [x.timestampMs for x in back2.timer] == ts
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    name=st.text(max_size=30),
+    schema=st.text(max_size=60),
+    ttl=st.integers(min_value=0, max_value=2**62),
+)
+def test_state_call_command_roundtrip_property(name, schema, ttl):
+    sm = _sm()
+    cmd = sm.StateCallCommand()
+    cmd.stateName = name
+    cmd.schema = schema
+    cmd.ttl.durationMs = ttl
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(getValueState=cmd)
+    )
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    got = back.statefulProcessorCall.getValueState
+    assert got.stateName == name
+    assert got.schema == schema
+    assert got.ttl.durationMs == ttl
