@@ -20,6 +20,7 @@ Reference has no dedup operator; mandated by the north star
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -48,6 +49,21 @@ def exact_dedup(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("n_dups"),
     )
+
+
+def _parse_byte_size(v) -> int:
+    """Parse a Spark byte-size conf value ("134217728", "128MB", "1g", "64k")
+    into bytes. Spark accepts case-insensitive b/k/kb/m/mb/g/gb/t/tb/p/pb
+    suffixes; a bare number is bytes. Raises ValueError on anything else so a
+    bad conf is visible instead of silently forcing a repartition."""
+    s = str(v).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([kmgtp]?b?)", s)
+    if not m:
+        raise ValueError(f"unparseable byte size: {v!r}")
+    mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+            "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40,
+            "tb": 1 << 40, "p": 1 << 50, "pb": 1 << 50}[m.group(2)]
+    return int(m.group(1)) * mult
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -79,22 +95,17 @@ def _spread(df: DataFrame) -> DataFrame:
     try:
         n_splits = df.rdd.getNumPartitions()
     except Exception:  # Spark Connect: estimate from file sizes
-        try:
-            max_bytes = int(
-                str(
-                    spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-                ).rstrip("b")
-            )
-            n_splits = 0
-            for f in df.inputFiles():
-                local = f[len("file:"):] if f.startswith("file:") else f
-                try:
-                    size = os.path.getsize(local)
-                    n_splits += max(1, -(-size // max_bytes))
-                except OSError:  # remote/object-store path: count the file
-                    n_splits += 1
-        except Exception:
-            n_splits = 0
+        max_bytes = _parse_byte_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        n_splits = 0
+        for f in df.inputFiles():
+            local = f[len("file:"):] if f.startswith("file:") else f
+            try:
+                size = os.path.getsize(local)
+                n_splits += max(1, -(-size // max_bytes))
+            except OSError:  # remote/object-store path: count the file
+                n_splits += 1
     if n_splits >= target:
         return df
     return df.repartition(target)

@@ -392,18 +392,23 @@ class _StreamReader(DataSourceStreamReader):
                 _CURSOR_HOME,
                 hashlib.md5(ident.encode()).hexdigest() + ".json",
             )
-        self._ends: dict[str, dict[int, int]] = {}
+        # keyed by (topic, file stamp) so a topic parquet rewritten
+        # mid-query replans from the NEW file — offsets planned against a
+        # stale count would be silently truncated by Arrow's slice when
+        # read() builds batches from the fresh bytes
+        self._ends: dict[tuple[str, tuple[int, int]], dict[int, int]] = {}
 
     # -- simulated broker metadata ---------------------------------------
     def _topic_paths(self) -> dict[str, str]:
         return _resolve_topics(self.options)
 
     def _end_offsets(self, topic: str, path: str) -> dict[int, int]:
-        if topic not in self._ends:
-            self._ends[topic] = _partition_counts(
+        key = (topic, _file_stamp(path))
+        if key not in self._ends:
+            self._ends[key] = _partition_counts(
                 path, self.n_parts, self.grow_to, self.grow_at
             )
-        return self._ends[topic]
+        return self._ends[key]
 
     # -- cursor (simulated publication point) ----------------------------
     def _load_cursor(self) -> dict:

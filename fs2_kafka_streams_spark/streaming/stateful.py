@@ -30,6 +30,13 @@ EVENTS_SCHEMA = (
     "event_type string, value double, props string"
 )
 _STATE_SCHEMA = "event_id long, ts_us long, event_type string, value double, props string"
+# deletes-variant state carries the tombstone flag: a tombstone is KEPT in
+# state (with its (ts, event_id)) rather than removed, so a record OLDER
+# than the tombstone arriving in a later micro-batch loses the comparison
+# instead of resurrecting the key — Kafka's delete-retention window, and
+# exactly the batch MERGE's (ts, event_id)-max semantics. compact_upsert_log
+# (retain_tombstones=False) is the post-retention GC that reclaims the slot.
+_STATE_SCHEMA_DEAD = _STATE_SCHEMA + ", dead boolean"
 _OUTPUT_SCHEMA = (
     "user_id long, event_id long, ts timestamp_ntz, "
     "event_type string, value double, props string"
@@ -79,21 +86,29 @@ def _latest_update(key, pdf_iter, state: GroupState):
 
 def _latest_update_deletes(tombstone_col: str):
     """Last-write-wins upsert WITH tombstones: if a key's latest change (by
-    ``(ts, event_id)``) is a delete marker, the key's state is REMOVED
-    (``state.remove()``) and a ``_dead`` row is emitted so the sink drops
-    the key from the materialized view.
+    ``(ts, event_id)``) is a delete marker, a tombstone MARKER — carrying
+    the delete's own ``(ts, event_id)`` — is kept in state and a ``_dead``
+    row is emitted so the sink drops the key from the materialized view.
+
+    Keeping the marker (instead of ``state.remove()``) makes the fold
+    order-insensitive across micro-batches: a record OLDER than the
+    tombstone arriving in a LATER micro-batch loses the ``(ts, event_id)``
+    comparison and stays dead — identical to the batch MERGE, which keeps
+    the (ts, event_id)-max tombstone (``operators/incremental.py``). A
+    record NEWER than the tombstone re-inserts the key, as on a compacted
+    topic. State for dead keys is reclaimed by the compaction GC
+    (:func:`compact_upsert_log` with ``retain_tombstones=False``), matching
+    Kafka's delete-retention window.
 
     This drives the API the reference exposes but never itself emits
     (``Table.delete``, ``streams/Table.scala:31``; its ``Tables.scala``
-    changelog is upsert-only — SURVEY invariant 6), with compacted-topic
-    semantics: a tombstone erases the key; a LATER record re-inserts it.
-    Exactly mirrors the batch MERGE (``operators/incremental.py``) on an
-    order-respecting changelog — duality-tested in
+    changelog is upsert-only — SURVEY invariant 6). Duality-tested —
+    including the out-of-order late-record case — in
     tests/test_streaming_duality.py::test_streaming_deletes_match_batch_merge.
     """
 
     def update(key, pdf_iter, state: GroupState):
-        best = tuple(state.get) + (False,) if state.exists else None
+        best = tuple(state.get) if state.exists else None
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
@@ -115,13 +130,7 @@ def _latest_update_deletes(tombstone_col: str):
             if best is None or (cand[1], cand[0]) > (best[1], best[0]):
                 best = cand
         if best is not None:
-            dead = best[5]
-            if dead:
-                # the reference's delete: drop the key from the store
-                if state.exists:
-                    state.remove()
-            else:
-                state.update(best[:5])
+            state.update(best)
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
@@ -130,7 +139,7 @@ def _latest_update_deletes(tombstone_col: str):
                     "event_type": [best[2]],
                     "value": [best[3]],
                     "props": [best[4]],
-                    "_dead": [dead],
+                    "_dead": [best[5]],
                 }
             )
 
@@ -198,6 +207,60 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
         def close(self) -> None:
             pass
 
+    class LatestDeletesProcessor(StatefulProcessor):
+        """Tombstone-aware twin of :class:`LatestProcessor` on the typed-state
+        API: the (ts, event_id)-max change wins; when that change is a delete
+        marker the tombstone itself is KEPT in the ValueState (with its
+        ordering tuple) so a late older record cannot resurrect the key —
+        the same order-insensitive fold as :func:`_latest_update_deletes`,
+        duality-tested against it and against the batch MERGE
+        (``Table.delete``, ``streams/Table.scala:31``)."""
+
+        def __init__(self, tombstone_col: str = "deleted"):
+            self._tombstone_col = tombstone_col
+
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("latest", _STATE_SCHEMA_DEAD)
+
+        def handleInputRows(self, key, rows, timerValues):
+            best = tuple(self._state.get()) if self._state.exists() else None
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                ts_us = pdf["ts"].astype("int64") // 1000
+                idx = (
+                    pd.DataFrame({"t": ts_us, "e": pdf["event_id"]})
+                    .sort_values(["t", "e"])
+                    .index[-1]
+                )
+                row = pdf.loc[idx]
+                cand = (
+                    int(row["event_id"]),
+                    int(ts_us.loc[idx]),
+                    str(row["event_type"]),
+                    float(row["value"]),
+                    str(row["props"]),
+                    bool(row[self._tombstone_col]),
+                )
+                if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+                    best = cand
+            if best is not None:
+                self._state.update(best)
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "event_id": [best[0]],
+                        "ts": [pd.to_datetime(best[1], unit="us")],
+                        "event_type": [best[2]],
+                        "value": [best[3]],
+                        "props": [best[4]],
+                        "_dead": [best[5]],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
     HAS_TWS = True
 except ImportError:  # pragma: no cover
     HAS_TWS = False
@@ -207,9 +270,13 @@ except ImportError:  # pragma: no cover
 # test_tws_gate_matches_environment — closed gate must fail loudly.
 
 
-def latest_by_key_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7/A9 on ``transformWithStateInPandas`` — returns the final view
-    (must equal batch Q17; cross-checked by the driver oracle as q38b)."""
+def _tws_prepare(spark: SparkSession) -> dict:
+    """Gate + worker setup shared by every transformWithStateInPandas entry:
+    raise if the API tier is absent, expose the vendored protobuf shim to
+    worker processes when it is the active provider, and return the conf
+    pin the API needs (each state variable lives in its own column family,
+    which only RocksDBStateStoreProvider supports — a vanilla session's
+    HDFS-backed default throws STATE_STORE_MULTIPLE_COLUMN_FAMILIES)."""
     if not HAS_TWS:
         raise NotImplementedError(
             "transformWithStateInPandas requires Spark >= 4.0"
@@ -221,6 +288,18 @@ def latest_by_key_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         from fs2_kafka_streams_spark.vendor import inject_worker_path
 
         inject_worker_path(spark)
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    }
+
+
+def latest_by_key_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A9 on ``transformWithStateInPandas`` — returns the final view
+    (must equal batch Q17; cross-checked by the driver oracle as q38b)."""
+    conf = _tws_prepare(spark)
     proc = LatestProcessor()
 
     # 2 files/trigger — cross-batch typed state still exercised (q38's
@@ -236,23 +315,44 @@ def latest_by_key_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    # transformWithState keeps each state variable in its own column family,
-    # which only RocksDBStateStoreProvider supports — the default HDFS-backed
-    # provider of a vanilla session throws STATE_STORE_MULTIPLE_COLUMN_FAMILIES.
-    # Pin it here so the operator is self-sufficient (get_spark() also sets it,
-    # but the driver runs a vanilla session).
     from fs2_kafka_streams_spark.streaming.conf import pinned_conf
 
-    with pinned_conf(
-        spark,
-        {
-            "spark.sql.streaming.stateStore.providerClass": (
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider"
-            )
-        },
-    ):
+    with pinned_conf(spark, conf):
         return _run_upsert_sink(spark, updates)
+
+
+def latest_by_key_tws_with_deletes(
+    spark: SparkSession,
+    replay_path: str,
+    tombstone_col: str = "deleted",
+    checkpoint: str | None = None,
+    sink_dir: str | None = None,
+) -> DataFrame:
+    """:func:`latest_by_key_streaming_with_deletes` on the typed-state API —
+    same changelog-with-tombstones contract, same materialized view, driven
+    through :class:`LatestDeletesProcessor`. Both state APIs run the same
+    duality test against the batch MERGE
+    (tests/test_streaming_duality.py)."""
+    conf = _tws_prepare(spark)
+    schema = EVENTS_SCHEMA + f", {tombstone_col} boolean"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(replay_path)
+    )
+    updates = src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=LatestDeletesProcessor(tombstone_col),
+        outputStructType=_OUTPUT_SCHEMA + ", _dead boolean",
+        outputMode="Update",
+        timeMode="None",
+    )
+    from fs2_kafka_streams_spark.streaming.conf import pinned_conf
+
+    with pinned_conf(spark, conf):
+        return _run_upsert_sink(
+            spark, updates, checkpoint=checkpoint, sink_dir=sink_dir,
+            row_schema=_OUTPUT_SCHEMA + ", _dead boolean", dead_col="_dead",
+        )
 
 
 #: Key-bucket count for the upsert sink's partitioned layout. At 100 TB this
@@ -450,10 +550,10 @@ def latest_by_key_streaming_with_deletes(
 ) -> DataFrame:
     """Changelog→table materialization where the changelog carries DELETE
     markers (boolean ``tombstone_col``): a key whose latest change is a
-    tombstone is removed from the state store (``state.remove()``) and
-    from the materialized view — the streaming twin of the batch MERGE's
-    tombstone branch (``operators/incremental.py``) and the reference's
-    ``Table.delete`` (``streams/Table.scala:31``).
+    tombstone drops out of the materialized view, its state holding the
+    tombstone marker until compaction GC — the streaming twin of the batch
+    MERGE's tombstone branch (``operators/incremental.py``) and the
+    reference's ``Table.delete`` (``streams/Table.scala:31``).
 
     ``replay_path`` is a directory of parquet files in changelog order
     (events schema + the tombstone column), replayed 2 files/trigger so
@@ -468,7 +568,7 @@ def latest_by_key_streaming_with_deletes(
     updates = src.groupBy("user_id").applyInPandasWithState(
         _latest_update_deletes(tombstone_col),
         outputStructType=_OUTPUT_SCHEMA + ", _dead boolean",
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=_STATE_SCHEMA_DEAD,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -203,3 +203,23 @@ def test_decode_totality(spark, payloads):
 
     want_clean = sum(1 for p in payloads if is_clean(p))
     assert len(clean) == want_clean
+
+
+def test_parse_byte_size_spark_conf_shapes():
+    """_spread's Connect fallback must understand Spark's byte-size conf
+    syntax (bare bytes + case-insensitive k/m/g[b] suffixes) — a parse
+    failure on "128MB" would silently force the repartition the splits
+    guard exists to avoid."""
+    import pytest as _pytest
+
+    from fs2_kafka_streams_spark.operators.dedup import _parse_byte_size
+
+    assert _parse_byte_size("134217728") == 134217728
+    assert _parse_byte_size(134217728) == 134217728
+    assert _parse_byte_size("128MB") == 128 << 20
+    assert _parse_byte_size("128m") == 128 << 20
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size("64kb") == 64 << 10
+    assert _parse_byte_size(" 512 b ") == 512
+    with _pytest.raises(ValueError):
+        _parse_byte_size("lots")

@@ -244,6 +244,32 @@ def test_sint_fields_rejected_not_corrupted():
         rt.ShimMessage._coerce(f, 9)
 
 
+def test_double_float_roundtrip_not_bit_pattern():
+    """double/float fields must round-trip as IEEE values on BOTH paths —
+    decode must reinterpret the fixed-width bits, never hand back the raw
+    bit pattern as an int (silent corruption for any future pb2 module
+    carrying float fields)."""
+    import math
+    import struct
+
+    rt = _rt()
+    for ftype, wt, fmt in ((rt.TYPE_DOUBLE, 1, "<d"), (rt.TYPE_FLOAT, 5, "<f")):
+        f = rt.FieldInfo("x", 3, 1, ftype, "")
+        for v in (0.5, -1.25, 3.0, float("inf")):
+            out = bytearray()
+            rt.ShimMessage._emit(out, f, v)
+            fields = list(rt.iter_wire(bytes(out)))
+            assert fields == [(3, wt, struct.unpack("<Q" if wt == 1 else "<I",
+                                                    struct.pack(fmt, v))[0])]
+            got = rt.ShimMessage._coerce(f, fields[0][2])
+            assert isinstance(got, float) and got == v
+        # NaN round-trips to NaN (not its bit pattern as a huge int)
+        out = bytearray()
+        rt.ShimMessage._emit(out, f, float("nan"))
+        (_, _, raw), = rt.iter_wire(bytes(out))
+        assert math.isnan(rt.ShimMessage._coerce(f, raw))
+
+
 def test_mode_reporting_matches_resolution():
     from fs2_kafka_streams_spark.vendor import SHIM_DIR, ensure_protobuf
 

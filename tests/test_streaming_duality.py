@@ -292,20 +292,35 @@ def test_q38b_tws_matches_batch(spark):
     )
 
 
-def test_streaming_deletes_match_batch_merge(spark, tmp_path):
-    """Tombstoned changelog: streaming latest-by-key with ``state.remove()``
-    on delete markers ≡ the batch MERGE's tombstone branch
-    (``operators/incremental.py``). Covers keys whose head is a tombstone
-    (dropped), keys re-inserted after a tombstone, and delete/re-insert
-    sequences crossing micro-batch boundaries (2-file triggers over a
-    5-file replay)."""
+def _deletes_engine(name):
+    """Resolve a tombstone-aware streaming engine by name, skipping the
+    typed-state one when the TWS gate is closed."""
+    from fs2_kafka_streams_spark.streaming import stateful
+
+    if name == "apply_in_pandas_with_state":
+        return stateful.latest_by_key_streaming_with_deletes
+    if not stateful.HAS_TWS:
+        pytest.skip("transformWithStateInPandas gate closed (no protobuf)")
+    return stateful.latest_by_key_tws_with_deletes
+
+
+@pytest.mark.parametrize(
+    "engine", ["apply_in_pandas_with_state", "transform_with_state"]
+)
+def test_streaming_deletes_match_batch_merge(spark, tmp_path, engine):
+    """Tombstoned changelog: streaming latest-by-key keeping a tombstone
+    marker in state ≡ the batch MERGE's tombstone branch
+    (``operators/incremental.py``) — on BOTH state APIs
+    (``applyInPandasWithState`` and ``transformWithStateInPandas``).
+    Covers keys whose head is a tombstone (dropped), keys re-inserted after
+    a tombstone, and delete/re-insert sequences crossing micro-batch
+    boundaries (2-file triggers over a 5-file replay)."""
     import pandas as pd
 
     from fs2_kafka_streams_spark.catalog import Catalog
     from fs2_kafka_streams_spark.operators.incremental import apply_changes
-    from fs2_kafka_streams_spark.streaming.stateful import (
-        latest_by_key_streaming_with_deletes,
-    )
+
+    latest_with_deletes = _deletes_engine(engine)
 
     ev = Catalog(spark, SF_SMOKE).events.toPandas()
     ev = ev.sort_values(["ts", "event_id"]).reset_index(drop=True)
@@ -329,7 +344,7 @@ def test_streaming_deletes_match_batch_merge(spark, tmp_path):
     live_heads = set(heads[~heads["deleted"]]["user_id"])
     assert tomb_keys & live_heads, "no key re-inserted after a tombstone"
 
-    streamed = latest_by_key_streaming_with_deletes(
+    streamed = latest_with_deletes(
         spark, str(replay), tombstone_col="deleted"
     ).select("user_id", "event_id", "event_type", "value", "props")
 
@@ -354,6 +369,74 @@ def test_streaming_deletes_match_batch_merge(spark, tmp_path):
     # every tombstone-headed key is absent from the view
     dead_keys = set(heads[heads["deleted"]]["user_id"])
     assert not dead_keys & {r.user_id for r in streamed.collect()}
+
+
+@pytest.mark.parametrize(
+    "engine", ["apply_in_pandas_with_state", "transform_with_state"]
+)
+def test_late_old_record_cannot_resurrect_deleted_key(spark, tmp_path, engine):
+    """Out-of-order replay: a record OLDER (by (ts, event_id)) than a key's
+    tombstone arriving in a LATER micro-batch must NOT resurrect the key —
+    the tombstone marker kept in state wins the comparison, exactly as the
+    batch MERGE keeps the (ts, event_id)-max tombstone. A record NEWER than
+    the tombstone still re-inserts (compacted-topic semantics). Both state
+    APIs."""
+    import pandas as pd
+
+    from fs2_kafka_streams_spark.operators.incremental import apply_changes
+
+    latest_with_deletes = _deletes_engine(engine)
+
+    def mkrow(eid, ts_min, uid, deleted):
+        return {
+            "event_id": eid,
+            "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=ts_min),
+            "user_id": uid,
+            "event_type": "x",
+            "value": float(eid),
+            "props": "{}",
+            "deleted": deleted,
+        }
+
+    # files 0+1 form trigger 1 (maxFilesPerTrigger=2), files 2+3 trigger 2
+    files = [
+        # trigger 1: key 1 insert→tombstone; key 2 tombstone; key 3 insert
+        [mkrow(1, 10, 1, False), mkrow(5, 10, 3, False)],
+        [mkrow(2, 20, 1, True), mkrow(6, 20, 2, True)],
+        # trigger 2: key 1 gets a LATE OLDER record (ts 15 < tombstone's 20)
+        # → stays dead; key 2 gets a NEWER record (ts 30) → resurrects
+        [mkrow(3, 15, 1, False)],
+        [mkrow(7, 30, 2, False)],
+    ]
+    replay = tmp_path / "changelog_ooo"
+    replay.mkdir()
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(replay / f"part-{i:02d}.parquet", index=False)
+
+    streamed = latest_with_deletes(
+        spark, str(replay), tombstone_col="deleted"
+    ).select("user_id", "event_id")
+    got = {r["user_id"]: r["event_id"] for r in streamed.collect()}
+    assert got == {2: 7, 3: 5}, got  # key 1 stays dead, key 2 resurrected
+
+    # batch MERGE over the same changelog, ordered by (ts, event_id) — the
+    # streaming fold must match it even though delivery was out of order
+    all_rows = pd.DataFrame([r for f in files for r in f])
+    all_rows["ts"] = all_rows["ts"].astype("datetime64[us]")
+    changes = spark.createDataFrame(all_rows)
+    batch = apply_changes(
+        None,
+        changes.withColumn(
+            "ord", F.col("ts").cast("long") * 10**9 + F.col("event_id")
+        ),
+        key_cols=["user_id"],
+        order_col="ord",
+        value_cols=["event_id"],
+        tombstone_col="deleted",
+    )
+    assert {r["user_id"]: r["event_id"] for r in batch.collect()} == got
 
 
 def test_compaction_preserves_tombstones(spark, tmp_path):
