@@ -352,6 +352,55 @@ def q57_stream_pattern_match(spark, sf_dir):
     )
 
 
+from fs2_kafka_streams_spark.streaming.stateful import HAS_TWS  # noqa: E402
+
+if HAS_TWS:
+
+    @query(
+        "q57b_stream_pattern_tws_timers",
+        oracle="""
+        WITH seq AS (
+          SELECT user_id, event_id, ts, event_type,
+                 last_value(CASE WHEN event_type = 'view' THEN ts END
+                            IGNORE NULLS) OVER w AS base_ts,
+                 last_value(CASE WHEN event_type = 'view' THEN event_id END
+                            IGNORE NULLS) OVER w AS base_event_id
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, base_event_id, event_id AS trigger_event_id,
+               base_ts, ts AS trigger_ts,
+               CAST(floor(extract(epoch FROM ts)) AS BIGINT)
+               - CAST(floor(extract(epoch FROM base_ts)) AS BIGINT)
+                 AS lag_seconds
+        FROM seq
+        WHERE event_type = 'click' AND base_ts IS NOT NULL
+          AND ts - base_ts <= INTERVAL '2 hours'
+        """,
+        tags=("streaming", "analytics", "cep", "stateful", "tws", "timers"),
+    )
+    def q57b_stream_pattern_tws_timers(spark, sf_dir):
+        """q57 on the typed-state API with EVENT-TIME TIMERS
+        (``streaming/cep.py::PatternTimerProcessor``): every base event
+        arms a timer at ``base_ts + gap`` that DELETES the key's base state
+        when the watermark passes it — the reference's wakeup-timeout
+        discipline (``client/ConsumerAlgebra.scala:64-77``) as state
+        expiry. Expiry is semantically neutral (an expired base could never
+        match again), so the SAME q57 oracle hash-checks it; that the
+        timers actually fire and clear state is asserted via the State Data
+        Source in tests/test_cep_tws.py. Registered only where the API's
+        protobuf dependency exists (q57 covers the tier otherwise)."""
+        from fs2_kafka_streams_spark.streaming.cep import (
+            pattern_match_stream_tws,
+        )
+
+        return pattern_match_stream_tws(
+            spark, sf_dir, base_type="view", trigger_type="click",
+            gap="120 minutes",
+        )
+
+
 @query(
     "q58_fuzzy_match",
     oracle="""

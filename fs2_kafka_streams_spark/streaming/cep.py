@@ -40,57 +40,75 @@ _MATCH_SCHEMA = (
 _STATE_SCHEMA = "base_event_id long, base_ts_us long"
 
 
+def _fold_pattern(
+    frames: list[pd.DataFrame],
+    last: tuple[int, int] | None,
+    base_type: str,
+    trigger_type: str,
+    gap_us: int,
+) -> tuple[tuple[int, int] | None, pd.DataFrame | None]:
+    """Pure per-key fold shared by BOTH state APIs
+    (``applyInPandasWithState`` and ``transformWithStateInPandas``):
+    given the batch's frames and the carried (base_event_id, base_ts_us)
+    state, return (new_state, match_frame_or_None)."""
+    if not frames:
+        return last, None
+    pdf = pd.concat(frames, ignore_index=True)
+    pdf = pdf.assign(_ts_us=pdf["ts"].astype("int64") // 1000)
+    pdf = pdf.sort_values(["_ts_us", "event_id"], ignore_index=True)
+
+    # last base event STRICTLY before each row in (ts, id) order:
+    # ffill-then-shift — so a type that is both base and trigger
+    # matches the PREVIOUS base, exactly the batch 1-PRECEDING frame.
+    is_base = pdf["event_type"] == base_type
+    prior_id = (
+        pdf["event_id"].astype("Int64").where(is_base).ffill().shift(1)
+    )
+    prior_ts = pdf["_ts_us"].astype("Int64").where(is_base).ffill().shift(1)
+    if last is not None:  # seed rows before the batch's first base
+        prior_id = prior_id.fillna(last[0])
+        prior_ts = prior_ts.fillna(last[1])
+
+    hit = (
+        (pdf["event_type"] == trigger_type)
+        & prior_ts.notna()
+        & (pdf["_ts_us"] - prior_ts <= gap_us)
+        & (pdf["_ts_us"] - prior_ts >= 0)
+    ).fillna(False).astype(bool)  # NA from rows with no prior base
+    if is_base.any():
+        i = is_base[is_base].index[-1]
+        last = (int(pdf["event_id"].iloc[i]), int(pdf["_ts_us"].iloc[i]))
+
+    match = None
+    if hit.any():
+        m = pdf[hit]
+        match = pd.DataFrame(
+            {
+                "user_id": m["user_id"].astype("int64"),
+                "base_event_id": prior_id[hit].astype("int64"),
+                "trigger_event_id": m["event_id"].astype("int64"),
+                "base_ts": pd.to_datetime(
+                    prior_ts[hit].astype("int64"), unit="us"
+                ),
+                "trigger_ts": pd.to_datetime(m["_ts_us"], unit="us"),
+                "lag_seconds": m["_ts_us"] // 1_000_000
+                - prior_ts[hit].astype("int64") // 1_000_000,
+            }
+        )
+    return last, match
+
+
 def _pattern_update_fn(base_type: str, trigger_type: str, gap_us: int):
     def update(key, pdf_iter, state: GroupState):
         last = tuple(state.get) if state.exists else None  # (event_id, ts_us)
         frames = [pdf for pdf in pdf_iter if not pdf.empty]
-        if not frames:
-            if last is not None:
-                state.update(last)
-            return
-        pdf = pd.concat(frames, ignore_index=True)
-        pdf = pdf.assign(_ts_us=pdf["ts"].astype("int64") // 1000)
-        pdf = pdf.sort_values(["_ts_us", "event_id"], ignore_index=True)
-
-        # last base event STRICTLY before each row in (ts, id) order:
-        # ffill-then-shift — so a type that is both base and trigger
-        # matches the PREVIOUS base, exactly the batch 1-PRECEDING frame.
-        is_base = pdf["event_type"] == base_type
-        prior_id = (
-            pdf["event_id"].astype("Int64").where(is_base).ffill().shift(1)
+        last, match = _fold_pattern(
+            frames, last, base_type, trigger_type, gap_us
         )
-        prior_ts = pdf["_ts_us"].astype("Int64").where(is_base).ffill().shift(1)
-        if last is not None:  # seed rows before the batch's first base
-            prior_id = prior_id.fillna(last[0])
-            prior_ts = prior_ts.fillna(last[1])
-
-        hit = (
-            (pdf["event_type"] == trigger_type)
-            & prior_ts.notna()
-            & (pdf["_ts_us"] - prior_ts <= gap_us)
-            & (pdf["_ts_us"] - prior_ts >= 0)
-        ).fillna(False).astype(bool)  # NA from rows with no prior base
-        if is_base.any():
-            i = is_base[is_base].index[-1]
-            last = (int(pdf["event_id"].iloc[i]), int(pdf["_ts_us"].iloc[i]))
         if last is not None:
             state.update(last)
-
-        if hit.any():
-            m = pdf[hit]
-            yield pd.DataFrame(
-                {
-                    "user_id": m["user_id"].astype("int64"),
-                    "base_event_id": prior_id[hit].astype("int64"),
-                    "trigger_event_id": m["event_id"].astype("int64"),
-                    "base_ts": pd.to_datetime(
-                        prior_ts[hit].astype("int64"), unit="us"
-                    ),
-                    "trigger_ts": pd.to_datetime(m["_ts_us"], unit="us"),
-                    "lag_seconds": m["_ts_us"] // 1_000_000
-                    - prior_ts[hit].astype("int64") // 1_000_000,
-                }
-            )
+        if match is not None:
+            yield match
 
     return update
 
@@ -182,6 +200,186 @@ def pattern_match_batch(
             ).cast("long").alias("lag_seconds"),
         )
     )
+
+
+# ---- typed-state variant with event-time timers (A22 + A17 discipline) ----
+
+from fs2_kafka_streams_spark.streaming.stateful import HAS_TWS  # noqa: E402
+
+if HAS_TWS:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class PatternTimerProcessor(StatefulProcessor):
+        """The followed-by CEP on ``transformWithStateInPandas`` with the
+        reference's wakeup-timeout discipline (``client/ConsumerAlgebra.
+        scala:64-77``) as EVENT-TIME state expiry: every base event arms a
+        timer at ``base_ts + gap``; when the watermark passes it, the timer
+        fires and DELETES the key's base state.
+
+        Expiry is semantically neutral — a trigger can only match a base
+        within ``gap``, so a base whose timer fired (watermark ≥ expiry,
+        hence every future on-time event is ≥ expiry) can never match again
+        — but it bounds state at O(keys-with-a-live-base) instead of
+        O(keys-ever-seen): exactly the reference's timeout-driven cleanup,
+        and the 100 TB posture for unbounded key domains. Output equality
+        with the timerless engine and the batch window formulation is the
+        q57b driver entry + tests/test_cep_tws.py.
+
+        Timer discipline (pinned in tests/test_tws_state_kinds.py): ≤1 live
+        timer per key — a new base deletes the previous base's timer
+        (unless already fired, i.e. its expiry ≤ current watermark) before
+        arming its own; the fired-timer callback double-checks the state is
+        actually due, so a stale timer racing a same-batch refresh is a
+        no-op."""
+
+        def __init__(self, base_type: str, trigger_type: str, gap_us: int):
+            self._base_type = base_type
+            self._trigger_type = trigger_type
+            self._gap_us = gap_us
+
+        def init(self, handle) -> None:
+            self._handle = handle
+            # wall micros for output/ordering + the zone offset captured
+            # when the base was stored, for wall→UTC timer conversion
+            self._base = handle.getValueState(
+                "base", "base_event_id long, base_ts_us long, tz_off_us long"
+            )
+
+        def _expiry_ms(self, base_ts_us: int, off_us: int) -> int:
+            return (base_ts_us - off_us + self._gap_us) // 1000
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = tuple(self._base.get()) if self._base.exists() else None
+            frames = [pdf for pdf in rows if not pdf.empty]
+            # NTZ wall-time micros drive matching and output; Spark's timer
+            # clock is UTC epoch ms (the watermark's domain), so convert
+            # through the JVM-computed per-row offset (``_utc_us`` column:
+            # unix_micros of the session-tz cast) — under a non-UTC session
+            # timezone wall and UTC micros differ by the zone offset, and
+            # registering wall-derived expiries would fire timers hours
+            # early, expiring bases that still had gap left.
+            off_us = 0
+            if frames:
+                # the UTC-micros column is the LAST one by construction
+                # (pattern_matches_stream_tws appends it to the projection);
+                # TWS's Arrow transfer renames derived columns positionally,
+                # so address it by position, not name
+                f0 = frames[0]
+                off_us = int(
+                    f0["ts"].astype("int64").iloc[0] // 1000
+                    - int(f0.iloc[0, -1])
+                )
+            last, match = _fold_pattern(
+                frames, prev[:2] if prev else None, self._base_type,
+                self._trigger_type, self._gap_us,
+            )
+            if last is not None and (prev is None or last != prev[:2]):
+                self._base.update((last[0], last[1], off_us))
+                wm = timerValues.getCurrentWatermarkInMs()
+                if prev is not None:
+                    prev_exp = self._expiry_ms(prev[1], prev[2])
+                    if prev_exp > wm:
+                        self._handle.deleteTimer(prev_exp)
+                self._handle.registerTimer(self._expiry_ms(last[1], off_us))
+            if match is not None:
+                yield match
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._base.exists():
+                _, base_ts_us, off_us = tuple(self._base.get())
+                if self._expiry_ms(base_ts_us, off_us) <= (
+                    expiredTimerInfo.getExpiryTimeInMs()
+                ):
+                    self._base.clear()
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+
+def pattern_matches_stream_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    base_type: str = "view",
+    trigger_type: str = "click",
+    gap: str = "10 minutes",
+) -> DataFrame:
+    """Un-sinked TWS pattern stream (see :class:`PatternTimerProcessor`).
+    Event-time mode needs a watermark, and watermarks require TIMESTAMP —
+    but the data contract is NTZ end-to-end, so the watermark rides a
+    derived session-tz cast column (``_evt``) while ``ts`` stays NTZ for
+    matching and output; ``_utc_us`` carries the cast's UTC micros so the
+    processor can convert wall-time expiries into the timer clock's domain.
+    The time-ordered replay's contiguous chunks make a 0-second delay
+    lossless (no late rows)."""
+    from fs2_kafka_streams_spark.streaming.stateful import _tws_prepare
+
+    _tws_prepare(spark)
+    n, unit = gap.split()
+    gap_us = int(n) * {"hours": 3600, "minutes": 60, "seconds": 1}[unit] * 1_000_000
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(replay_dir(sf_dir, "events", order_col="ts"))
+        .withColumn("_evt", F.col("ts").cast("timestamp"))
+        .withColumn("_utc_us", F.unix_micros(F.col("_evt")))
+        .withWatermark("_evt", "0 seconds")
+        # _utc_us LAST: the processor reads it positionally (TWS renames
+        # derived columns in the Arrow transfer)
+        .select(
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+            "_utc_us",
+        )
+    )
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=PatternTimerProcessor(
+            base_type, trigger_type, gap_us
+        ),
+        outputStructType=_MATCH_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
+def pattern_match_stream_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    base_type: str = "view",
+    trigger_type: str = "click",
+    gap: str = "10 minutes",
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Run the timer-expiring TWS pattern query to completion; returns the
+    match table (must equal :func:`pattern_match_batch` — the q57 oracle)."""
+    import tempfile
+
+    from fs2_kafka_streams_spark.streaming.conf import (
+        STREAM_STATE_PARTITIONS,
+        pinned_conf,
+    )
+    from fs2_kafka_streams_spark.streaming.stateful import _tws_prepare
+
+    conf = dict(_tws_prepare(spark))
+    conf["spark.sql.shuffle.partitions"] = STREAM_STATE_PARTITIONS
+    matches = pattern_matches_stream_tws(
+        spark, sf_dir, base_type, trigger_type, gap
+    )
+    import uuid as _uuid
+
+    name = f"cep_tws_{_uuid.uuid4().hex[:8]}"
+    if checkpoint is None:
+        checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    with pinned_conf(spark, conf):
+        q = (
+            matches.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
 
 
 # ---- 3-stage funnel (A followed-by B followed-by C, gap per hop) ----------
