@@ -67,5 +67,8 @@ def get_spark(
         builder = builder.config(key, value)
 
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.setLogLevel("WARN")
+    except Exception:  # Spark Connect: no SparkContext; log level is
+        pass  # a cluster-side setting there, not a client call
     return spark

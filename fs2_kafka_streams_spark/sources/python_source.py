@@ -397,6 +397,26 @@ class _StreamReader(DataSourceStreamReader):
         # stale count would be silently truncated by Arrow's slice when
         # read() builds batches from the fresh bytes
         self._ends: dict[tuple[str, tuple[int, int]], dict[int, int]] = {}
+        # A17 seek: the Kafka source's startingOffsets shape — "earliest"
+        # (default) or {"topic": {"partition": offset}} with Kafka's
+        # -2=earliest / -1=latest sentinels. Consulted by initialOffset()
+        # only, i.e. exactly when no checkpoint exists: the reference's
+        # seek-on-assign from an externally recovered offset
+        # (client/RecordStream.scala:194-219, streams/Table.scala:64-95 —
+        # restart from the table's own committed offset, not the broker's).
+        raw = options.get("startingoffsets", options.get("startingOffsets"))
+        self.starting: dict | None = None
+        if raw and raw != "earliest":
+            if raw == "latest":
+                self.starting = "latest"
+            else:
+                parsed = json.loads(raw)
+                if not isinstance(parsed, dict):
+                    raise ValueError(
+                        "startingOffsets must be 'earliest', 'latest', or a "
+                        '{"topic": {"partition": offset}} JSON object'
+                    )
+                self.starting = parsed
 
     # -- simulated broker metadata ---------------------------------------
     def _topic_paths(self) -> dict[str, str]:
@@ -430,7 +450,22 @@ class _StreamReader(DataSourceStreamReader):
         out = {}
         for topic, path in self._topic_paths().items():
             ends = self._end_offsets(topic, path)
-            out[topic] = {str(p): 0 for p in ends}
+            if self.starting == "latest":
+                out[topic] = {str(p): ends[p] for p in ends}
+                continue
+            tmap = (self.starting or {}).get(topic, {})
+            starts = {}
+            for p in ends:
+                o = int(tmap.get(str(p), 0))
+                if o == -2:  # Kafka sentinel: earliest
+                    o = 0
+                elif o == -1:  # Kafka sentinel: latest
+                    o = ends[p]
+                # clamp into the valid range (Kafka would apply
+                # auto.offset.reset; for a deterministic replay source an
+                # out-of-range seek just snaps to the nearest end)
+                starts[str(p)] = max(0, min(o, ends[p]))
+            out[topic] = starts
         return out
 
     def latestOffset(self):
@@ -540,6 +575,7 @@ def read_wire_stream(
     topic_pattern: str | None = None,
     grow_to: int = 0,
     grow_at: int = 0,
+    starting_offsets: dict | str | None = None,
 ):
     """Micro-batch stream of the wire records.
 
@@ -554,6 +590,13 @@ def read_wire_stream(
     ``topic_pattern`` regex (re-resolved every trigger — Kafka pattern
     subscription). ``grow_to``/``grow_at`` simulate partition growth at a
     publish position (see module docstring).
+
+    ``starting_offsets`` (A17 seek): "earliest" (default), "latest", or a
+    ``{topic: {partition: next_offset}}`` dict — the Kafka source's own
+    ``startingOffsets`` shape, honored only when no checkpoint exists.
+    This is the reference's restart loop (``streams/Table.scala:64-95``):
+    recover the last committed offset from the SINK/table, then start a
+    fresh query seeking there, without the old checkpoint.
     """
     spark.dataSource.register(KafkaReplaySource)
     rd = (
@@ -575,6 +618,19 @@ def read_wire_stream(
         rd = rd.option("grow_to", str(grow_to)).option("grow_at", str(grow_at))
     if cursor_file:
         rd = rd.option("cursor_file", cursor_file)
+    if starting_offsets is not None:
+        if isinstance(starting_offsets, str):
+            rd = rd.option("startingOffsets", starting_offsets)
+        else:
+            rd = rd.option(
+                "startingOffsets",
+                json.dumps(
+                    {
+                        t: {str(p): int(o) for p, o in pm.items()}
+                        for t, pm in starting_offsets.items()
+                    }
+                ),
+            )
     return rd.load()
 
 

@@ -361,6 +361,34 @@ def latest_by_key_tws_with_deletes(
 SINK_BUCKETS = 8
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def _sink_lock(sink_dir: str, exclusive: bool):
+    """Advisory lock fencing the upsert-sink directory swap: triggers take
+    it SHARED around their append, compaction takes it EXCLUSIVE around
+    read→rewrite→rename — so an append can never land between compaction's
+    two renames (where it would write into the doomed ``.old`` directory
+    and be deleted, or recreate ``sink_dir`` and break the swap).
+
+    The lock file lives BESIDE the sink directory (the directory itself is
+    renamed during the swap). This is a single-host fence — exactly the
+    harness's execution model; a multi-driver production deployment runs
+    the same rewrite through a transactional table format
+    (Delta/Iceberg ``replaceWhere``), as documented on
+    :func:`compact_upsert_log`."""
+    import fcntl
+
+    lock_path = sink_dir.rstrip("/") + ".lock"
+    with open(lock_path, "w") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH)
+        try:
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
+
 def _read_upsert_log(
     spark: SparkSession, sink_dir: str, row_schema: str = _OUTPUT_SCHEMA
 ) -> DataFrame:
@@ -411,10 +439,15 @@ def compact_upsert_log(
     The reference's table IS a compacted topic (``streams/Tables.scala``);
     this bounds the sink's storage at O(distinct keys) for a long-running
     query, matching broker-side compaction. Each key bucket compacts as an
-    independent partitioned task. The swap is directory-rename (atomic on a
-    POSIX filesystem, done between triggers in this harness); a production
-    deployment would run the same rewrite through a transactional table
-    format (Delta/Iceberg ``replaceWhere``) for concurrent safety.
+    independent partitioned task. The swap is directory-rename (atomic on
+    a POSIX filesystem) fenced by :func:`_sink_lock`: compaction holds the
+    lock EXCLUSIVE for the whole read→rewrite→swap, triggers hold it
+    SHARED around their append — so a concurrent trigger can never
+    interleave destructively with the swap (race-tested in
+    tests/test_streaming_duality.py::test_compaction_concurrent_appends).
+    A multi-driver production deployment runs the same rewrite through a
+    transactional table format (Delta/Iceberg ``replaceWhere``) instead of
+    a host-local lock.
     """
     import os
     import shutil
@@ -428,26 +461,27 @@ def compact_upsert_log(
     if dead_col is not None:
         row_schema = row_schema + f", {dead_col} boolean"
         value_cols = value_cols + [dead_col]
-    log = _read_upsert_log(spark, sink_dir, row_schema)
-    rows_before = log.count()
-    compacted = latest_by_key(
-        log,
-        key_cols=["user_id"],
-        order_cols=["_epoch", "ts", "event_id"],
-        value_cols=value_cols,
-    )
-    if dead_col is not None and not retain_tombstones:
-        compacted = compacted.filter(~F.col(dead_col))
-    compacted = compacted.withColumn(
-        "_bucket", F.pmod(F.xxhash64("user_id"), F.lit(SINK_BUCKETS))
-    )
-    tmp_dir = sink_dir.rstrip("/") + ".compacting"
-    compacted.write.mode("overwrite").partitionBy("_bucket").parquet(tmp_dir)
-    old_dir = sink_dir.rstrip("/") + ".old"
-    os.rename(sink_dir, old_dir)
-    os.rename(tmp_dir, sink_dir)
-    shutil.rmtree(old_dir)
-    rows_after = _read_upsert_log(spark, sink_dir, row_schema).count()
+    with _sink_lock(sink_dir, exclusive=True):
+        log = _read_upsert_log(spark, sink_dir, row_schema)
+        rows_before = log.count()
+        compacted = latest_by_key(
+            log,
+            key_cols=["user_id"],
+            order_cols=["_epoch", "ts", "event_id"],
+            value_cols=value_cols,
+        )
+        if dead_col is not None and not retain_tombstones:
+            compacted = compacted.filter(~F.col(dead_col))
+        compacted = compacted.withColumn(
+            "_bucket", F.pmod(F.xxhash64("user_id"), F.lit(SINK_BUCKETS))
+        )
+        tmp_dir = sink_dir.rstrip("/") + ".compacting"
+        compacted.write.mode("overwrite").partitionBy("_bucket").parquet(tmp_dir)
+        old_dir = sink_dir.rstrip("/") + ".old"
+        os.rename(sink_dir, old_dir)
+        os.rename(tmp_dir, sink_dir)
+        shutil.rmtree(old_dir)
+        rows_after = _read_upsert_log(spark, sink_dir, row_schema).count()
     return rows_before, rows_after
 
 
@@ -480,15 +514,19 @@ def _run_upsert_sink(
         sink_dir = tempfile.mkdtemp(prefix=f"sink_upsert_{run_id}_")
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.withColumn("_epoch", F.lit(epoch_id))
-            .withColumn(
-                "_bucket", F.pmod(F.xxhash64("user_id"), F.lit(SINK_BUCKETS))
+        # SHARED lock: appends may run concurrently with each other but
+        # never overlap compaction's exclusive directory swap
+        with _sink_lock(sink_dir, exclusive=False):
+            (
+                batch_df.withColumn("_epoch", F.lit(epoch_id))
+                .withColumn(
+                    "_bucket",
+                    F.pmod(F.xxhash64("user_id"), F.lit(SINK_BUCKETS)),
+                )
+                .write.mode("append")
+                .partitionBy("_bucket")
+                .parquet(sink_dir)
             )
-            .write.mode("append")
-            .partitionBy("_bucket")
-            .parquet(sink_dir)
-        )
 
     from fs2_kafka_streams_spark.streaming.conf import (
         STREAM_STATE_PARTITIONS,

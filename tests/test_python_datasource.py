@@ -203,3 +203,113 @@ def test_stream_full_log_single_catchup_equals_batch(spark, tmp_path):
     q.stop()
     q.awaitTermination()
     assert rows and rows[0] == Catalog(spark, SF).events.count()
+
+
+def test_starting_offsets_seek_without_checkpoint(spark, tmp_path):
+    """A17 parity — the reference's actual restart loop
+    (``client/RecordStream.scala:194-219``, ``streams/Table.scala:64-95``):
+    materialize part of the log, stop, recover the last committed offsets
+    FROM THE SINK (not the checkpoint), then start a FRESH query — no old
+    checkpoint — seeking there via ``startingOffsets`` (the Kafka source's
+    own option shape). The second run must re-serve nothing, the union must
+    cover every offset exactly once, and the fold over the union must equal
+    batch latest-by-key (the q17 oracle shape)."""
+    cursor = tmp_path / "cursor.json"
+    sink1 = tmp_path / "sink1"
+    seen: list[int] = []
+
+    def sink_to(out_dir):
+        def sink(bdf, bid):
+            seen.append(bid)
+            bdf.write.mode("overwrite").parquet(f"{out_dir}/bid={bid}")
+        return sink
+
+    # phase 1: live-topic pacing, stop after a couple of committed batches
+    s1 = read_wire_stream(
+        spark, SF, partitions=N_PARTS, batch_rows=120, cursor_file=str(cursor)
+    )
+    q = (
+        s1.writeStream.foreachBatch(sink_to(sink1))
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and len(seen) < 2:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+
+    got1 = spark.read.parquet(str(sink1))
+    n1 = got1.select("partition", "offset").distinct().count()
+    n_events = Catalog(spark, SF).events.count()
+    assert 0 < n1 < n_events, "phase 1 must stop mid-log"
+
+    # recover next-offsets from the sink — per partition, max served + 1
+    recovered = {
+        int(r["partition"]): int(r["mx"]) + 1
+        for r in got1.groupBy("partition")
+        .agg(F.max("offset").alias("mx"))
+        .collect()
+    }
+    # at-least-once sinks may hold rows from an uncommitted trailing batch;
+    # seeking from the sink's own high-water mark is exactly the point
+    starting = {"events": {str(p): o for p, o in recovered.items()}}
+
+    # phase 2: FRESH checkpoint; full catch-up (batch_rows=0 serves the
+    # remainder in one batch); seek via startingOffsets
+    sink2 = tmp_path / "sink2"
+    s2 = read_wire_stream(
+        spark, SF, partitions=N_PARTS, starting_offsets=starting
+    )
+    q2 = (
+        s2.writeStream.foreachBatch(sink_to(sink2))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and not (sink2 / "_done").exists():
+        if q2.awaitTermination(1):
+            break
+        prog = q2.lastProgress
+        if prog and prog["numInputRows"] == 0 and len(list(sink2.glob("bid=*"))):
+            break
+    q2.stop()
+    q2.awaitTermination()
+
+    got2 = spark.read.parquet(str(sink2))
+    # nothing re-served: every phase-2 offset is past the recovered mark
+    below = got2.filter(
+        F.col("offset")
+        < F.udf(lambda p: recovered.get(p, 0), "long")(F.col("partition"))
+    ).count()
+    assert below == 0, "startingOffsets re-served committed offsets"
+
+    # union covers the whole log exactly once per (partition, offset)
+    union = got1.select("partition", "offset", "value").unionByName(
+        got2.select("partition", "offset", "value")
+    )
+    assert union.select("partition", "offset").distinct().count() == n_events
+    dup = (
+        union.groupBy("partition", "offset")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0, "an offset was served twice across the two queries"
+
+    # end-to-end: fold over the union equals batch latest-by-key (q17)
+    folded = latest_by_key(
+        decode_wire(union.withColumn("topic", F.lit("events"))),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_cols=["event_id", "ts", "event_type", "value", "props"],
+    ).select("user_id", "event_id", "ts", "event_type", "value", "props")
+    direct = latest_by_key(
+        Catalog(spark, SF).events,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_cols=["event_id", "ts", "event_type", "value", "props"],
+    ).select("user_id", "event_id", "ts", "event_type", "value", "props")
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -498,3 +498,74 @@ def test_compaction_preserves_tombstones(spark, tmp_path):
     assert log_gc.filter("_dead").count() == 0
     view_gc = sorted(map(tuple, _log_head(log_gc, dead_col="_dead").collect()))
     assert view_gc == view_before
+
+
+def test_compaction_concurrent_appends(spark, tmp_path):
+    """Compaction's directory-rename swap racing live trigger appends: the
+    shared/exclusive sink lock must prevent an append landing between the
+    two renames (where it would be deleted with the ``.old`` dir or break
+    the swap). Drive many small locked appends from one thread while the
+    main thread compacts repeatedly; every appended row must survive and
+    the head must reflect the highest epoch per key."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from fs2_kafka_streams_spark.streaming.stateful import (
+        SINK_BUCKETS,
+        _log_head,
+        _read_upsert_log,
+        _sink_lock,
+        compact_upsert_log,
+        latest_by_key_streaming,
+    )
+
+    sink = str(tmp_path / "sink_race")
+    latest_by_key_streaming(spark, SF_SMOKE, sink_dir=sink)
+    base_epoch = (
+        _read_upsert_log(spark, sink).agg(F.max("_epoch")).collect()[0][0]
+    )
+
+    n_appends = 12
+    errors: list[Exception] = []
+
+    def appender():
+        try:
+            for i in range(n_appends):
+                row = spark.createDataFrame(
+                    [(10_000 + i, 10**12 + i, None, "race_test",
+                      float(i), "{}")],
+                    "user_id long, event_id long, ts timestamp_ntz, "
+                    "event_type string, value double, props string",
+                ).withColumn(
+                    "_epoch", F.lit(base_epoch + 1 + i)
+                ).withColumn(
+                    "_bucket",
+                    F.pmod(F.xxhash64("user_id"), F.lit(SINK_BUCKETS)),
+                )
+                with _sink_lock(sink, exclusive=False):
+                    row.write.mode("append").partitionBy("_bucket").parquet(
+                        sink
+                    )
+        except Exception as e:  # surfaced in the main thread
+            errors.append(e)
+
+    t = threading.Thread(target=appender)
+    t.start()
+    compactions = 0
+    while t.is_alive():
+        compact_upsert_log(spark, sink)
+        compactions += 1
+    t.join()
+    compact_upsert_log(spark, sink)  # final pass over everything
+    compactions += 1
+
+    assert not errors, errors
+    assert compactions >= 2, "race window never opened"
+    head = {
+        r["user_id"]: r["event_id"]
+        for r in _log_head(_read_upsert_log(spark, sink)).collect()
+    }
+    # every appended key survived with its row intact
+    for i in range(n_appends):
+        assert head.get(10_000 + i) == 10**12 + i, f"append {i} lost"
