@@ -185,6 +185,17 @@ def _stream_stream_join(spark, sf_dir, watermark: str | None):
         a = a.withWatermark("ts", watermark)
         b = b.withWatermark("ts", watermark)
     a, b = a.alias("a"), b.alias("b")
+    # The event-id '<' tie-break makes StreamingJoinHelper log a WARN
+    # [INTERNAL_ERROR] stack at query start: the helper probes EVERY
+    # less-than in the join condition for a state-eviction bound, and an id
+    # comparison has no foldable time bound. The warning is harmless (state
+    # is still evicted via the time-range bound, asserted by this query's
+    # bounded-state posture) and UNAVOIDABLE for a tie-broken self-join:
+    # writing the tie-break as a post-join .filter() changes nothing —
+    # Catalyst's PushPredicateThroughJoin merges an inner join's filters
+    # back into the condition before IncrementalExecution runs the probe.
+    # Documented in EXPLAINS.md; q72 (outer) carries the same note, where
+    # the ON-clause placement is additionally a semantic requirement.
     joined = a.join(
         b,
         on=[
@@ -424,6 +435,15 @@ def outer_join_stream(spark, sf_dir):
     a = a.withWatermark("ts", "10 minutes")
     b = b.withWatermark("ts", "10 minutes")
     a, b = a.alias("a"), b.alias("b")
+    # The event-id tie-break MUST live in the ON clause here: for a LEFT
+    # OUTER join the condition decides which left rows null-extend —
+    # filtering id_a<id_b after the join would also drop the legitimate
+    # unmatched (id_b NULL) rows of lefts whose only candidates failed the
+    # tie-break. StreamingJoinHelper logs a WARN [INTERNAL_ERROR] stack
+    # while probing this '<' for a state-eviction bound (it treats every
+    # less-than as potentially temporal, and an id comparison has no
+    # foldable bound); the warning is harmless — state is still evicted
+    # via the time-range bound — and documented in EXPLAINS.md.
     return a.join(
         b,
         on=[

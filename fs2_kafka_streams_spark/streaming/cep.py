@@ -354,13 +354,13 @@ def pattern_match_stream_tws(
     import tempfile
 
     from fs2_kafka_streams_spark.streaming.conf import (
-        STREAM_STATE_PARTITIONS,
+        STREAM_PERF_CONF,
         pinned_conf,
     )
     from fs2_kafka_streams_spark.streaming.stateful import _tws_prepare
 
     conf = dict(_tws_prepare(spark))
-    conf["spark.sql.shuffle.partitions"] = STREAM_STATE_PARTITIONS
+    conf.update(STREAM_PERF_CONF)
     matches = pattern_matches_stream_tws(
         spark, sf_dir, base_type, trigger_type, gap
     )

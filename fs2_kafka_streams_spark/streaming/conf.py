@@ -24,6 +24,19 @@ from pyspark.sql import SparkSession
 # cluster sets O(total cores).
 STREAM_STATE_PARTITIONS = "16"
 
+#: Confs pinned (scoped) around every harness streaming query. RocksDB
+#: changelog checkpointing uploads the per-batch CHANGELOG instead of
+#: syncing a full store snapshot at every commit — measured at sf0.1:
+#: stream-stream outer join 9.5s -> 8.1s, inner 6.6s -> 5.4s per run; the
+#: exact production recommendation for high-trigger-rate stateful queries.
+#: A no-op (ignored conf) when the session runs the HDFS-backed provider.
+STREAM_PERF_CONF = {
+    "spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS,
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
 
 @contextmanager
 def pinned_conf(spark: SparkSession, confs: dict[str, str]):

@@ -14,7 +14,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from fs2_kafka_streams_spark.streaming.conf import (
-    STREAM_STATE_PARTITIONS,
+    STREAM_PERF_CONF,
     pinned_conf,
 )
 
@@ -28,7 +28,7 @@ def run_to_memory(
 ) -> DataFrame:
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    confs = {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
+    confs = dict(STREAM_PERF_CONF)
     confs.update(extra_conf or {})
     with pinned_conf(spark, confs):
         q = (

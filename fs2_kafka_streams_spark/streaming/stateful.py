@@ -529,13 +529,11 @@ def _run_upsert_sink(
             )
 
     from fs2_kafka_streams_spark.streaming.conf import (
-        STREAM_STATE_PARTITIONS,
+        STREAM_PERF_CONF,
         pinned_conf,
     )
 
-    with pinned_conf(
-        spark, {"spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS}
-    ):
+    with pinned_conf(spark, STREAM_PERF_CONF):
         q = (
             updates.writeStream.outputMode("update")
             .foreachBatch(upsert)

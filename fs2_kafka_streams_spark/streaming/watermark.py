@@ -44,16 +44,13 @@ def tumbling_with_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries relative to the wall-clock SQL oracle.
     """
     from fs2_kafka_streams_spark.streaming.conf import (
-        STREAM_STATE_PARTITIONS,
+        STREAM_PERF_CONF,
         pinned_conf,
     )
 
     with pinned_conf(
         spark,
-        {
-            "spark.sql.session.timeZone": "UTC",
-            "spark.sql.shuffle.partitions": STREAM_STATE_PARTITIONS,
-        },
+        {"spark.sql.session.timeZone": "UTC", **STREAM_PERF_CONF},
     ):
         return _run_watermark_query(spark, sf_dir)
 

@@ -155,6 +155,18 @@ def main() -> None:
         "and `tests/test_scale_joins.py` assert the load-bearing ones in",
         "CI fashion; this file exists so a reviewer can eyeball the rest.",
         "",
+        "Known benign log noise: the stream–stream joins (q48/q72) emit a",
+        "WARN `StreamingJoinHelper ... [INTERNAL_ERROR] Cannot evaluate",
+        "expression: event_id` stack at query start. The helper probes",
+        "every `<` in the join condition for a state-eviction time bound,",
+        "and the event-id tie-break has none. It is unavoidable for a",
+        "tie-broken self-join (a post-join filter is merged back into an",
+        "inner join's condition by PushPredicateThroughJoin, and an outer",
+        "join's tie-break must stay in the ON clause for null-extension",
+        "semantics) and harmless: state is still evicted via the",
+        "time-range bound. See the comments at both join sites in",
+        "`queries/streaming_ext.py`.",
+        "",
     ]
     for name, props in HEADLINERS.items():
         df = reg[name].build(spark, SF)

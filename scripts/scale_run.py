@@ -131,13 +131,210 @@ def gen_embeddings(path: str, n: int, seed: int = 11) -> None:
     pq.write_table(t, path)
 
 
+BASE_EVENTS = 60_000    # = sf0.1 events rows
+BASE_KEYS = 1_500       # = sf0.1 distinct user_ids
+
+
+def gen_events(path: str, n: int, n_keys: int, seed: int = 13) -> None:
+    """Seeded synthetic changelog in the events schema: increasing ts
+    (publish order), keys uniform over ``n_keys``, types weighted like the
+    fixture (view-heavy so CEP has bases)."""
+    if os.path.exists(path):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    base_us = 1_700_000_000_000_000
+    ts_us = base_us + np.cumsum(rng.randint(1, 2_000, size=n).astype("int64"))
+    types = rng.choice(
+        np.array(["view", "click", "purchase", "error"], dtype=object),
+        size=n,
+        p=[0.5, 0.3, 0.1, 0.1],
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array(range(1, n + 1), pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.randint(0, n_keys, size=n).astype("int64"), pa.int64()
+            ),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(rng.rand(n), pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, path)
+
+
+def _replay_files(src_parquet: str, out_dir: str, n_files: int) -> str:
+    """Contiguous-ts replay chunks with ordered mtimes (the harness's
+    deterministic stand-in for a flowing topic)."""
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(out_dir, "_READY")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(src_parquet)
+    n = t.num_rows
+    chunk = (n + n_files - 1) // n_files
+    base = time.time() - 3600
+    for k in range(n_files):
+        p = os.path.join(out_dir, f"part-{k:04d}.parquet")
+        pq.write_table(t.slice(k * chunk, chunk), p)
+        os.utime(p, (base + 10 * k, base + 10 * k))
+    open(marker, "w").write("ok")
+    return out_dir
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _d, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def run_streaming_section(spark, out: str, scales: list[int]) -> list[dict]:
+    """Measured streaming scale evidence: replay scaled changelogs through
+    latest-by-key and the CEP funnel, recording per-trigger wall time and
+    the state store's own row/byte counters from StreamingQueryProgress.
+
+    The O(keys) claim under test: state rows == distinct keys at every
+    event-volume scale (events grow 10×, keys fixed → state FLAT), and
+    state rows track keys when keys grow (keys 10× at fixed events →
+    state ×10). Per-trigger time may grow with batch volume — that is
+    throughput, not state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from fs2_kafka_streams_spark.streaming import cep, stateful
+    from fs2_kafka_streams_spark.streaming.conf import (
+        STREAM_PERF_CONF,
+        pinned_conf,
+    )
+
+    n_files = 8
+
+    def drive(updates_builder, replay, tag, output_mode="update"):
+        ckpt = tempfile.mkdtemp(prefix=f"scale_stream_{tag}_")
+        src = (
+            spark.readStream.schema(stateful.EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        updates = updates_builder(src)
+        sink_counts: list[int] = []
+        with pinned_conf(spark, STREAM_PERF_CONF):
+            t0 = time.time()
+            q = (
+                updates.writeStream.outputMode(output_mode)
+                .foreachBatch(lambda bdf, bid: sink_counts.append(bdf.count()))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            wall = time.time() - t0
+        progress = [p for p in q.recentProgress if p.get("stateOperators")]
+        trig_ms = [p["durationMs"].get("triggerExecution", 0) for p in progress]
+        state_rows = (
+            progress[-1]["stateOperators"][0].get("numRowsTotal", -1)
+            if progress
+            else -1
+        )
+        state_bytes = _dir_bytes(os.path.join(ckpt, "state"))
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return {
+            "wall_s": round(wall, 1),
+            "triggers": len(trig_ms),
+            "mean_trigger_ms": int(np.mean(trig_ms)) if trig_ms else -1,
+            "state_rows": state_rows,
+            "state_mb": round(state_bytes / 1e6, 1),
+        }
+
+    def latest_updates(src):
+        return src.groupBy("user_id").applyInPandasWithState(
+            stateful._latest_update,
+            outputStructType=stateful._OUTPUT_SCHEMA,
+            stateStructType=stateful._STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def funnel_updates(src):
+        return src.groupBy("user_id").applyInPandasWithState(
+            cep._funnel_update_fn(("view", "click", "purchase"), 12 * 3600 * 10**6),
+            outputStructType=cep._FUNNEL_SCHEMA,
+            stateStructType=cep._FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    rows = []
+    # axis 1: event volume grows, keys fixed -> state must stay FLAT
+    for s in scales:
+        n_ev = BASE_EVENTS * s
+        src_path = os.path.join(out, f"events_{n_ev}_k{BASE_KEYS}.parquet")
+        gen_events(src_path, n_ev, BASE_KEYS)
+        replay = _replay_files(
+            src_path, os.path.join(out, f"replay_{n_ev}_k{BASE_KEYS}"), n_files
+        )
+        for tag, builder, mode in (
+            ("latest", latest_updates, "update"),
+            ("funnel", funnel_updates, "append"),
+        ):
+            m = drive(builder, replay, tag, output_mode=mode)
+            row = {"op": tag, "scale": s, "events": n_ev, "keys": BASE_KEYS, **m}
+            rows.append(row)
+            print("STREAM_ROW", json.dumps(row), flush=True)
+    # axis 2: keys grow 10x at the LARGEST event volume -> state tracks keys
+    n_ev = BASE_EVENTS * scales[-1]
+    big_keys = BASE_KEYS * 10
+    src_path = os.path.join(out, f"events_{n_ev}_k{big_keys}.parquet")
+    gen_events(src_path, n_ev, big_keys)
+    replay = _replay_files(
+        src_path, os.path.join(out, f"replay_{n_ev}_k{big_keys}"), n_files
+    )
+    for tag, builder, mode in (
+        ("latest", latest_updates, "update"),
+        ("funnel", funnel_updates, "append"),
+    ):
+        m = drive(builder, replay, tag, output_mode=mode)
+        row = {"op": tag, "scale": scales[-1], "events": n_ev, "keys": big_keys, **m}
+        rows.append(row)
+        print("STREAM_ROW", json.dumps(row), flush=True)
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10")
     ap.add_argument("--out", default="/tmp/scale_corpus")
+    ap.add_argument(
+        "--streaming", action="store_true",
+        help="run the measured streaming section instead of the batch one",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     os.makedirs(args.out, exist_ok=True)
+
+    if args.streaming:
+        from fs2_kafka_streams_spark.session import get_spark
+
+        rows = run_streaming_section(get_spark(), args.out, scales)
+        hdr = list(rows[0])
+        print("\n| " + " | ".join(hdr) + " |")
+        print("|" + "---|" * len(hdr))
+        for r in rows:
+            print("| " + " | ".join(str(r[k]) for k in hdr) + " |")
+        return
 
     from fs2_kafka_streams_spark.operators import clusters
     from fs2_kafka_streams_spark.operators.clusters import connected_components
