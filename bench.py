@@ -55,40 +55,45 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Warm the STREAMING machinery too — RocksDB provider JNI + state-store
-    # maintenance threads, the micro-batch engine, and (when the TWS gate
-    # is open) the transformWithState state server + the protobuf shim
-    # import in fresh workers. Measured: the first streaming entry
-    # otherwise absorbs 3-8 s of one-time spin-up (q38b cold 12.9 s vs
-    # warm 5 s) that a long-running cluster pays once per deployment, not
-    # once per query. A 4-row synthetic events table keeps the warm-up
-    # itself cheap; failures are non-fatal (the bench then just measures
-    # cold, as before).
-    try:
-        import tempfile as _tf
+    def warm_streaming() -> None:
+        """Warm the STREAMING machinery — RocksDB provider JNI + state-store
+        maintenance threads, the micro-batch engine, and (when the TWS gate
+        is open) the transformWithState state server + the protobuf shim
+        import in fresh workers. Measured: the first streaming entry
+        otherwise absorbs 3-8 s of one-time spin-up (q38b cold 12.9 s vs
+        warm 5 s) that a long-running cluster pays once per deployment, not
+        once per query. Called BETWEEN the batch block and the streaming
+        block — streaming entries are already ordered last precisely
+        because their session residue (maintenance threads, GC pressure)
+        inflates whatever runs after them, so the warm-up must not run
+        before the batch measurements either. A 4-row synthetic events
+        table keeps it cheap; failures are non-fatal (the bench then just
+        measures cold, as before)."""
+        try:
+            import tempfile as _tf
 
-        import pandas as _pd
+            import pandas as _pd
 
-        _warm_sf = _tf.mkdtemp(prefix="bench_warm_sf_")
-        _pd.DataFrame(
-            {
-                "event_id": [1, 2, 3, 4],
-                "ts": _pd.to_datetime([1, 2, 3, 4], unit="s").astype(
-                    "datetime64[us]"
-                ),
-                "user_id": [1, 1, 2, 2],
-                "event_type": ["view"] * 4,
-                "value": [1.0] * 4,
-                "props": ["{}"] * 4,
-            }
-        ).to_parquet(f"{_warm_sf}/events.parquet", index=False)
-        from fs2_kafka_streams_spark.streaming import stateful as _st
+            _warm_sf = _tf.mkdtemp(prefix="bench_warm_sf_")
+            _pd.DataFrame(
+                {
+                    "event_id": [1, 2, 3, 4],
+                    "ts": _pd.to_datetime([1, 2, 3, 4], unit="s").astype(
+                        "datetime64[us]"
+                    ),
+                    "user_id": [1, 1, 2, 2],
+                    "event_type": ["view"] * 4,
+                    "value": [1.0] * 4,
+                    "props": ["{}"] * 4,
+                }
+            ).to_parquet(f"{_warm_sf}/events.parquet", index=False)
+            from fs2_kafka_streams_spark.streaming import stateful as _st
 
-        _st.latest_by_key_streaming(spark, _warm_sf).collect()
-        if _st.HAS_TWS:
-            _st.latest_by_key_tws(spark, _warm_sf).collect()
-    except Exception as e:  # pragma: no cover - warm-up must never fail the bench
-        print(f"streaming warm-up skipped: {e}", file=sys.stderr)
+            _st.latest_by_key_streaming(spark, _warm_sf).collect()
+            if _st.HAS_TWS:
+                _st.latest_by_key_tws(spark, _warm_sf).collect()
+        except Exception as e:  # pragma: no cover - must never fail the bench
+            print(f"streaming warm-up skipped: {e}", file=sys.stderr)
 
     # Measure real Structured Streaming entries LAST: their micro-batch
     # machinery leaves session residue (RocksDB state-store maintenance,
@@ -101,7 +106,11 @@ def main() -> None:
         registry.items(), key=lambda kv: "streaming" in kv[1].tags
     )
     timings: dict[str, float] = {}
+    warmed_streaming = False
     for name, spec in ordered:
+        if not warmed_streaming and "streaming" in spec.tags:
+            warm_streaming()  # batch block done; spin up streaming machinery
+            warmed_streaming = True
         t0 = time.perf_counter()
         df = spec.build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

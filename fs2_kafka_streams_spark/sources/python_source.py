@@ -405,12 +405,21 @@ class _StreamReader(DataSourceStreamReader):
         # (client/RecordStream.scala:194-219, streams/Table.scala:64-95 —
         # restart from the table's own committed offset, not the broker's).
         raw = options.get("startingoffsets", options.get("startingOffsets"))
-        self.starting: dict | None = None
-        if raw and raw != "earliest":
-            if raw == "latest":
+        self.starting: dict | str | None = None
+        # Kafka accepts the named positions case-insensitively
+        named = str(raw).strip().lower() if raw is not None else None
+        if raw and named != "earliest":
+            if named == "latest":
                 self.starting = "latest"
             else:
-                parsed = json.loads(raw)
+                try:
+                    parsed = json.loads(raw)
+                except ValueError as e:
+                    raise ValueError(
+                        "startingOffsets must be 'earliest', 'latest', or a "
+                        '{"topic": {"partition": offset}} JSON object; got '
+                        f"{raw!r}"
+                    ) from e
                 if not isinstance(parsed, dict):
                     raise ValueError(
                         "startingOffsets must be 'earliest', 'latest', or a "
@@ -445,28 +454,31 @@ class _StreamReader(DataSourceStreamReader):
             json.dump(cur, fh)
         os.replace(tmp, self.cursor_file)
 
+    def _resolved_starts(self, topic: str, ends: dict[int, int]) -> dict[str, int]:
+        """The seek point per partition under ``startingOffsets``: named
+        positions and Kafka's -2/-1 sentinels resolved against the current
+        end offsets, out-of-range values clamped (Kafka would apply
+        ``auto.offset.reset``; a deterministic replay source just snaps to
+        the nearest end)."""
+        if self.starting == "latest":
+            return {str(p): ends[p] for p in ends}
+        tmap = (self.starting or {}).get(topic, {})
+        starts = {}
+        for p in ends:
+            o = int(tmap.get(str(p), 0))
+            if o == -2:  # Kafka sentinel: earliest
+                o = 0
+            elif o == -1:  # Kafka sentinel: latest
+                o = ends[p]
+            starts[str(p)] = max(0, min(o, ends[p]))
+        return starts
+
     # -- DataSourceStreamReader contract ---------------------------------
     def initialOffset(self):
-        out = {}
-        for topic, path in self._topic_paths().items():
-            ends = self._end_offsets(topic, path)
-            if self.starting == "latest":
-                out[topic] = {str(p): ends[p] for p in ends}
-                continue
-            tmap = (self.starting or {}).get(topic, {})
-            starts = {}
-            for p in ends:
-                o = int(tmap.get(str(p), 0))
-                if o == -2:  # Kafka sentinel: earliest
-                    o = 0
-                elif o == -1:  # Kafka sentinel: latest
-                    o = ends[p]
-                # clamp into the valid range (Kafka would apply
-                # auto.offset.reset; for a deterministic replay source an
-                # out-of-range seek just snaps to the nearest end)
-                starts[str(p)] = max(0, min(o, ends[p]))
-            out[topic] = starts
-        return out
+        return {
+            topic: self._resolved_starts(topic, self._end_offsets(topic, path))
+            for topic, path in self._topic_paths().items()
+        }
 
     def latestOffset(self):
         # re-resolve the subscription every trigger — pattern topics that
@@ -478,10 +490,19 @@ class _StreamReader(DataSourceStreamReader):
             if self.batch_rows <= 0:
                 out[topic] = {str(p): ends[p] for p in ends}
             else:
+                # the publication cursor starts AT the seek point, never
+                # below it: a recovered offset implies the broker had
+                # already published that far, and a cursor below the
+                # committed start would make Spark plan (start > end)
+                # ranges — or worse, commit a paced end BELOW the seek and
+                # re-serve the very records the seek skips
+                starts = self._resolved_starts(topic, ends)
                 tc = cur.get(topic, {})
                 out[topic] = {
                     str(p): min(
-                        int(tc.get(str(p), 0)) + self.batch_rows, ends[p]
+                        max(int(tc.get(str(p), 0)), starts[str(p)])
+                        + self.batch_rows,
+                        ends[p],
                     )
                     for p in ends
                 }

@@ -251,29 +251,31 @@ if HAS_TWS:
         def handleInputRows(self, key, rows, timerValues):
             prev = tuple(self._base.get()) if self._base.exists() else None
             frames = [pdf for pdf in rows if not pdf.empty]
-            # NTZ wall-time micros drive matching and output; Spark's timer
-            # clock is UTC epoch ms (the watermark's domain), so convert
-            # through the JVM-computed per-row offset (``_utc_us`` column:
-            # unix_micros of the session-tz cast) — under a non-UTC session
-            # timezone wall and UTC micros differ by the zone offset, and
-            # registering wall-derived expiries would fire timers hours
-            # early, expiring bases that still had gap left.
-            off_us = 0
-            if frames:
-                # the UTC-micros column is the LAST one by construction
-                # (pattern_matches_stream_tws appends it to the projection);
-                # TWS's Arrow transfer renames derived columns positionally,
-                # so address it by position, not name
-                f0 = frames[0]
-                off_us = int(
-                    f0["ts"].astype("int64").iloc[0] // 1000
-                    - int(f0.iloc[0, -1])
-                )
             last, match = _fold_pattern(
                 frames, prev[:2] if prev else None, self._base_type,
                 self._trigger_type, self._gap_us,
             )
             if last is not None and (prev is None or last != prev[:2]):
+                # NTZ wall-time micros drive matching and output; Spark's
+                # timer clock is UTC epoch ms (the watermark's domain), so
+                # convert through the JVM-computed per-row offset
+                # (``_utc_us``, the LAST column by construction —
+                # pattern_matches_stream_tws appends it and TWS's Arrow
+                # transfer renames derived columns positionally). Under a
+                # non-UTC session timezone wall and UTC micros differ by
+                # the zone offset; registering wall-derived expiries would
+                # fire timers hours early, expiring bases with gap left.
+                # Take the offset of THE BASE ROW ITSELF, not the batch's
+                # first row — a batch spanning a DST transition has two
+                # offsets, and the wrong one skews the expiry by ±1 h.
+                off_us = prev[2] if prev is not None else 0
+                for f in frames:
+                    wall = f["ts"].astype("int64") // 1000
+                    hit = (f["event_id"] == last[0]) & (wall == last[1])
+                    if hit.any():
+                        i = hit.idxmax()
+                        off_us = int(wall.loc[i]) - int(f.iloc[:, -1].loc[i])
+                        break
                 self._base.update((last[0], last[1], off_us))
                 wm = timerValues.getCurrentWatermarkInMs()
                 if prev is not None:

@@ -34,8 +34,17 @@ _STATE_SCHEMA = "event_id long, ts_us long, event_type string, value double, pro
 # state (with its (ts, event_id)) rather than removed, so a record OLDER
 # than the tombstone arriving in a later micro-batch loses the comparison
 # instead of resurrecting the key — Kafka's delete-retention window, and
-# exactly the batch MERGE's (ts, event_id)-max semantics. compact_upsert_log
-# (retain_tombstones=False) is the post-retention GC that reclaims the slot.
+# exactly the batch MERGE's (ts, event_id)-max semantics.
+#
+# Retention accounting: the kept marker makes dead-key STATE O(keys-ever-
+# seen) until it is reclaimed. compact_upsert_log(retain_tombstones=False)
+# GCs the SINK log only — state-store reclamation is the typed-state
+# engine's ``tombstone_retention`` (event-time timers clear a tombstone
+# once the watermark passes its ts + retention: Kafka's delete.retention.ms,
+# with Kafka's own caveat that a record older than the tombstone arriving
+# AFTER retention can resurrect the key). The applyInPandasWithState
+# engine has no retention hook here; on an unbounded churning key domain
+# use the TWS engine with retention, or accept O(keys-ever) state.
 _STATE_SCHEMA_DEAD = _STATE_SCHEMA + ", dead boolean"
 _OUTPUT_SCHEMA = (
     "user_id long, event_id long, ts timestamp_ntz, "
@@ -214,16 +223,42 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
         ordering tuple) so a late older record cannot resurrect the key —
         the same order-insensitive fold as :func:`_latest_update_deletes`,
         duality-tested against it and against the batch MERGE
-        (``Table.delete``, ``streams/Table.scala:31``)."""
+        (``Table.delete``, ``streams/Table.scala:31``).
 
-        def __init__(self, tombstone_col: str = "deleted"):
+        ``retention_us`` (requires event-time mode + a watermark, see
+        :func:`latest_by_key_tws_with_deletes`) is Kafka's
+        ``delete.retention.ms`` for the STATE STORE: storing a tombstone
+        arms a timer at ``tombstone_ts + retention``; when the watermark
+        passes it the marker is cleared, reclaiming the dead key's state
+        slot — so state is O(live keys + tombstones-within-retention)
+        instead of O(keys-ever-seen). Kafka's own caveat applies: a record
+        OLDER than the tombstone arriving after retention has expired can
+        resurrect the key (the marker that would have out-ordered it is
+        gone). Without retention the marker is permanent and the fold is
+        order-insensitive forever."""
+
+        def __init__(
+            self, tombstone_col: str = "deleted",
+            retention_us: int | None = None,
+        ):
             self._tombstone_col = tombstone_col
+            self._retention_us = retention_us
 
         def init(self, handle) -> None:
-            self._state = handle.getValueState("latest", _STATE_SCHEMA_DEAD)
+            self._handle = handle
+            # tz_off_us: wall→UTC offset captured when the row was stored,
+            # for timer-clock conversion (see PatternTimerProcessor)
+            self._state = handle.getValueState(
+                "latest", _STATE_SCHEMA_DEAD + ", tz_off_us long"
+            )
+
+        def _expiry_ms(self, ts_us: int, off_us: int) -> int:
+            return (ts_us - off_us + self._retention_us) // 1000
 
         def handleInputRows(self, key, rows, timerValues):
-            best = tuple(self._state.get()) if self._state.exists() else None
+            prev = tuple(self._state.get()) if self._state.exists() else None
+            best = prev[:6] if prev is not None else None
+            best_frame = None
             for pdf in rows:
                 if pdf.empty:
                     continue
@@ -244,8 +279,29 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
                 )
                 if best is None or (cand[1], cand[0]) > (best[1], best[0]):
                     best = cand
+                    best_frame = (pdf, idx)
             if best is not None:
-                self._state.update(best)
+                off_us = prev[6] if prev is not None else 0
+                if self._retention_us is not None and best_frame is not None:
+                    # _utc_us is the LAST column by construction (appended
+                    # by the retention-mode source projection; TWS renames
+                    # derived columns positionally) — offset of the stored
+                    # row itself, robust across DST-spanning batches
+                    pdf, idx = best_frame
+                    off_us = int(best[1]) - int(pdf.iloc[:, -1].loc[idx])
+                changed = prev is None or best != prev[:6]
+                if changed:
+                    self._state.update(best + (off_us,))
+                    if self._retention_us is not None:
+                        wm = timerValues.getCurrentWatermarkInMs()
+                        if prev is not None and prev[5]:
+                            old_exp = self._expiry_ms(prev[1], prev[6])
+                            if old_exp > wm:
+                                self._handle.deleteTimer(old_exp)
+                        if best[5]:
+                            self._handle.registerTimer(
+                                self._expiry_ms(best[1], off_us)
+                            )
                 yield pd.DataFrame(
                     {
                         "user_id": [key[0]],
@@ -257,6 +313,17 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
                         "_dead": [best[5]],
                     }
                 )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # clear ONLY a tombstone whose retention is genuinely due —
+            # a stale timer racing a same-batch re-insert is a no-op
+            if self._retention_us is not None and self._state.exists():
+                st = tuple(self._state.get())
+                if st[5] and self._expiry_ms(st[1], st[6]) <= (
+                    expiredTimerInfo.getExpiryTimeInMs()
+                ):
+                    self._state.clear()
+            return iter(())
 
         def close(self) -> None:
             pass
@@ -327,12 +394,24 @@ def latest_by_key_tws_with_deletes(
     tombstone_col: str = "deleted",
     checkpoint: str | None = None,
     sink_dir: str | None = None,
+    tombstone_retention: str | None = None,
 ) -> DataFrame:
     """:func:`latest_by_key_streaming_with_deletes` on the typed-state API —
     same changelog-with-tombstones contract, same materialized view, driven
     through :class:`LatestDeletesProcessor`. Both state APIs run the same
     duality test against the batch MERGE
-    (tests/test_streaming_duality.py)."""
+    (tests/test_streaming_duality.py).
+
+    ``tombstone_retention`` (e.g. ``"5 minutes"``) enables the state-store
+    delete-retention GC: event-time timers clear a tombstone marker once
+    the watermark passes ``tombstone_ts + retention`` — Kafka's
+    ``delete.retention.ms`` applied to the state slot, bounding state at
+    O(live keys + recent tombstones) on a churning key domain. The
+    materialized view is unchanged (the sink log keeps the tombstone head
+    until :func:`compact_upsert_log` GCs it); only late records older than
+    an EXPIRED tombstone can resurrect — Kafka's documented caveat."""
+    from pyspark.sql import functions as F
+
     conf = _tws_prepare(spark)
     schema = EVENTS_SCHEMA + f", {tombstone_col} boolean"
     src = (
@@ -340,11 +419,33 @@ def latest_by_key_tws_with_deletes(
         .option("maxFilesPerTrigger", 2)
         .parquet(replay_path)
     )
+    retention_us = None
+    time_mode = "None"
+    if tombstone_retention is not None:
+        n, unit = tombstone_retention.split()
+        retention_us = int(n) * {
+            "hours": 3600, "minutes": 60, "seconds": 1
+        }[unit] * 1_000_000
+        time_mode = "EventTime"
+        # watermark rides a session-tz cast column, data stays NTZ;
+        # _utc_us LAST so the processor reads it positionally (the q57b
+        # technique — see streaming/cep.py::pattern_matches_stream_tws)
+        src = (
+            src.withColumn("_evt", F.col("ts").cast("timestamp"))
+            .withColumn("_utc_us", F.unix_micros(F.col("_evt")))
+            .withWatermark("_evt", "0 seconds")
+            .select(
+                "event_id", "ts", "user_id", "event_type", "value",
+                "props", tombstone_col, "_utc_us",
+            )
+        )
     updates = src.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=LatestDeletesProcessor(tombstone_col),
+        statefulProcessor=LatestDeletesProcessor(
+            tombstone_col, retention_us=retention_us
+        ),
         outputStructType=_OUTPUT_SCHEMA + ", _dead boolean",
         outputMode="Update",
-        timeMode="None",
+        timeMode=time_mode,
     )
     from fs2_kafka_streams_spark.streaming.conf import pinned_conf
 

@@ -167,25 +167,17 @@ def gen_events(path: str, n: int, n_keys: int, seed: int = 13) -> None:
     pq.write_table(t, path)
 
 
-def _replay_files(src_parquet: str, out_dir: str, n_files: int) -> str:
-    """Contiguous-ts replay chunks with ordered mtimes (the harness's
-    deterministic stand-in for a flowing topic)."""
-    import pyarrow.parquet as pq
+def _events_replay(out: str, n: int, n_keys: int, n_files: int) -> str:
+    """Generate the seeded changelog into its own sf-style directory and
+    chunk it with the harness's OWN replay machinery (`replay_dir`: ordered
+    mtimes, contiguous-ts chunks, source-stamped cache) — one replay
+    implementation, one cache-invalidation rule."""
+    from fs2_kafka_streams_spark.streaming.replay import replay_dir
 
-    marker = os.path.join(out_dir, "_READY")
-    if os.path.exists(marker):
-        return out_dir
-    os.makedirs(out_dir, exist_ok=True)
-    t = pq.read_table(src_parquet)
-    n = t.num_rows
-    chunk = (n + n_files - 1) // n_files
-    base = time.time() - 3600
-    for k in range(n_files):
-        p = os.path.join(out_dir, f"part-{k:04d}.parquet")
-        pq.write_table(t.slice(k * chunk, chunk), p)
-        os.utime(p, (base + 10 * k, base + 10 * k))
-    open(marker, "w").write("ok")
-    return out_dir
+    sf_like = os.path.join(out, f"evdir_{n}_k{n_keys}")
+    os.makedirs(sf_like, exist_ok=True)
+    gen_events(os.path.join(sf_like, "events.parquet"), n, n_keys)
+    return replay_dir(sf_like, "events", n_files=n_files, order_col="ts")
 
 
 def _dir_bytes(path: str) -> int:
@@ -281,11 +273,7 @@ def run_streaming_section(spark, out: str, scales: list[int]) -> list[dict]:
     # axis 1: event volume grows, keys fixed -> state must stay FLAT
     for s in scales:
         n_ev = BASE_EVENTS * s
-        src_path = os.path.join(out, f"events_{n_ev}_k{BASE_KEYS}.parquet")
-        gen_events(src_path, n_ev, BASE_KEYS)
-        replay = _replay_files(
-            src_path, os.path.join(out, f"replay_{n_ev}_k{BASE_KEYS}"), n_files
-        )
+        replay = _events_replay(out, n_ev, BASE_KEYS, n_files)
         for tag, builder, mode in (
             ("latest", latest_updates, "update"),
             ("funnel", funnel_updates, "append"),
@@ -297,11 +285,7 @@ def run_streaming_section(spark, out: str, scales: list[int]) -> list[dict]:
     # axis 2: keys grow 10x at the LARGEST event volume -> state tracks keys
     n_ev = BASE_EVENTS * scales[-1]
     big_keys = BASE_KEYS * 10
-    src_path = os.path.join(out, f"events_{n_ev}_k{big_keys}.parquet")
-    gen_events(src_path, n_ev, big_keys)
-    replay = _replay_files(
-        src_path, os.path.join(out, f"replay_{n_ev}_k{big_keys}"), n_files
-    )
+    replay = _events_replay(out, n_ev, big_keys, n_files)
     for tag, builder, mode in (
         ("latest", latest_updates, "update"),
         ("funnel", funnel_updates, "append"),

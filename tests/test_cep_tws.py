@@ -139,3 +139,69 @@ def test_tws_timers_expire_base_state(spark):
     # survivors hold the key's true last view (eviction didn't corrupt)
     for uid, (eid, ts_us) in survivors.items():
         assert last_view[uid] == (eid, ts_us)
+
+
+def test_tombstone_retention_reclaims_state(spark, tmp_path):
+    """Kafka's delete.retention.ms on the state store: a tombstoned key's
+    marker is cleared by an event-time timer once the watermark passes
+    ``tombstone_ts + retention`` — state becomes O(live keys + recent
+    tombstones) — while the materialized view still excludes the key (the
+    sink log, not the state store, carries the tombstone until sink
+    compaction). A live key's state survives untouched."""
+    import pandas as pd
+
+    from fs2_kafka_streams_spark.streaming.stateful import (
+        latest_by_key_tws_with_deletes,
+    )
+
+    def mkrow(eid, ts_min, uid, etype, deleted):
+        return {
+            "event_id": eid,
+            "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=ts_min),
+            "user_id": uid,
+            "event_type": etype,
+            "value": float(eid),
+            "props": "{}",
+            "deleted": deleted,
+        }
+
+    # 2 files/trigger -> 3 triggers. Key 1: insert then tombstone (t=20);
+    # key 2 stays live. Later files advance the watermark far past
+    # t=20 + 5min retention, so key 1's marker must be reclaimed by the
+    # timer while key 2's state survives.
+    files = [
+        [mkrow(1, 10, 1, "view", False), mkrow(2, 10, 2, "view", False)],
+        [mkrow(3, 20, 1, "del", True)],
+        [mkrow(4, 60, 2, "click", False)],
+        [mkrow(5, 120, 2, "click", False)],
+        [mkrow(6, 180, 2, "click", False)],
+        [mkrow(7, 240, 2, "click", False)],
+    ]
+    replay = tmp_path / "changelog_retention"
+    replay.mkdir()
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(replay / f"part-{i:02d}.parquet", index=False)
+
+    ckpt = str(tmp_path / "ckpt_retention")
+    view = latest_by_key_tws_with_deletes(
+        spark, str(replay), tombstone_col="deleted",
+        checkpoint=ckpt, tombstone_retention="5 minutes",
+    )
+    got = {r["user_id"]: r["event_id"] for r in view.collect()}
+    assert got == {2: 7}, got  # key 1 deleted from the view, key 2 live
+
+    state = (
+        spark.read.format("statestore")
+        .option("stateVarName", "latest")
+        .load(ckpt)
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.event_id").alias("event_id"),
+            F.col("value.dead").alias("dead"),
+        )
+    )
+    rows = {r.user_id: (r.event_id, r.dead) for r in state.collect()}
+    assert 1 not in rows, f"tombstone marker not reclaimed: {rows}"
+    assert rows.get(2) == (7, False), rows

@@ -313,3 +313,45 @@ def test_starting_offsets_seek_without_checkpoint(spark, tmp_path):
     assert sorted(map(tuple, folded.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_starting_offsets_with_pacing_never_regress(tmp_path):
+    """Seek + live-topic pacing (`batch_rows`): the publication cursor is
+    floored at the seek point, so paced ends can never fall BELOW the
+    recovered offsets (which would make Spark commit a regressed end and
+    re-serve the records the seek exists to skip). Driven at the reader
+    level — options are plain dicts to `_StreamReader`."""
+    from fs2_kafka_streams_spark.sources.python_source import _StreamReader
+
+    src = f"{SF}/events.parquet"
+    opts = {
+        "path": src,
+        "topic": "events",
+        "partitions": str(N_PARTS),
+        "batch_rows": "50",
+        "cursor_file": str(tmp_path / "cursor.json"),
+        "startingOffsets": '{"events": {"0": 120, "1": 120, "2": 120, "3": 120}}',
+    }
+    r = _StreamReader(opts)
+    init = r.initialOffset()
+    assert all(v == 120 for v in init["events"].values())
+    ends = r._end_offsets("events", src)
+    first = r.latestOffset()
+    for p, hi in first["events"].items():
+        assert hi >= 120, f"paced end {hi} regressed below the seek point"
+        assert hi <= max(120 + 50, ends[int(p)])
+    # ranges planned from (init, first) are non-empty and start at the seek
+    parts = r.partitions(init, first)
+    assert parts and all(pt.start == 120 for pt in parts)
+
+    # named positions are case-insensitive, like the Kafka source
+    for name in ("LATEST", "Earliest", " latest "):
+        rr = _StreamReader({**opts, "startingOffsets": name})
+        io = rr.initialOffset()
+        expect = ends if name.strip().lower() == "latest" else None
+        for p, v in io["events"].items():
+            assert v == (ends[int(p)] if expect else 0)
+
+    # garbage still raises the documented ValueError, not a JSON stack
+    with pytest.raises(ValueError, match="startingOffsets must be"):
+        _StreamReader({**opts, "startingOffsets": "bogus"})
