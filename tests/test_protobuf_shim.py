@@ -357,3 +357,27 @@ def test_state_call_command_roundtrip_property(name, schema, ttl):
     assert got.stateName == name
     assert got.schema == schema
     assert got.ttl.durationMs == ttl
+
+
+@pytest.mark.skipif(MODE != "shim", reason="shim internals")
+@settings(max_examples=200, deadline=None)
+@given(
+    d=st.floats(allow_nan=False, width=64),
+    fl=st.floats(allow_nan=False, width=32),
+)
+def test_double_float_roundtrip_property(d, fl):
+    """Property form of the double/float fix: arbitrary IEEE values emit as
+    fixed64/fixed32 and decode back bit-exactly through _emit/_coerce —
+    never as the raw bit pattern int."""
+    rt = _rt()
+    for ftype, v in ((rt.TYPE_DOUBLE, d), (rt.TYPE_FLOAT, fl)):
+        f = rt.FieldInfo("x", 9, 1, ftype, "")
+        out = bytearray()
+        rt.ShimMessage._emit(out, f, v)
+        (num, _wt, raw), = rt.iter_wire(bytes(out))
+        got = rt.ShimMessage._coerce(f, raw)
+        assert num == 9 and isinstance(got, float)
+        import struct as _s
+
+        fmt = "<d" if ftype == rt.TYPE_DOUBLE else "<f"
+        assert _s.pack(fmt, got) == _s.pack(fmt, v)
