@@ -655,6 +655,31 @@ def read_wire_stream(
     return rd.load()
 
 
+def recover_offsets(consumed) -> dict[str, dict[str, int]]:
+    """Next-offsets from already-materialized wire records — the
+    user-supplied recovery function of the reference's restart loop
+    (``recoverOffsets``, ``client/RecordStream.scala:194-219``: on assign,
+    ask the TABLE where it left off and seek there;
+    ``Table.lastCommittedOffset``, ``streams/Table.scala:28,67-68``).
+
+    ``consumed`` is any DataFrame carrying ``topic``/``partition``/
+    ``offset`` columns (a sink log, the materialized table, a batch
+    read-back). Returns ``{topic: {partition: max_offset + 1}}`` — feed it
+    straight to ``read_wire_stream(starting_offsets=...)`` to restart
+    WITHOUT the old checkpoint. One tiny aggregation (O(topics ×
+    partitions) result), executed distributed."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, dict[str, int]] = {}
+    for r in (
+        consumed.groupBy("topic", "partition")
+        .agg(F.max("offset").alias("mx"))
+        .collect()
+    ):
+        out.setdefault(r["topic"], {})[str(r["partition"])] = int(r["mx"]) + 1
+    return out
+
+
 def decode_wire(df):
     """Wire records → typed event rows (the A3 decode path on our own
     source): parse the JSON value, rebuild the exact NTZ timestamp from

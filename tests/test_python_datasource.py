@@ -244,16 +244,14 @@ def test_starting_offsets_seek_without_checkpoint(spark, tmp_path):
     n_events = Catalog(spark, SF).events.count()
     assert 0 < n1 < n_events, "phase 1 must stop mid-log"
 
-    # recover next-offsets from the sink — per partition, max served + 1
-    recovered = {
-        int(r["partition"]): int(r["mx"]) + 1
-        for r in got1.groupBy("partition")
-        .agg(F.max("offset").alias("mx"))
-        .collect()
-    }
-    # at-least-once sinks may hold rows from an uncommitted trailing batch;
-    # seeking from the sink's own high-water mark is exactly the point
-    starting = {"events": {str(p): o for p, o in recovered.items()}}
+    # recover next-offsets from the sink via the library's own recovery
+    # helper (the reference's recoverOffsets fn). At-least-once sinks may
+    # hold rows from an uncommitted trailing batch; seeking from the
+    # sink's own high-water mark is exactly the point.
+    from fs2_kafka_streams_spark.sources.python_source import recover_offsets
+
+    starting = recover_offsets(got1)
+    recovered = {int(p): o for p, o in starting["events"].items()}
 
     # phase 2: FRESH checkpoint; full catch-up (batch_rows=0 serves the
     # remainder in one batch); seek via startingOffsets
