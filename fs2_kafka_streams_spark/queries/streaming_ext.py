@@ -213,9 +213,15 @@ def _stream_stream_join(spark, sf_dir, watermark: str | None):
         F.col("a.event_type").alias("type_a"),
         F.col("b.event_type").alias("type_b"),
     )
-    extra = (
-        {"spark.sql.session.timeZone": "UTC"} if watermark is not None else {}
-    )
+    # 8 state partitions for the SQL-native symmetric hash join: its
+    # per-trigger cost is store open/commit per partition (no Python
+    # worker round-trips to spread), so fewer, larger stores win —
+    # measured at sf0.1: q48 6.6→6.3 s, q72 8.8→7.8 s at 8 vs 16, while
+    # 32 doubles the cost. Python-stateful entries keep the global 16
+    # (8 costs them ~1 s — the Arrow round-trip is per partition-task).
+    extra = {"spark.sql.shuffle.partitions": "8"}
+    if watermark is not None:
+        extra["spark.sql.session.timeZone"] = "UTC"
     return run_to_memory(spark, joined, "q48_sink", extra_conf=extra)
 
 
@@ -402,7 +408,11 @@ def q72_stream_outer_join(spark, sf_dir):
     joined = outer_join_stream(spark, sf_dir)
     out = run_to_memory(
         spark, joined, "q72_sink",
-        extra_conf={"spark.sql.session.timeZone": "UTC"},
+        # 8 state partitions — same SQL-native join rationale as q48
+        extra_conf={
+            "spark.sql.session.timeZone": "UTC",
+            "spark.sql.shuffle.partitions": "8",
+        },
     )
     return out.filter(F.col("user_id") != -1)
 
