@@ -655,6 +655,31 @@ def read_wire_stream(
     return rd.load()
 
 
+def publish_topic(df, broker_dir: str, topic: str) -> str:
+    """Produce an events-schema DataFrame into the simulated broker's
+    namespace as ``<broker_dir>/<topic>.parquet`` — the producer half of
+    the wire loop (``Producer.produce``, ``client/Producer.scala:22-35``),
+    so publish → subscribe (``read_wire``/``read_wire_stream``, list or
+    pattern) → decode closes produce/consume end-to-end without a broker.
+
+    Timestamps are written at µs precision (the wire source's publish-order
+    contract); a topic ALREADY present is overwritten atomically — a
+    re-produced topic — which the source's file-stamped caches pick up
+    (tests/test_wire_rebalance.py covers mid-stream appearance). The write
+    funnels through the driver (``toPandas``) because a simulated topic is
+    one file by construction — a real deployment produces through the
+    Kafka sink (``sources/kafka.py``), not through this helper."""
+    os.makedirs(broker_dir, exist_ok=True)
+    pdf = df.toPandas()
+    if "ts" in pdf.columns:
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    final = os.path.join(broker_dir, f"{topic}.parquet")
+    tmp = final + ".producing"
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, final)
+    return final
+
+
 def recover_offsets(consumed) -> dict[str, dict[str, int]]:
     """Next-offsets from already-materialized wire records — the
     user-supplied recovery function of the reference's restart loop

@@ -353,3 +353,38 @@ def test_starting_offsets_with_pacing_never_regress(tmp_path):
     # garbage still raises the documented ValueError, not a JSON stack
     with pytest.raises(ValueError, match="startingOffsets must be"):
         _StreamReader({**opts, "startingOffsets": "bogus"})
+
+
+def test_publish_subscribe_decode_roundtrip(spark, tmp_path):
+    """The full produce/consume loop on the simulated broker: publish an
+    events table as a topic (``publish_topic``, the Producer half), read it
+    back through the wire source (list subscription), decode, and compare
+    as a multiset with the original — the reference's produce→consume
+    round-trip test (``RecordStreamSpec.scala:93-141``), broker-free.
+    A re-produced (overwritten) topic must serve the NEW contents — the
+    file-stamped caches may not serve stale bytes."""
+    from fs2_kafka_streams_spark.sources.python_source import publish_topic
+
+    broker = str(tmp_path / "broker")
+    events = Catalog(spark, SF).events
+    publish_topic(events.limit(200), broker, "events-rt")
+
+    wire = read_wire(
+        spark, SF, partitions=N_PARTS, broker_dir=broker,
+        topics=["events-rt"],
+    )
+    decoded = decode_wire(wire).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    src = events.limit(200).select("event_id", "user_id", "event_type", "ts")
+    assert sorted(map(tuple, decoded.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+    # re-produce with different contents: the stamped caches must replan
+    publish_topic(events.limit(50), broker, "events-rt")
+    wire2 = read_wire(
+        spark, SF, partitions=N_PARTS, broker_dir=broker,
+        topics=["events-rt"],
+    )
+    assert wire2.count() == 50
