@@ -515,8 +515,22 @@ class _StreamReader(DataSourceStreamReader):
         out = []
         for topic, pmap in end.items():
             spmap = start.get(topic, {})
+            # a topic/partition ABSENT from the committed start (it appeared
+            # mid-query via pattern subscription) begins at its RESOLVED
+            # seek point, not 0 — an explicitly-seeked topic must never
+            # re-serve the records the seek skips, whichever trigger first
+            # assigns it; unseeked new topics still resolve to 0 (Kafka's
+            # new-partitions-start-at-earliest)
+            defaults = None
             for p, hi in pmap.items():
-                lo = int(spmap.get(p, 0))
+                lo = spmap.get(p)
+                if lo is None:
+                    if defaults is None:
+                        defaults = self._resolved_starts(
+                            topic, self._end_offsets(topic, paths[topic])
+                        ) if topic in paths else {}
+                    lo = defaults.get(p, 0)
+                lo = int(lo)
                 if hi > lo and topic in paths:
                     out.append(_Part(topic, paths[topic], int(p), lo, hi))
         return out
@@ -614,10 +628,15 @@ def read_wire_stream(
 
     ``starting_offsets`` (A17 seek): "earliest" (default), "latest", or a
     ``{topic: {partition: next_offset}}`` dict — the Kafka source's own
-    ``startingOffsets`` shape, honored only when no checkpoint exists.
-    This is the reference's restart loop (``streams/Table.scala:64-95``):
-    recover the last committed offset from the SINK/table, then start a
-    fresh query seeking there, without the old checkpoint.
+    ``startingOffsets`` shape, honored when no checkpoint exists AND at
+    the first assignment of any topic/partition ABSENT from the committed
+    offsets (a pattern-matched topic appearing mid-query): the seek is
+    applied on assignment, like the reference's consumer-side seek in its
+    rebalance listener (``client/RecordStream.scala:194-219``), not only
+    at query start. This is the reference's restart loop
+    (``streams/Table.scala:64-95``): recover the last committed offset
+    from the SINK/table, then start a fresh query seeking there, without
+    the old checkpoint.
     """
     spark.dataSource.register(KafkaReplaySource)
     rd = (

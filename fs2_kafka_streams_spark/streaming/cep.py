@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from fs2_kafka_streams_spark.streaming.replay import replay_dir
+from fs2_kafka_streams_spark.streaming.conf import duration_us
 from fs2_kafka_streams_spark.streaming.run import run_to_memory
 from fs2_kafka_streams_spark.streaming.stateful import EVENTS_SCHEMA
 
@@ -123,8 +124,7 @@ def pattern_matches_stream(
     """The UN-SINKED streaming match DataFrame (shared by the memory-sink
     runner and the crash-recovery tests, which drive it through their own
     checkpointed sink)."""
-    n, unit = gap.split()
-    gap_us = int(n) * {"minutes": 60, "seconds": 1}[unit] * 1_000_000
+    gap_us = duration_us(gap)
     # 2 files/trigger: cross-batch state is still exercised (2 triggers
     # over the 4-file ts-ordered replay) at half the per-batch machinery
     # cost; the update fn sorts each batch by (ts, event_id) so intra-
@@ -317,8 +317,7 @@ def pattern_matches_stream_tws(
     from fs2_kafka_streams_spark.streaming.stateful import _tws_prepare
 
     _tws_prepare(spark)
-    n, unit = gap.split()
-    gap_us = int(n) * {"hours": 3600, "minutes": 60, "seconds": 1}[unit] * 1_000_000
+    gap_us = duration_us(gap)
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 2)
@@ -484,8 +483,7 @@ def funnel_matches_stream(
 ) -> DataFrame:
     """The un-sinked 3-stage funnel stream (see
     :func:`pattern_matches_stream` for why this is split out)."""
-    n, unit = gap.split()
-    gap_us = int(n) * {"hours": 3600, "minutes": 60, "seconds": 1}[unit] * 1_000_000
+    gap_us = duration_us(gap)
     # 2 files/trigger — same rationale as pattern_matches_stream
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)

@@ -38,6 +38,25 @@ STREAM_PERF_CONF = {
 }
 
 
+def duration_us(s: str) -> int:
+    """Parse an interval string ("2 hours", "10 minutes", "1 minute",
+    "30 seconds") into microseconds — the one parser for every gap /
+    retention / delay knob in the streaming package (four hand-rolled
+    copies had already drifted: some supported hours, none accepted
+    singular units)."""
+    try:
+        n, unit = s.split()
+        mult = {"hour": 3600, "minute": 60, "second": 1}[
+            unit.lower().rstrip("s")
+        ]
+        return int(n) * mult * 1_000_000
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"unparseable duration {s!r}: expected '<n> "
+            "hours|minutes|seconds'"
+        ) from e
+
+
 @contextmanager
 def pinned_conf(spark: SparkSession, confs: dict[str, str]):
     old: dict[str, str | None] = {}

@@ -46,7 +46,7 @@ def _source_stamp(path: str) -> str:
 def replay_dir(
     sf_dir: str, table: str = "events", id_col: str = "event_id",
     n_files: int = N_FILES, order_col: str | None = None,
-    sentinel_minutes: int | None = None,
+    sentinel_minutes: int | None = None, cache_root: str | None = None,
 ) -> str:
     """Split ``{sf_dir}/{table}.parquet`` into ``n_files`` replay files with
     ordered mtimes; idempotent (cached per (sf, table, n, order)), with the
@@ -56,6 +56,10 @@ def replay_dir(
     Timestamps are coerced to microseconds so Spark's file source reads them
     natively as TIMESTAMP_NTZ (the driver parquet is TIMESTAMP(NANOS), which
     Spark rejects).
+
+    ``cache_root`` overrides the default repo-local cache directory (the
+    scale harness passes its ``--out`` so generated replay sets live and
+    die with the corpus they derive from).
 
     ``sentinel_minutes`` appends ONE extra final file holding a single
     synthetic row whose timestamps sit that many minutes past the data's
@@ -72,7 +76,7 @@ def replay_dir(
     suffix = f"_by_{order_col}" if order_col else ""
     if sentinel_minutes:
         suffix += f"_sent{sentinel_minutes}v2"
-    out = os.path.join(CACHE_ROOT, f"{sf_name}_{table}_{n_files}{suffix}")
+    out = os.path.join(cache_root or CACHE_ROOT, f"{sf_name}_{table}_{n_files}{suffix}")
     marker = os.path.join(out, "_SPARK_GRAFT_READY")
     if os.path.exists(marker):
         with open(marker) as fh:

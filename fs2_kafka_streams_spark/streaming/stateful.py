@@ -105,9 +105,10 @@ def _latest_update_deletes(tombstone_col: str):
     comparison and stays dead — identical to the batch MERGE, which keeps
     the (ts, event_id)-max tombstone (``operators/incremental.py``). A
     record NEWER than the tombstone re-inserts the key, as on a compacted
-    topic. State for dead keys is reclaimed by the compaction GC
-    (:func:`compact_upsert_log` with ``retain_tombstones=False``), matching
-    Kafka's delete-retention window.
+    topic. The kept marker makes dead-key state O(keys-ever-seen) on this
+    engine (see the ``_STATE_SCHEMA_DEAD`` retention note — the typed-state
+    engine's ``tombstone_retention`` is the state GC;
+    :func:`compact_upsert_log` reclaims the SINK log only).
 
     This drives the API the reference exposes but never itself emits
     (``Table.delete``, ``streams/Table.scala:31``; its ``Tables.scala``
@@ -246,11 +247,16 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
 
         def init(self, handle) -> None:
             self._handle = handle
-            # tz_off_us: wall→UTC offset captured when the row was stored,
-            # for timer-clock conversion (see PatternTimerProcessor)
-            self._state = handle.getValueState(
-                "latest", _STATE_SCHEMA_DEAD + ", tz_off_us long"
-            )
+            # retention mode widens the state with tz_off_us (wall→UTC
+            # offset captured when the row was stored, for timer-clock
+            # conversion — see PatternTimerProcessor); without retention
+            # the schema stays the original 6 fields so PRE-EXISTING
+            # durable checkpoints restart unchanged (a widened value
+            # schema would fail RocksDB's schema-compatibility check)
+            schema = _STATE_SCHEMA_DEAD
+            if self._retention_us is not None:
+                schema = schema + ", tz_off_us long"
+            self._state = handle.getValueState("latest", schema)
 
         def _expiry_ms(self, ts_us: int, off_us: int) -> int:
             return (ts_us - off_us + self._retention_us) // 1000
@@ -281,7 +287,7 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
                     best = cand
                     best_frame = (pdf, idx)
             if best is not None:
-                off_us = prev[6] if prev is not None else 0
+                off_us = prev[6] if prev is not None and len(prev) > 6 else 0
                 if self._retention_us is not None and best_frame is not None:
                     # _utc_us is the LAST column by construction (appended
                     # by the retention-mode source projection; TWS renames
@@ -291,7 +297,11 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
                     off_us = int(best[1]) - int(pdf.iloc[:, -1].loc[idx])
                 changed = prev is None or best != prev[:6]
                 if changed:
-                    self._state.update(best + (off_us,))
+                    self._state.update(
+                        best + (off_us,)
+                        if self._retention_us is not None
+                        else best
+                    )
                     if self._retention_us is not None:
                         wm = timerValues.getCurrentWatermarkInMs()
                         if prev is not None and prev[5]:
@@ -419,13 +429,12 @@ def latest_by_key_tws_with_deletes(
         .option("maxFilesPerTrigger", 2)
         .parquet(replay_path)
     )
+    from fs2_kafka_streams_spark.streaming.conf import duration_us
+
     retention_us = None
     time_mode = "None"
     if tombstone_retention is not None:
-        n, unit = tombstone_retention.split()
-        retention_us = int(n) * {
-            "hours": 3600, "minutes": 60, "seconds": 1
-        }[unit] * 1_000_000
+        retention_us = duration_us(tombstone_retention)
         time_mode = "EventTime"
         # watermark rides a session-tz cast column, data stays NTZ;
         # _utc_us LAST so the processor reads it positionally (the q57b

@@ -177,7 +177,10 @@ def _events_replay(out: str, n: int, n_keys: int, n_files: int) -> str:
     sf_like = os.path.join(out, f"evdir_{n}_k{n_keys}")
     os.makedirs(sf_like, exist_ok=True)
     gen_events(os.path.join(sf_like, "events.parquet"), n, n_keys)
-    return replay_dir(sf_like, "events", n_files=n_files, order_col="ts")
+    return replay_dir(
+        sf_like, "events", n_files=n_files, order_col="ts",
+        cache_root=os.path.join(out, "replay_cache"),
+    )
 
 
 def _dir_bytes(path: str) -> int:

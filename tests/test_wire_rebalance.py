@@ -264,3 +264,61 @@ def test_batch_reader_multi_topic_and_growth(spark, tmp_path):
     t.loc[500:, "expected_p"] = t.loc[500:, "user_id"] % 5
     exp = dict(zip(t["event_id"], t["expected_p"]))
     assert all(exp[e] == p for e, p in zip(gp["event_id"], gp["partition"]))
+
+
+def test_seek_applied_at_mid_query_assignment(spark, tmp_path):
+    """A topic named in ``startingOffsets`` that only APPEARS (pattern
+    re-resolution) after the query has already committed offsets must
+    begin at its SEEK point on first assignment — never at 0, which would
+    re-serve the records the seek explicitly skips. Mirrors the
+    reference's seek-on-assign (the recovery fn runs in the rebalance
+    listener, ``client/RecordStream.scala:194-219``, so a partition
+    assigned mid-stream is seeked too). Kafka sentinels resolve per
+    partition: -1 (latest) serves nothing until new data, -2 = earliest."""
+    t = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    broker = tmp_path / "broker"
+    broker.mkdir()
+    t[t["user_id"] % 2 == 0].to_parquet(broker / "events-0.parquet", index=False)
+
+    seek = {"events-1": {"0": 7, "1": -1, "2": -2}}
+    rows: list = []
+    ckpt = tmp_path / "ck"
+
+    def stream():
+        return read_wire_stream(
+            spark, SF, partitions=3,
+            broker_dir=str(broker), topic_pattern="events-.*",
+            starting_offsets=seek,
+        )
+
+    _drain(spark, stream(), ckpt, rows)
+    n_first = sum(len(p) for p in rows)
+    assert n_first == int((t["user_id"] % 2 == 0).sum())
+
+    # the seeked topic appears only now — its committed start is absent,
+    # so partitions() must fall back to the RESOLVED seek, not 0
+    t[t["user_id"] % 2 == 1].to_parquet(broker / "events-1.parquet", index=False)
+    _drain(spark, stream(), ckpt, rows)
+    got = pd.concat(rows, ignore_index=True)
+    assert got["event_id"].is_unique
+
+    # expected per-partition logs of events-1: publish order is
+    # (ts_us, event_id), partition = user_id % 3, offsets dense from 0
+    odd = t[t["user_id"] % 2 == 1].copy()
+    odd["ts_us"] = odd["ts"].astype("int64") // 1000
+    odd = odd.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+    odd["p"] = odd["user_id"] % 3
+    odd["off"] = odd.groupby("p").cumcount()
+
+    late = got[got["topic"] == "events-1"]
+    by_p = {p: g for p, g in late.groupby("partition")}
+    # p0: explicit seek to 7 — offsets [7, end), nothing below
+    exp0 = odd[(odd["p"] == 0) & (odd["off"] >= 7)]
+    assert sorted(by_p[0]["offset"]) == sorted(exp0["off"])
+    assert set(by_p[0]["event_id"]) == set(exp0["event_id"])
+    # p1: latest — no records until something new is published
+    assert 1 not in by_p
+    # p2: earliest sentinel — the full partition log
+    exp2 = odd[odd["p"] == 2]
+    assert sorted(by_p[2]["offset"]) == list(range(len(exp2)))
+    assert set(by_p[2]["event_id"]) == set(exp2["event_id"])
