@@ -223,3 +223,22 @@ def test_parse_byte_size_spark_conf_shapes():
     assert _parse_byte_size(" 512 b ") == 512
     with _pytest.raises(ValueError):
         _parse_byte_size("lots")
+
+
+def test_duration_us_shapes():
+    """One duration parser for every streaming gap/retention/delay knob
+    (four hand-rolled copies had drifted before consolidation): plural and
+    singular units, case-insensitive, loud on anything unparseable."""
+    import pytest as _pytest
+
+    from fs2_kafka_streams_spark.streaming.conf import duration_us
+
+    assert duration_us("2 hours") == 2 * 3600 * 1_000_000
+    assert duration_us("1 hour") == 3600 * 1_000_000
+    assert duration_us("10 minutes") == 600 * 1_000_000
+    assert duration_us("1 minute") == 60 * 1_000_000
+    assert duration_us("30 seconds") == 30 * 1_000_000
+    assert duration_us("1 Second") == 1_000_000
+    for bad in ("2h", "2 fortnights", "hours 2", "2  ", ""):
+        with _pytest.raises(ValueError):
+            duration_us(bad)

@@ -569,3 +569,89 @@ def test_compaction_concurrent_appends(spark, tmp_path):
     # every appended key survived with its row intact
     for i in range(n_appends):
         assert head.get(10_000 + i) == 10**12 + i, f"append {i} lost"
+
+
+@pytest.mark.parametrize(
+    "engine", ["apply_in_pandas_with_state", "transform_with_state"]
+)
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_changelog_duality(spark, tmp_path, engine, seed):
+    """Seeded fuzz of the tombstone-aware streaming fold: a RANDOM
+    changelog — duplicate timestamps (event_id tie-breaks), ~25%
+    tombstones, rows shuffled into files with no ordering at all — must
+    fold to exactly the batch MERGE's answer on both state APIs. This is
+    the property the handcrafted cases sample: the (ts, event_id)-max
+    comparison with a kept tombstone marker is delivery-order-invariant,
+    so ANY permutation of the log across micro-batches converges to the
+    same view (the reference's table⇄changelog claim under its
+    GeneratorDrivenPropertyChecks discipline, ``RecordStreamSpec.scala``)."""
+    import os
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from fs2_kafka_streams_spark.operators.incremental import apply_changes
+
+    latest_with_deletes = _deletes_engine(engine)
+    rng = np.random.default_rng(seed)
+    n, n_keys, n_files = 150, 12, 5
+
+    ev = pd.DataFrame(
+        {
+            # uncorrelated with row position, unique: the tie-break column
+            "event_id": rng.permutation(n).astype("int64"),
+            # minute resolution over a narrow range => many exact ts ties
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 40, n), unit="m"),
+            "user_id": rng.integers(0, n_keys, n).astype("int64"),
+            "event_type": "x",
+            "deleted": rng.random(n) < 0.25,
+        }
+    )
+    ev["value"] = ev["event_id"].astype("float64")
+    ev["props"] = "{}"
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev = ev[
+        ["event_id", "ts", "user_id", "event_type", "value", "props",
+         "deleted"]
+    ]
+
+    # every seed must exercise both interesting structures, or the fuzz
+    # quietly stops testing anything when the generator changes
+    by_max = ev.sort_values(["ts", "event_id"]).groupby("user_id").tail(1)
+    assert by_max["deleted"].any(), "no key ends on a tombstone"
+    assert (~by_max["deleted"]).any() and set(
+        ev[ev["deleted"]]["user_id"]
+    ) & set(by_max[~by_max["deleted"]]["user_id"]), "no resurrection"
+
+    # shuffle rows, then deal into files: delivery order is arbitrary
+    shuffled = ev.iloc[rng.permutation(n)].reset_index(drop=True)
+    replay = tmp_path / f"fuzz_{seed}"
+    replay.mkdir()
+    base = time.time() - 3600
+    for i in range(n_files):
+        p = replay / f"part-{i:02d}.parquet"
+        shuffled.iloc[i * n // n_files : (i + 1) * n // n_files].to_parquet(
+            p, index=False
+        )
+        os.utime(p, (base + 10 * i, base + 10 * i))  # deterministic triggers
+
+    streamed = latest_with_deletes(
+        spark, str(replay), tombstone_col="deleted"
+    ).select("user_id", "event_id", "event_type", "value", "props")
+
+    batch = apply_changes(
+        None,
+        spark.createDataFrame(ev).withColumn(
+            "ord", F.col("ts").cast("long") * 10**9 + F.col("event_id")
+        ),
+        key_cols=["user_id"],
+        order_col="ord",
+        value_cols=["event_id", "event_type", "value", "props"],
+        tombstone_col="deleted",
+    ).select("user_id", "event_id", "event_type", "value", "props")
+
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
