@@ -95,6 +95,24 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - must never fail the bench
             print(f"streaming warm-up skipped: {e}", file=sys.stderr)
 
+    def calibrate() -> float:
+        """Fixed CPU-bound probe (200M xxhash64 in whole-stage codegen, no
+        IO, no Python workers): its wall time measures HOST throughput at
+        this moment, nothing about this repo. Whole-run totals drift ~1.5×
+        with host load over hours (SCALE.md "Bench noise"); recording the
+        probe before AND after the query loop gives every BENCH file its
+        own drift denominator — compare totals across rounds as
+        ``value / mean(calib_sec)``, not raw."""
+        t0 = time.perf_counter()
+        # bit_xor, not sum: the session is ANSI and 200M hash sums overflow
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "xxhash64(id) AS h"
+        ).selectExpr("bit_xor(h)").collect()
+        return round(time.perf_counter() - t0, 3)
+
+    calibrate()  # untimed: absorb the probe's own one-time codegen JIT
+    calib_before = calibrate()
+
     # Measure real Structured Streaming entries LAST: their micro-batch
     # machinery leaves session residue (RocksDB state-store maintenance,
     # checkpoint cleanup, GC pressure) that measurably inflates whatever
@@ -119,6 +137,8 @@ def main() -> None:
         # query's cache residue distorts the next query's measurement
         spark.catalog.clearCache()
 
+    calib_after = calibrate()
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -129,6 +149,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
+        "calib_sec": [calib_before, calib_after],
         "queries": timings,
     }
     (Path(_REPO) / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
@@ -147,6 +168,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "calib_sec": [calib_before, calib_after],
                 "queries": slowest,
             },
             separators=(",", ":"),
