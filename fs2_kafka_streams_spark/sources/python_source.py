@@ -517,19 +517,26 @@ class _StreamReader(DataSourceStreamReader):
             spmap = start.get(topic, {})
             # a topic/partition ABSENT from the committed start (it appeared
             # mid-query via pattern subscription) begins at its RESOLVED
-            # seek point, not 0 — an explicitly-seeked topic must never
-            # re-serve the records the seek skips, whichever trigger first
-            # assigns it; unseeked new topics still resolve to 0 (Kafka's
-            # new-partitions-start-at-earliest)
+            # seek point when the topic is EXPLICITLY named in the dict form
+            # of startingOffsets — a seeked topic must never re-serve the
+            # records the seek skips, whichever trigger first assigns it.
+            # The global "earliest"/"latest" strings apply at query START
+            # only: Kafka consumes newly discovered partitions from
+            # earliest, so an unnamed new topic serves its whole backlog
+            # from 0 (resolving global "latest" here would silently drop it)
+            named = isinstance(self.starting, dict) and topic in self.starting
             defaults = None
             for p, hi in pmap.items():
                 lo = spmap.get(p)
                 if lo is None:
-                    if defaults is None:
-                        defaults = self._resolved_starts(
-                            topic, self._end_offsets(topic, paths[topic])
-                        ) if topic in paths else {}
-                    lo = defaults.get(p, 0)
+                    if named and topic in paths:
+                        if defaults is None:
+                            defaults = self._resolved_starts(
+                                topic, self._end_offsets(topic, paths[topic])
+                            )
+                        lo = defaults.get(p, 0)
+                    else:
+                        lo = 0
                 lo = int(lo)
                 if hi > lo and topic in paths:
                     out.append(_Part(topic, paths[topic], int(p), lo, hi))

@@ -11,6 +11,7 @@ session default.
 
 from __future__ import annotations
 
+import re
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -44,17 +45,16 @@ def duration_us(s: str) -> int:
     retention / delay knob in the streaming package (four hand-rolled
     copies had already drifted: some supported hours, none accepted
     singular units)."""
-    try:
-        n, unit = s.split()
-        mult = {"hour": 3600, "minute": 60, "second": 1}[
-            unit.lower().rstrip("s")
-        ]
-        return int(n) * mult * 1_000_000
-    except (ValueError, KeyError) as e:
+    m = re.fullmatch(
+        r"\s*(\d+)\s+(hour|minute|second)s?\s*", s, flags=re.IGNORECASE
+    )
+    if not m:
         raise ValueError(
             f"unparseable duration {s!r}: expected '<n> "
             "hours|minutes|seconds'"
-        ) from e
+        )
+    mult = {"hour": 3600, "minute": 60, "second": 1}[m.group(2).lower()]
+    return int(m.group(1)) * mult * 1_000_000
 
 
 @contextmanager

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from fs2_kafka_streams_spark.streaming.conf import duration_us
 from fs2_kafka_streams_spark.streaming.replay import replay_dir
 
 EVENTS_SCHEMA = (
@@ -429,8 +430,6 @@ def latest_by_key_tws_with_deletes(
         .option("maxFilesPerTrigger", 2)
         .parquet(replay_path)
     )
-    from fs2_kafka_streams_spark.streaming.conf import duration_us
-
     retention_us = None
     time_mode = "None"
     if tombstone_retention is not None:

@@ -28,3 +28,24 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+def write_replay_files(replay_dir, frames):
+    """Write pandas frames as part-NN.parquet replay files with mtimes
+    spaced 10 s apart (ending ~1 h in the past): Spark's file stream
+    source orders files by modification time, so a same-ms mtime tie
+    could deal a "later" file into an earlier trigger — under a
+    watermark that jumps the watermark and drops rows as late data. One
+    shared writer holds the invariant for every replay-building test."""
+    import os
+    import time
+
+    replay_dir.mkdir(parents=True, exist_ok=True)
+    base = time.time() - 3600
+    for i, pdf in enumerate(frames):
+        pdf = pdf.copy()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = replay_dir / f"part-{i:02d}.parquet"
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (base + 10 * i, base + 10 * i))
+    return str(replay_dir)

@@ -177,21 +177,13 @@ def test_tombstone_retention_reclaims_state(spark, tmp_path):
         [mkrow(6, 180, 2, "click", False)],
         [mkrow(7, 240, 2, "click", False)],
     ]
-    replay = tmp_path / "changelog_retention"
-    replay.mkdir()
-    import os as _os
-    import time as _time
+    from tests.conftest import write_replay_files
 
-    base = _time.time() - 3600
-    for i, rows in enumerate(files):
-        pdf = pd.DataFrame(rows)
-        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-        p = replay / f"part-{i:02d}.parquet"
-        pdf.to_parquet(p, index=False)
-        # spaced mtimes pin trigger order: this query is WATERMARKED, so a
-        # same-ms mtime tie could sort a late file into the first trigger,
-        # jump the watermark, and drop the tombstone as late data
-        _os.utime(p, (base + 10 * i, base + 10 * i))
+    # spaced mtimes (shared writer) pin trigger order: this query is
+    # WATERMARKED, so a same-ms mtime tie could sort a late file into the
+    # first trigger, jump the watermark, and drop the tombstone as late data
+    replay = tmp_path / "changelog_retention"
+    write_replay_files(replay, [pd.DataFrame(rows) for rows in files])
 
     ckpt = str(tmp_path / "ckpt_retention")
     view = latest_by_key_tws_with_deletes(

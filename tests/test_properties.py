@@ -239,6 +239,11 @@ def test_duration_us_shapes():
     assert duration_us("1 minute") == 60 * 1_000_000
     assert duration_us("30 seconds") == 30 * 1_000_000
     assert duration_us("1 Second") == 1_000_000
-    for bad in ("2h", "2 fortnights", "hours 2", "2  ", ""):
+    for bad in (
+        "2h", "2 fortnights", "hours 2", "2  ", "",
+        "2 hourss",     # exactly one plural suffix, not rstrip-any
+        "-5 minutes",   # a negative gap/retention is always a caller bug
+        "1.5 hours",    # whole units only (Spark intervals likewise)
+    ):
         with _pytest.raises(ValueError):
             duration_us(bad)

@@ -408,12 +408,10 @@ def test_late_old_record_cannot_resurrect_deleted_key(spark, tmp_path, engine):
         [mkrow(3, 15, 1, False)],
         [mkrow(7, 30, 2, False)],
     ]
+    from tests.conftest import write_replay_files
+
     replay = tmp_path / "changelog_ooo"
-    replay.mkdir()
-    for i, rows in enumerate(files):
-        pdf = pd.DataFrame(rows)
-        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-        pdf.to_parquet(replay / f"part-{i:02d}.parquet", index=False)
+    write_replay_files(replay, [pd.DataFrame(rows) for rows in files])
 
     streamed = latest_with_deletes(
         spark, str(replay), tombstone_col="deleted"
@@ -585,12 +583,10 @@ def test_random_changelog_duality(spark, tmp_path, engine, seed):
     so ANY permutation of the log across micro-batches converges to the
     same view (the reference's table⇄changelog claim under its
     GeneratorDrivenPropertyChecks discipline, ``RecordStreamSpec.scala``)."""
-    import os
-    import time
-
     import numpy as np
     import pandas as pd
 
+    from tests.conftest import write_replay_files
     from fs2_kafka_streams_spark.operators.incremental import apply_changes
 
     latest_with_deletes = _deletes_engine(engine)
@@ -626,16 +622,16 @@ def test_random_changelog_duality(spark, tmp_path, engine, seed):
     ) & set(by_max[~by_max["deleted"]]["user_id"]), "no resurrection"
 
     # shuffle rows, then deal into files: delivery order is arbitrary
+    # (write_replay_files spaces mtimes so triggers are deterministic)
     shuffled = ev.iloc[rng.permutation(n)].reset_index(drop=True)
     replay = tmp_path / f"fuzz_{seed}"
-    replay.mkdir()
-    base = time.time() - 3600
-    for i in range(n_files):
-        p = replay / f"part-{i:02d}.parquet"
-        shuffled.iloc[i * n // n_files : (i + 1) * n // n_files].to_parquet(
-            p, index=False
-        )
-        os.utime(p, (base + 10 * i, base + 10 * i))  # deterministic triggers
+    write_replay_files(
+        replay,
+        [
+            shuffled.iloc[i * n // n_files : (i + 1) * n // n_files]
+            for i in range(n_files)
+        ],
+    )
 
     streamed = latest_with_deletes(
         spark, str(replay), tombstone_col="deleted"

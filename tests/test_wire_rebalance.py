@@ -322,3 +322,40 @@ def test_seek_applied_at_mid_query_assignment(spark, tmp_path):
     exp2 = odd[odd["p"] == 2]
     assert sorted(by_p[2]["offset"]) == list(range(len(exp2)))
     assert set(by_p[2]["event_id"]) == set(exp2["event_id"])
+
+
+def test_global_latest_serves_backlog_of_mid_query_topic(spark, tmp_path):
+    """``startingOffsets="latest"`` applies at query START only: a topic
+    that appears mid-query (pattern re-resolution) is a newly discovered
+    assignment and must serve its FULL backlog from 0 — the Kafka source
+    consumes newly discovered partitions from earliest regardless of the
+    global startingOffsets string. Resolving "latest" at assignment time
+    would silently drop every record the topic already held (the
+    regression this test pins)."""
+    t = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    broker = tmp_path / "broker"
+    broker.mkdir()
+    evens = t[t["user_id"] % 2 == 0]
+    evens.to_parquet(broker / "events-0.parquet", index=False)
+
+    rows: list = []
+    ckpt = tmp_path / "ck"
+
+    def stream():
+        return read_wire_stream(
+            spark, SF, partitions=3,
+            broker_dir=str(broker), topic_pattern="events-.*",
+            starting_offsets="latest",
+        )
+
+    # at start, "latest" means: nothing already in events-0 is served
+    _drain(spark, stream(), ckpt, rows)
+    assert sum(len(p) for p in rows) == 0
+
+    # events-1 appears mid-query -> its whole existing log must arrive
+    odds = t[t["user_id"] % 2 == 1]
+    odds.to_parquet(broker / "events-1.parquet", index=False)
+    _drain(spark, stream(), ckpt, rows)
+    got = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame()
+    assert set(got["event_id"]) == set(odds["event_id"])
+    assert (got["topic"] == "events-1").all()
