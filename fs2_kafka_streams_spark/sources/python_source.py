@@ -399,11 +399,16 @@ class _StreamReader(DataSourceStreamReader):
         self._ends: dict[tuple[str, tuple[int, int]], dict[int, int]] = {}
         # A17 seek: the Kafka source's startingOffsets shape — "earliest"
         # (default) or {"topic": {"partition": offset}} with Kafka's
-        # -2=earliest / -1=latest sentinels. Consulted by initialOffset()
-        # only, i.e. exactly when no checkpoint exists: the reference's
-        # seek-on-assign from an externally recovered offset
-        # (client/RecordStream.scala:194-219, streams/Table.scala:64-95 —
-        # restart from the table's own committed offset, not the broker's).
+        # -2=earliest / -1=latest sentinels. Consulted at query start
+        # (initialOffset, i.e. when no checkpoint exists) AND at the first
+        # sight of a topic/partition absent from the committed offsets /
+        # pacing cursor — but only dict-NAMED topics keep their seek on
+        # that later assignment; the global strings apply at start only
+        # (newly discovered partitions consume from earliest, as in the
+        # Kafka source). This is the reference's seek-on-assign from an
+        # externally recovered offset (client/RecordStream.scala:194-219,
+        # streams/Table.scala:64-95 — restart from the table's own
+        # committed offset, not the broker's).
         raw = options.get("startingoffsets", options.get("startingOffsets"))
         self.starting: dict | str | None = None
         # Kafka accepts the named positions case-insensitively
@@ -473,6 +478,22 @@ class _StreamReader(DataSourceStreamReader):
             starts[str(p)] = max(0, min(o, ends[p]))
         return starts
 
+    def _pacing_floor(
+        self, topic: str, ends: dict[int, int], fresh: bool
+    ) -> dict[str, int]:
+        """Where the pacing cursor STARTS for partitions it has never seen:
+        the startingOffsets policy, applied exactly once per partition.
+        Dict-named topics resolve their seek (sentinels against current
+        ends) whenever first sighted; the global "latest" string skips the
+        backlog only when the whole cursor is fresh (query start) — a
+        topic appearing mid-query is a newly discovered assignment and
+        paces its full backlog from 0, mirroring ``partitions()``."""
+        if isinstance(self.starting, dict):
+            return self._resolved_starts(topic, ends)
+        if self.starting == "latest" and fresh:
+            return {str(p): ends[p] for p in ends}
+        return {str(p): 0 for p in ends}
+
     # -- DataSourceStreamReader contract ---------------------------------
     def initialOffset(self):
         return {
@@ -495,17 +516,25 @@ class _StreamReader(DataSourceStreamReader):
                 # already published that far, and a cursor below the
                 # committed start would make Spark plan (start > end)
                 # ranges — or worse, commit a paced end BELOW the seek and
-                # re-serve the very records the seek skips
-                starts = self._resolved_starts(topic, ends)
+                # re-serve the very records the seek skips. The seek
+                # resolves ONCE, at a partition's FIRST SIGHT by the
+                # cursor; after that the cursor itself carries the
+                # position (re-resolving every trigger chased the current
+                # ends under global "latest", planning a mid-query topic's
+                # whole backlog into one unbounded batch — the A18 pacing
+                # bypass this first-sight rule fixes)
                 tc = cur.get(topic, {})
-                out[topic] = {
-                    str(p): min(
-                        max(int(tc.get(str(p), 0)), starts[str(p)])
-                        + self.batch_rows,
-                        ends[p],
-                    )
-                    for p in ends
-                }
+                floors = None
+                npmap = {}
+                for p in ends:
+                    sp = str(p)
+                    base = tc.get(sp)
+                    if base is None:
+                        if floors is None:
+                            floors = self._pacing_floor(topic, ends, not cur)
+                        base = floors[sp]
+                    npmap[sp] = min(int(base) + self.batch_rows, ends[p])
+                out[topic] = npmap
         if cur is not None:
             self._save_cursor(out)
         return out

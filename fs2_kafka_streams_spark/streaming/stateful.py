@@ -251,9 +251,12 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
             # retention mode widens the state with tz_off_us (wall→UTC
             # offset captured when the row was stored, for timer-clock
             # conversion — see PatternTimerProcessor); without retention
-            # the schema stays the original 6 fields so PRE-EXISTING
-            # durable checkpoints restart unchanged (a widened value
-            # schema would fail RocksDB's schema-compatibility check)
+            # the schema stays the original 6 fields so durable
+            # checkpoints written by the pre-retention engine restart
+            # unchanged (a widened value schema would fail RocksDB's
+            # schema-compatibility check). A checkpoint written while the
+            # widening was unconditional must be reopened with
+            # ``tombstone_retention`` set (7-field schema) or rebuilt.
             schema = _STATE_SCHEMA_DEAD
             if self._retention_us is not None:
                 schema = schema + ", tz_off_us long"
@@ -288,7 +291,11 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
                     best = cand
                     best_frame = (pdf, idx)
             if best is not None:
-                off_us = prev[6] if prev is not None and len(prev) > 6 else 0
+                # off_us is consumed only in retention mode, where a
+                # changed `best` always came from a batch frame (best
+                # starts as prev[:6] and moves only via cand), so the
+                # branch below always recomputes it before any use
+                off_us = 0
                 if self._retention_us is not None and best_frame is not None:
                     # _utc_us is the LAST column by construction (appended
                     # by the retention-mode source projection; TWS renames

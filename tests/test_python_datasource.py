@@ -388,3 +388,58 @@ def test_publish_subscribe_decode_roundtrip(spark, tmp_path):
         topics=["events-rt"],
     )
     assert wire2.count() == 50
+
+
+def test_global_latest_pacing_serves_mid_query_backlog_paced(tmp_path):
+    """Global ``startingOffsets="latest"`` + ``batch_rows`` pacing: the
+    seek resolves at a partition's FIRST SIGHT by the cursor, not every
+    trigger. At query start "latest" floors the cursor at the current
+    ends (backlog skipped); a topic appearing MID-QUERY floors at 0 and
+    its backlog is paced out batch_rows per partition per trigger —
+    re-resolving "latest" each call chased the moving ends and planned
+    the whole backlog into one unbounded batch (the A18 bypass this
+    pins). Driven at the reader level with plain dict options."""
+    import shutil
+
+    from fs2_kafka_streams_spark.sources.python_source import _StreamReader
+
+    broker = tmp_path / "broker"
+    broker.mkdir()
+    shutil.copy(f"{SF}/events.parquet", broker / "events-0.parquet")
+
+    opts = {
+        "broker_dir": str(broker),
+        "topic_pattern": "events-.*",
+        "partitions": "2",
+        "batch_rows": "40",
+        "cursor_file": str(tmp_path / "cursor.json"),
+        "startingOffsets": "latest",
+    }
+    r = _StreamReader(opts)
+    committed = r.initialOffset()
+    ends0 = r._end_offsets("events-0", str(broker / "events-0.parquet"))
+    assert committed["events-0"] == {str(p): e for p, e in ends0.items()}
+
+    # first trigger: nothing below the start-time ends is planned
+    off = r.latestOffset()
+    assert not r.partitions(committed, off)
+    committed = off
+
+    # events-1 appears mid-query: its backlog must be PACED, not dumped
+    shutil.copy(f"{SF}/events.parquet", broker / "events-1.parquet")
+    ends1 = r._end_offsets("events-1", str(broker / "events-1.parquet"))
+    served: dict[int, int] = {p: 0 for p in ends1}
+    for _ in range(200):
+        off = r.latestOffset()
+        for pt in r.partitions(committed, off):
+            assert pt.topic == "events-1"
+            assert pt.start == served[pt.pid], "gap or re-serve"
+            assert pt.end - pt.start <= 40, "pacing bypassed"
+            served[pt.pid] = pt.end
+        committed = off
+        if served == ends1:
+            break
+    # the whole backlog arrived, exactly once, in paced slices
+    assert served == ends1
+    # and it genuinely took multiple triggers per partition
+    assert max(ends1.values()) > 40
