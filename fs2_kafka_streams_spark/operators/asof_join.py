@@ -62,7 +62,11 @@ def asof_join(
             ) + ">"
         ).alias("_r"),
     )
-    r2 = right.select(
+    # a NULL right_time never matches in an ASOF comparison (DuckDB: the
+    # inequality is never true) — but ascending-NULLS-FIRST would sort such
+    # a row BEFORE every timestamped row and hand its payload to early left
+    # rows via last(ignorenulls); drop them before the union
+    r2 = right.filter(F.col(right_time).isNotNull()).select(
         *[F.col(b).alias(f"_k{i}") for i, b in enumerate(right_by)],
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),

@@ -46,7 +46,10 @@ def connected_components(
     max_rounds: int = 50,
 ) -> DataFrame:
     """Reduce an undirected pair list to ``(id, component)``, where
-    ``component`` is the smallest id in each connected group.
+    ``component`` is the smallest id in each connected group. Ids may be
+    any orderable type — numeric offsets or string/UUID document ids
+    ("smallest" is that type's ordering; the NULL label placeholder below
+    is cast to the id column's own type).
 
     Ids not present in ``pairs`` are the caller's concern — join the
     result back to the corpus with a coalesce-to-self (see
@@ -97,7 +100,9 @@ def connected_components(
             .select(
                 F.col("dst").alias("id"),
                 "lbl",
-                F.lit(None).cast("long").alias("_old"),
+                # the id column's OWN type, not a hard-coded long — string
+                # doc ids would otherwise fail unionByName with lbl
+                F.lit(None).cast(edges.schema["src"].dataType).alias("_old"),
             )
         )
         prop = (
@@ -164,16 +169,25 @@ def dedup_keep_best(
     no cluster survive unchanged. One ``max_by`` aggregation per cluster +
     a semi-join back; everything hash-partitioned by cluster/doc id.
     """
+    from pyspark.sql import Window as W
+
     comp = connected_components(pairs, id_a, id_b)
     labeled = corpus.join(
         comp.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
-    order = (
-        F.struct(F.col(quality_col), -F.col(id_col))
-        if quality_col
-        else F.struct(-F.col(id_col))
+    # row_number over (quality desc, id asc), not max_by over a negated
+    # id: negation only orders NUMERIC ids (a string/UUID id col would
+    # yield NULL or an ANSI cast error and break the documented
+    # smallest-id tie-break); the window is the same single shuffle
+    w = W.partitionBy("component").orderBy(
+        *([F.col(quality_col).desc_nulls_last()] if quality_col else []),
+        F.col(id_col).asc(),
     )
-    best = labeled.groupBy("component").agg(
-        F.max_by(F.col(id_col), order).alias(id_col)
+    best = (
+        labeled.select(
+            "component", id_col, *([quality_col] if quality_col else [])
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
     )
     return corpus.join(best.select(id_col), id_col, "left_semi")

@@ -276,9 +276,17 @@ def minhash_lsh_pairs(
     (no cap) for the oracle-checked harness scale.
     """
     # One shingle materialization feeds both the signatures and the exact
-    # verification — persisted (memory-and-disk, spills at scale) because
-    # re-tokenizing + re-shingling the corpus is the dominant repeated cost.
-    sh_shared = _doc_shingles(df, text_col, id_col, n, portable).persist()
+    # verification — re-tokenizing + re-shingling the corpus is the
+    # dominant repeated cost. localCheckpoint, not persist: a persisted
+    # plan stays in the CacheManager until an explicit unpersist, which a
+    # function returning a LAZY result can never safely issue — repeated
+    # sweeps would leak one O(tokens) cached table per call. The
+    # checkpointed blocks are GC-reclaimed with the returned DataFrame
+    # (ContextCleaner), and the truncated lineage is the same trick
+    # clusters.py uses. Production clusters: reliable .checkpoint().
+    sh_shared = _doc_shingles(df, text_col, id_col, n, portable).localCheckpoint(
+        eager=True
+    )
     sig = minhash_signatures(
         df, text_col, id_col, n, k, shingle_df=sh_shared, portable=portable
     )

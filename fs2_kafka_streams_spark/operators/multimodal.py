@@ -73,7 +73,9 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
+            # the payload column is nullable binary: a NULL payload is an
+            # empty media object, not an executor-killing TypeError
+            payloads = pdf["payload"].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -109,7 +111,9 @@ def resize_images(media: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFra
         for pdf in batches:
             def fake_resize(b: bytes) -> bytes:
                 # STUB — real path: PIL.Image.open(...).resize((out_w, out_h))
-                n = max(len(b), 1)
+                if not b:  # NULL or zero-byte payload: a blank canvas,
+                    return bytes(target)  # not an IndexError on b[0]
+                n = len(b)
                 return bytes(b[(i * n) // target] for i in range(target))
 
             yield pd.DataFrame(

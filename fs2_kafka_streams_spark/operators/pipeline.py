@@ -357,6 +357,13 @@ def chunk_documents(
     """
     from fs2_kafka_streams_spark.operators.text import tokens
 
+    if not 0 < stride <= chunk_size:
+        # stride > chunk_size silently loses the tokens between windows —
+        # a violation of the every-token-in-a-chunk contract above; == is
+        # allowed (non-overlapping but complete)
+        raise ValueError(
+            f"stride must be in (0, chunk_size={chunk_size}], got {stride}"
+        )
     tok = tokens(text_col)
     starts = F.filter(
         F.sequence(F.lit(1), F.greatest(F.size(F.col("_t")), F.lit(1))),

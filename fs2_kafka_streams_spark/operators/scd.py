@@ -61,7 +61,10 @@ def changelog_history(
         F.col(order_col).alias("valid_from"),
         F.lead(order_col).over(w).alias("valid_to"),
         (
-            F.col(tombstone_col).cast("boolean")
+            # coalesce NULL→False: a nullable flag set only on tombstones
+            # must not drop its live rows (filter(~NULL) removes the row);
+            # same convention as incremental.apply_changes
+            F.coalesce(F.col(tombstone_col).cast("boolean"), F.lit(False))
             if tombstone_col is not None
             else F.lit(False)
         ).alias("_dead"),

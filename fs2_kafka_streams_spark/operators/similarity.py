@@ -48,11 +48,7 @@ def dot_int(a: Column, b: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine over quantized vectors: exact ints → one IEEE division chain."""
     qa, qb = quantized(a), quantized(b)
-    return (
-        dot_int(qa, qb).cast("double")
-        / F.sqrt(dot_int(qa, qa).cast("double"))
-        / F.sqrt(dot_int(qb, qb).cast("double"))
-    )
+    return cosine_precomputed(qa, qb, dot_int(qa, qa), dot_int(qb, qb))
 
 
 def cosine_precomputed(qa: Column, qb: Column, na2: Column, nb2: Column) -> Column:
@@ -60,11 +56,19 @@ def cosine_precomputed(qa: Column, qb: Column, na2: Column, nb2: Column) -> Colu
     columns: one cross dot per pair instead of three (the self-norms are
     computed once per ROW, not once per PAIR — at n rows and O(n²) pairs
     that's the difference between 2n + p and 3p dot products). Bit-identical
-    to :func:`cosine`."""
-    return (
+    to :func:`cosine`.
+
+    Zero-norm vectors yield NULL, never NaN: Spark orders NaN ABOVE every
+    double and ``NaN >= threshold`` is true, so a 0/0 cosine would rank an
+    all-zero vector as everyone's nearest neighbor and pass every
+    near-dup filter — while the numpy exact tier (``NaN >= t`` → False)
+    excludes it. NULL fails filters and sorts last under ``desc()``,
+    matching the exact tier: no similarity is defined for a zero vector."""
+    return F.when(
+        (na2 > 0) & (nb2 > 0),
         dot_int(qa, qb).cast("double")
         / F.sqrt(na2.cast("double"))
-        / F.sqrt(nb2.cast("double"))
+        / F.sqrt(nb2.cast("double")),
     )
 
 
@@ -77,6 +81,25 @@ def with_quantized(
     return df.select(
         F.col(id_col).alias(f"{prefix}id"), q.alias(f"{prefix}q")
     ).withColumn(f"{prefix}n2", dot_int(F.col(f"{prefix}q"), F.col(f"{prefix}q")))
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Shared rank-filter tail of every ANN tier (brute-force, LSH, IVF):
+    the k best-cosine neighbors per query, ties broken by neighbor id.
+    NULL cosines (zero-norm vectors — see :func:`cosine_precomputed`) are
+    dropped: no similarity is defined, and a tier-shared tail guarantees
+    the tiers can never disagree on ordering or NaN handling."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.filter(F.col("cos").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
 
 
 def cosine_topk(
@@ -105,16 +128,7 @@ def cosine_topk(
             ).alias("cos"),
         )
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _topk_per_query(scored, k)
 
 
 def embedding_neardup_pairs(
@@ -374,16 +388,7 @@ def lsh_cosine_topk(
             ).alias("cos"),
         )
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _topk_per_query(scored, k)
 
 
 # --------------------------------------------------------------------------
@@ -501,13 +506,4 @@ def ivf_topk(
             ).alias("cos"),
         )
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _topk_per_query(scored, k)

@@ -49,7 +49,23 @@ class MaterializedTable:
         self._tombstone_col = tombstone_col
         snap = latest_by_key(changelog, key_cols, order_cols, self.value_cols)
         if tombstone_col is not None:
-            # a tombstone (NULL value) as the latest write removes the key
+            # a tombstone (NULL value) as the latest write removes the key.
+            # NOTE the convention: this is Kafka's null-VALUE tombstone
+            # (the reference's Table.delete), the OPPOSITE of the boolean
+            # True-means-delete flag that apply_changes/changelog_history/
+            # the streaming deletes engines call tombstone_col — reject a
+            # boolean column loudly rather than silently keeping deleted
+            # keys (True is non-null) and dropping NULL-flagged live rows
+            from pyspark.sql.types import BooleanType
+
+            if isinstance(changelog.schema[tombstone_col].dataType, BooleanType):
+                raise TypeError(
+                    "MaterializedTable tombstone_col uses the null-VALUE "
+                    "convention (NULL in this column deletes the key); a "
+                    "boolean True-means-delete flag belongs to "
+                    "apply_changes/changelog_history — pass the nullable "
+                    "value column instead"
+                )
             snap = snap.filter(F.col(tombstone_col).isNotNull())
         self._snapshot = snap
 

@@ -37,15 +37,22 @@ def tokens(col: str | Column) -> Column:
 
 
 def shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct n-gram shingles of a token array (requires size >= n)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(tok) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tok, i + k + 1) for k in range(n)]
-            ),
-        )
-    )
+    """Distinct n-gram shingles of a token array; fewer than n tokens →
+    empty array. The guard is load-bearing: ``F.sequence`` counts DOWN
+    when stop < start (see :func:`ngrams`), so an unguarded short doc
+    would hit index 0 (a runtime error — SQL arrays are 1-based) and emit
+    truncated out-of-range "shingles"."""
+    return F.when(
+        F.size(tok) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tok, i + k + 1) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def token_count(col: str | Column) -> Column:
