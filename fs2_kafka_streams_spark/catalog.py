@@ -60,7 +60,17 @@ class Catalog:
         """
         import pyarrow as pa
 
-        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Deliberate session mutation, set once: the driver hands us a
+        # vanilla session and builds queries through this catalog only —
+        # without the flag every read of the nano-timestamp driver parquet
+        # fails (PARQUET_TYPE_ILLEGAL). Scoped-and-restored pinning is NOT
+        # safe here: the flag must still be in force when the returned
+        # lazy DataFrame actually executes.
+        if (
+            self.spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+            != "true"
+        ):
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         arrow_schema = pq.read_schema(path)
         nanos_cols = {
             f.name

@@ -190,3 +190,18 @@ def driver_registry() -> dict[str, QuerySpec]:
         ):
             out[name] = spec
     return out
+
+
+def ntz_epoch_seconds(col):
+    """Epoch seconds of a TIMESTAMP_NTZ column WITHOUT the session
+    timezone: ``unix_timestamp()`` interprets NTZ as session-local wall
+    time, which is non-linear across a DST transition (and the driver's
+    session timezone is arbitrary) — ``timestampdiff`` against an NTZ
+    epoch literal is pure wall-clock arithmetic, matching DuckDB's
+    timezone-free ``floor(extract(epoch ...))`` for positive timestamps."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "SECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
+    )

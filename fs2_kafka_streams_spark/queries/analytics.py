@@ -14,9 +14,11 @@ Determinism notes (every query hash-matches a DuckDB oracle):
   no window-order dependence, so ties in ``ts`` cannot flip results.
 - Sequence windows order by ``(ts, event_id)``; ``event_id`` is unique, so
   ``lag`` is deterministic.
-- Lag sums are integer epoch-seconds (Spark ``unix_timestamp`` ==
-  DuckDB ``floor(extract(epoch ...))`` for positive timestamps), summed as
-  BIGINT — exact and order-independent on both engines.
+- Lag sums are integer epoch-seconds via the NTZ-safe
+  :func:`~fs2_kafka_streams_spark.queries.ntz_epoch_seconds` (==
+  DuckDB ``floor(extract(epoch ...))``; ``unix_timestamp`` would route
+  through the session timezone and go non-linear across a DST
+  transition), summed as BIGINT — exact and order-independent.
 
 Scale shape: everything here is one or two shuffles on ``user_id`` (the
 natural key the events stream is already keyed by in the reference's
@@ -99,8 +101,7 @@ def q51_funnel(spark, sf_dir):
     c = stage(e, "click", v, "t_view", "t_click")
     p = stage(e, "purchase", c, "t_click", "t_purchase")
 
-    def epoch(col):
-        return F.unix_timestamp(F.col(col))
+    from fs2_kafka_streams_spark.queries import ntz_epoch_seconds as epoch
 
     row_v = v.agg(
         F.lit("view").alias("stage"),
@@ -312,9 +313,11 @@ def q56_incremental_upsert(spark, sf_dir):
     return merged.withColumnRenamed("event_id", "last_event_id")
 
 
-@query(
-    "q57_stream_pattern_match",
-    oracle="""
+#: The CEP "click within 2 hours after a view" contract in SQL — shared by
+#: q57 (applyInPandasWithState) and q57b (transformWithStateInPandas with
+#: event-time timers): both engines must hash-match the SAME batch
+#: formulation, which is exactly the duality claim.
+CEP_VIEW_CLICK_ORACLE = """
     WITH seq AS (
       SELECT user_id, event_id, ts, event_type,
              last_value(CASE WHEN event_type = 'view' THEN ts END
@@ -333,7 +336,12 @@ def q56_incremental_upsert(spark, sf_dir):
     FROM seq
     WHERE event_type = 'click' AND base_ts IS NOT NULL
       AND ts - base_ts <= INTERVAL '2 hours'
-    """,
+    """
+
+
+@query(
+    "q57_stream_pattern_match",
+    oracle=CEP_VIEW_CLICK_ORACLE,
     tags=("streaming", "analytics", "cep", "stateful"),
 )
 def q57_stream_pattern_match(spark, sf_dir):
@@ -358,26 +366,7 @@ if HAS_TWS:
 
     @query(
         "q57b_stream_pattern_tws_timers",
-        oracle="""
-        WITH seq AS (
-          SELECT user_id, event_id, ts, event_type,
-                 last_value(CASE WHEN event_type = 'view' THEN ts END
-                            IGNORE NULLS) OVER w AS base_ts,
-                 last_value(CASE WHEN event_type = 'view' THEN event_id END
-                            IGNORE NULLS) OVER w AS base_event_id
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        )
-        SELECT user_id, base_event_id, event_id AS trigger_event_id,
-               base_ts, ts AS trigger_ts,
-               CAST(floor(extract(epoch FROM ts)) AS BIGINT)
-               - CAST(floor(extract(epoch FROM base_ts)) AS BIGINT)
-                 AS lag_seconds
-        FROM seq
-        WHERE event_type = 'click' AND base_ts IS NOT NULL
-          AND ts - base_ts <= INTERVAL '2 hours'
-        """,
+        oracle=CEP_VIEW_CLICK_ORACLE,
         tags=("streaming", "analytics", "cep", "stateful", "tws", "timers"),
     )
     def q57b_stream_pattern_tws_timers(spark, sf_dir):

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from fs2_kafka_streams_spark.catalog import Catalog
 from fs2_kafka_streams_spark.queries import query
+from fs2_kafka_streams_spark.queries.stateful import LATEST_BY_KEY_ORACLE
 
 
 @query(
@@ -160,14 +161,7 @@ def q66_python_udtf(spark, sf_dir):
 
 @query(
     "q67_python_datasource",
-    oracle="""
-    SELECT user_id, event_id, ts, event_type, value, props
-    FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
+    oracle=LATEST_BY_KEY_ORACLE,
     tags=("extension", "source", "kafka-wire", "core"),
 )
 def q67_python_datasource(spark, sf_dir):
@@ -206,16 +200,15 @@ def q67_python_datasource(spark, sf_dir):
 
 @query(
     "q68_salted_join",
-    oracle=f"""
+    oracle="""
     SELECT p.p_type AS p_type,
            CAST(count(*) AS BIGINT) AS n,
-           {{revenue}} AS revenue
+           cast(sum(cast(l_extendedprice as decimal(18,2))
+                    * (1 - cast(l_discount as decimal(18,2)))) as double)
+             AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1
-    """.format(
-        revenue="cast(sum(cast(l_extendedprice as decimal(18,2))"
-        " * (1 - cast(l_discount as decimal(18,2)))) as double)"
-    ),
+    """,
     tags=("extension", "join", "skew", "scale"),
 )
 def q68_salted_join(spark, sf_dir):
@@ -400,14 +393,7 @@ def q74_observe_metrics(spark, sf_dir):
 
 @query(
     "q75_state_reader",
-    oracle="""
-    SELECT user_id, event_id, ts, event_type, value, props
-    FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
+    oracle=LATEST_BY_KEY_ORACLE,
     tags=("extension", "streaming", "statestore", "core"),
 )
 def q75_state_reader(spark, sf_dir):

@@ -30,16 +30,23 @@ def q36_watermark_late_drop(spark, sf_dir):
     return tumbling_with_watermark(spark, sf_dir)
 
 
-@query(
-    "q38_stateful_latest",
-    oracle="""
+#: The latest-by-key contract in SQL — ONE definition for every entry that
+#: claims it (q38, q38b here; q67/q75 in extensions.py import it): the
+#: (ts, event_id)-max row per user. A tie-break change edits this constant
+#: or nothing.
+LATEST_BY_KEY_ORACLE = """
     SELECT user_id, event_id, ts, event_type, value, props
     FROM (
       SELECT *, row_number() OVER (
         PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
     ) WHERE rn = 1
-    """,
+    """
+
+
+@query(
+    "q38_stateful_latest",
+    oracle=LATEST_BY_KEY_ORACLE,
     tags=("streaming", "stateful", "core"),
 )
 def q38_stateful_latest(spark, sf_dir):
@@ -55,14 +62,7 @@ if HAS_TWS:  # pragma: no cover — needs google.protobuf (absent here)
 
     @query(
         "q38b_stateful_latest_tws",
-        oracle="""
-        SELECT user_id, event_id, ts, event_type, value, props
-        FROM (
-          SELECT *, row_number() OVER (
-            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-          FROM events
-        ) WHERE rn = 1
-        """,
+        oracle=LATEST_BY_KEY_ORACLE,
         tags=("streaming", "stateful", "core"),
     )
     def q38b_stateful_latest_tws(spark, sf_dir):

@@ -21,9 +21,11 @@ Determinism notes (every query hash-matches a DuckDB oracle):
   driver tables fit comfortably in BIGINT cents.)
 - Forward fill orders by the day column, which is unique within each
   partition, so ``last(..., ignorenulls)`` is frame-deterministic.
-- TWA weights are integer epoch-second gaps (``unix_timestamp`` ==
-  DuckDB ``floor(extract(epoch ...))``); the single final division is one
-  IEEE double op on bit-identical inputs, identical on both engines.
+- TWA weights are integer epoch-second gaps via the NTZ-safe
+  :func:`~fs2_kafka_streams_spark.queries.ntz_epoch_seconds` (==
+  DuckDB ``floor(extract(epoch ...))``, immune to the session timezone);
+  the single final division is one IEEE double op on bit-identical
+  inputs, identical on both engines.
 
 Scale shape: the calendar spine is generated row-locally per group
 (``sequence`` + ``explode`` — zero extra shuffle); histograms are pure
@@ -39,7 +41,7 @@ from pyspark.sql.window import Window
 
 from fs2_kafka_streams_spark.canonical import dsum_expr, dec2
 from fs2_kafka_streams_spark.catalog import Catalog
-from fs2_kafka_streams_spark.queries import query
+from fs2_kafka_streams_spark.queries import ntz_epoch_seconds, query
 
 
 @query(
@@ -303,8 +305,8 @@ def q63_time_weighted_avg(spark, sf_dir):
     seq = e.select(
         "user_id",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-        F.unix_timestamp("ts").alias("t"),
-        F.lead(F.unix_timestamp("ts")).over(w).alias("t_next"),
+        ntz_epoch_seconds("ts").alias("t"),
+        F.lead(ntz_epoch_seconds("ts")).over(w).alias("t_next"),
     )
     gap = F.col("t_next") - F.col("t")
     agg = (

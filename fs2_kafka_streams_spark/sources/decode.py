@@ -31,11 +31,19 @@ class JsonFormat:
     def decode(self, value: Column) -> tuple[Column, Column]:
         s = value.cast("string")
         decoded = F.from_json(s, self.schema)
-        # from_json yields a struct of NULLs on corrupt input; re-parse via
-        # get_json_object to distinguish "corrupt" from "all fields null"
+        # from_json yields a struct of NULLs on corrupt input, so the error
+        # test must be independent: json_object_keys is NULL exactly when
+        # the payload is not a JSON OBJECT — malformed bytes, valid
+        # non-object roots ('5', '[1,2]', which can never fill a struct
+        # schema), and NULL payloads (nothing to decode → dead-letter;
+        # coalesce keeps the error message itself non-NULL so the row
+        # cannot masquerade as clean)
         err = F.when(
-            F.get_json_object(s, "$").isNull(),
-            F.concat(F.lit("malformed json: "), F.substring(s, 1, 64)),
+            F.json_object_keys(s).isNull(),
+            F.concat(
+                F.lit("malformed json: "),
+                F.coalesce(F.substring(s, 1, 64), F.lit("<null payload>")),
+            ),
         )
         return decoded, err
 
@@ -67,6 +75,12 @@ class CsvFormat:
             },
         )
         err = F.when(
+            # from_csv(NULL) is a NULL struct with a NULL _corrupt field —
+            # without this branch a NULL payload would carry NULL decoded
+            # AND NULL error, passing clean_view as a phantom row
+            s.isNull(),
+            F.lit("malformed csv: <null payload>"),
+        ).when(
             decoded.getField("_corrupt").isNotNull(),
             F.concat(F.lit("malformed csv: "), F.substring(s, 1, 64)),
         )
@@ -91,9 +105,12 @@ class BinaryFormat:
     def decode(self, value: Column) -> tuple[Column, Column]:
         import pandas as pd
 
-        field_names = [
-            f.strip().split()[0] for f in self.schema.split(",")
-        ]
+        from pyspark.sql.types import StructType
+
+        # real DDL parse, not a comma split: "a decimal(10,2), b string"
+        # would otherwise split inside the type and desync the UDF's
+        # pandas columns from the declared struct
+        field_names = [f.name for f in StructType.fromDDL(self.schema).fields]
         user_fn = self.fn
 
         def _decode(s):
@@ -165,13 +182,54 @@ class DecodeRegistry:
 
     def decode(self, records: DataFrame, topic_col: str = "topic") -> DataFrame:
         """Decode a (multi-topic) record DataFrame: adds ``decoded`` struct +
-        ``decode_error``; keeps all metadata columns (A3/A4)."""
+        ``decode_error``; keeps all metadata columns (A3/A4).
+
+        Topics may declare DIFFERENT schemas (the reference's model: one
+        ``KafkaDecoder[T]`` per topic): the ``decoded`` struct is the
+        by-name UNION of every registered schema, with a topic's missing
+        fields NULL — the single-column analogue of reading heterogeneous
+        topics into one DataFrame. A field name claimed by two topics with
+        two different types is a registry conflict and raises."""
         if not self._formats:
             raise ValueError("no formats registered")
+        pairs = [
+            (topic, *fmt.decode(F.col("value")))
+            for topic, fmt in self._formats.items()
+        ]
+        # analysis-only probe for each topic's decoded struct type; merge
+        # into the field-union supertype (insertion-ordered, stable)
+        types = {
+            topic: records.select(d.alias("_d")).schema["_d"].dataType
+            for topic, d, _ in pairs
+        }
+        merged: dict[str, object] = {}
+        for topic, t in types.items():
+            for fld in t.fields:
+                prev = merged.get(fld.name)
+                if prev is not None and prev != fld.dataType:
+                    raise ValueError(
+                        f"decode registry conflict: field {fld.name!r} is "
+                        f"{fld.dataType.simpleString()} for topic "
+                        f"{topic!r} but {prev.simpleString()} in an "
+                        "earlier registration"
+                    )
+                merged.setdefault(fld.name, fld.dataType)
+        homogeneous = all(
+            [f.name for f in t.fields] == list(merged) for t in types.values()
+        )
         decoded_expr = None
         err_expr = None
-        for topic, fmt in self._formats.items():
-            d, e = fmt.decode(F.col("value"))
+        for topic, d, e in pairs:
+            if not homogeneous:
+                have = {f.name for f in types[topic].fields}
+                d = F.struct(
+                    *[
+                        d.getField(name).alias(name)
+                        if name in have
+                        else F.lit(None).cast(dtype).alias(name)
+                        for name, dtype in merged.items()
+                    ]
+                )
             cond = F.col(topic_col) == topic
             decoded_expr = (
                 F.when(cond, d) if decoded_expr is None

@@ -193,3 +193,110 @@ def test_chunk_documents_rejects_lossy_stride(spark):
     assert [r.chunk_text for r in sorted(rows, key=lambda r: r.chunk_idx)] == [
         "a b", "c"
     ]
+
+
+def test_decode_null_and_nonobject_payloads_dead_letter(spark):
+    """A NULL payload (Kafka tombstone reaching a value decoder) and
+    valid-but-non-object JSON ('5', '[1,2]') must dead-letter, not pass
+    clean_view as phantom all-NULL rows — the Result[A] contract says a
+    row is clean IFF decode_error is NULL."""
+    from fs2_kafka_streams_spark.sources.decode import (
+        CsvFormat,
+        DecodeRegistry,
+        JsonFormat,
+        clean_view,
+        dead_letters,
+    )
+
+    rows = [
+        ("j", 0, 0, bytearray(b'{"x": 1}')),
+        ("j", 0, 1, bytearray(b"{bad")),
+        ("j", 0, 2, bytearray(b"5")),
+        ("j", 0, 3, bytearray(b"[1,2]")),
+        ("j", 0, 4, None),
+        ("c", 0, 0, bytearray(b"1,a")),
+        ("c", 0, 1, None),
+    ]
+    records = spark.createDataFrame(
+        rows, "topic string, partition int, offset long, value binary"
+    )
+    reg = (
+        DecodeRegistry()
+        .register("j", JsonFormat("x int"))
+        .register("c", CsvFormat("n int, s string"))
+    )
+    decoded = reg.decode(records)
+    clean = {(r.topic, r.offset) for r in clean_view(decoded).collect()}
+    dead = {(r.topic, r.offset) for r in dead_letters(decoded).collect()}
+    assert clean == {("j", 0), ("c", 0)}
+    assert dead == {("j", 1), ("j", 2), ("j", 3), ("j", 4), ("c", 1)}
+    assert all(
+        r.decode_error is not None
+        for r in decoded.collect()
+        if (r.topic, r.offset) in dead
+    )
+
+
+def test_decode_registry_heterogeneous_topic_schemas(spark):
+    """Topics may declare different schemas (the reference's one
+    KafkaDecoder[T] per topic): decoded becomes the by-name field union
+    with a topic's missing fields NULL; a name registered with two types
+    raises. Previously two differing schemas failed analysis outright."""
+    import pytest as _pytest
+
+    from fs2_kafka_streams_spark.sources.decode import (
+        DecodeRegistry,
+        JsonFormat,
+        clean_view,
+    )
+
+    records = spark.createDataFrame(
+        [
+            ("a", 0, 0, bytearray(b'{"x": 7}')),
+            ("b", 0, 0, bytearray(b'{"y": "hi", "z": 9}')),
+        ],
+        "topic string, partition int, offset long, value binary",
+    )
+    reg = (
+        DecodeRegistry()
+        .register("a", JsonFormat("x int"))
+        .register("b", JsonFormat("y string, z long"))
+    )
+    got = {r.topic: r for r in clean_view(reg.decode(records)).collect()}
+    assert got["a"].x == 7 and got["a"].y is None and got["a"].z is None
+    assert got["b"].x is None and got["b"].y == "hi" and got["b"].z == 9
+
+    conflict = (
+        DecodeRegistry()
+        .register("a", JsonFormat("x int"))
+        .register("b", JsonFormat("x string"))
+    )
+    with _pytest.raises(ValueError, match="conflict"):
+        conflict.decode(records)
+
+
+def test_binary_format_parameterized_ddl_types(spark):
+    """BinaryFormat's field names come from a real DDL parse — a
+    comma-split used to shear 'decimal(10,2)' into two fields and desync
+    the UDF output columns."""
+    from decimal import Decimal
+
+    from fs2_kafka_streams_spark.sources.decode import (
+        BinaryFormat,
+        DecodeRegistry,
+        clean_view,
+    )
+
+    def fn(b: bytes) -> dict:
+        n, s = b.decode().split("|")
+        return {"amount": Decimal(n).quantize(Decimal("0.01")), "note": s}
+
+    records = spark.createDataFrame(
+        [("t", 0, 0, bytearray(b"12.50|ok"))],
+        "topic string, partition int, offset long, value binary",
+    )
+    reg = DecodeRegistry().register(
+        "t", BinaryFormat("amount decimal(10,2), note string", fn)
+    )
+    row = clean_view(reg.decode(records)).collect()[0]
+    assert row.amount == Decimal("12.50") and row.note == "ok"
