@@ -42,6 +42,7 @@ def apply_changes(
     order_col: str,
     value_cols: Sequence[str],
     tombstone_col: str | None = None,
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Merge ``changes`` onto ``snapshot`` with last-write-wins per key.
 
@@ -50,6 +51,20 @@ def apply_changes(
     changelog from scratch). ``changes`` is raw changelog rows with the
     same key/value/order columns plus the optional boolean
     ``tombstone_col``.
+
+    The merge is ORDER-AWARE: a delta row older (by ``order_col``) than
+    the snapshot's recorded position for its key loses, so an overlapping
+    or late-delivered change-batch cannot regress a value. With the
+    default ``keep_tombstones=False`` the output holds live rows only —
+    the offset-driven recovery contract, where batches never overlap and
+    a tombstone's position need not be remembered. Event-time chained
+    merges (batches MAY overlap) should pass ``keep_tombstones=True``:
+    the output then retains one marker row per dead key (``tombstone_col``
+    kept in the schema, flag true) so a later batch's OLDER record loses
+    to the tombstone instead of resurrecting the key — the same kept
+    marker the streaming engines hold in state
+    (``streaming/stateful.py``); filter ``~tombstone_col`` for the
+    live view.
     """
     keep = list(value_cols) + [order_col]
     if tombstone_col is not None:
@@ -61,13 +76,31 @@ def apply_changes(
         delta = delta.withColumn(
             "_dead", F.coalesce(F.col(tombstone_col).cast("boolean"), F.lit(False))
         ).drop(tombstone_col)
+    if keep_tombstones and tombstone_col is None:
+        raise ValueError("keep_tombstones requires tombstone_col")
 
-    if snapshot is None:
+    def finish(df: DataFrame) -> DataFrame:
+        if keep_tombstones:
+            return df.select(
+                *key_cols, *value_cols, order_col,
+                F.col("_dead").alias(tombstone_col),
+            )
         return (
-            delta.filter(~F.col("_dead"))
+            df.filter(~F.col("_dead"))
             .drop("_dead")
             .select(*key_cols, *value_cols, order_col)
         )
+
+    if snapshot is None:
+        return finish(delta)
+
+    if keep_tombstones and tombstone_col in snapshot.columns:
+        snapshot = snapshot.withColumn(
+            "_s_dead",
+            F.coalesce(F.col(tombstone_col).cast("boolean"), F.lit(False)),
+        ).drop(tombstone_col)
+    else:
+        snapshot = snapshot.withColumn("_s_dead", F.lit(False))
 
     d = delta.select(
         *[F.col(k) for k in key_cols],
@@ -75,17 +108,26 @@ def apply_changes(
         "_dead",
     )
     merged = snapshot.join(d, on=list(key_cols), how="full_outer")
-    # delta wins where present; tombstoned keys drop out entirely
-    out = merged.filter(
-        F.col("_dead").isNull() | ~F.col("_dead")
-    ).select(
+    # the delta wins only where it is PRESENT and NOT OLDER than the
+    # snapshot's recorded position (order_col is unique per key, so >= is
+    # the exact boundary for an idempotent re-apply of the same batch)
+    delta_wins = F.col(f"_d_{order_col}").isNotNull() & (
+        F.col(order_col).isNull()
+        | (F.col(f"_d_{order_col}") >= F.col(order_col))
+    )
+    out = merged.select(
         *[F.col(k) for k in key_cols],
         *[
-            F.when(
-                F.col(f"_d_{order_col}").isNotNull(), F.col(f"_d_{c}")
-            ).otherwise(F.col(c)).alias(c)
+            F.when(delta_wins, F.col(f"_d_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
             for c in value_cols
         ],
-        F.coalesce(F.col(f"_d_{order_col}"), F.col(order_col)).alias(order_col),
+        F.when(delta_wins, F.col(f"_d_{order_col}"))
+        .otherwise(F.col(order_col))
+        .alias(order_col),
+        F.when(delta_wins, F.col("_dead"))
+        .otherwise(F.col("_s_dead"))
+        .alias("_dead"),
     )
-    return out
+    return finish(out)

@@ -64,6 +64,7 @@ def salted_join(
     key: str,
     salt: int = 8,
     how: str = "inner",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Equi-join a skew-heavy big side against a non-broadcastable small
     side by salting: the big side scatters each row to one of ``salt``
@@ -82,14 +83,59 @@ def salted_join(
     operator targets. Heavily duplicated identical rows hash to one salt;
     that residual skew is bounded by the duplicate count of a single value
     combination.
+
+    ``hot_threshold`` selects the hot-keys-only form the module doc
+    describes: one count aggregation over the big side finds keys with
+    more than that many rows; ONLY those keys are salted/replicated,
+    everything else keeps ``_salt = 0`` — the small side's blow-up is
+    proportional to the hot-key set (a handful of keys at the 100 TB
+    design point, broadcast back to both sides), not ×salt across the
+    whole table. ``None`` (default) salts everything: simpler, no extra
+    pass over the big side, right when the small side is genuinely small.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side is replicated)")
-    big_s = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int")
+    if hot_threshold is None:
+        big_s = big.withColumn(
+            "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int")
+        )
+        small_s = small.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        out = big_s.join(small_s, on=[key, "_salt"], how=how)
+        return out.drop("_salt")
+
+    hot = (
+        big.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > hot_threshold)
+        .select(key, F.lit(True).alias("_hot"))
     )
-    small_s = small.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    big_s = (
+        big.join(F.broadcast(hot), on=key, how="left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(F.xxhash64(*big.columns), F.lit(salt)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("_hot")
+    )
+    small_s = (
+        small.join(F.broadcast(hot), on=key, how="left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(salt - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("_salt", F.explode("_salts"))
+        .withColumn("_salt", F.col("_salt").cast("int"))
+        .drop("_salts", "_hot")
     )
     out = big_s.join(small_s, on=[key, "_salt"], how=how)
     return out.drop("_salt")

@@ -58,7 +58,7 @@ def get_spark(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.driver.maxResultSize", "4g")
@@ -66,7 +66,42 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
 
+    from pyspark.sql import SparkSession as _SS
+
+    # getActiveSession is thread-local; a session created on another thread
+    # is still reused by getOrCreate (via the default session), so probe
+    # the classic-mode default too — missing it would skip the warning.
+    reused = (
+        _SS.getActiveSession() is not None
+        or getattr(_SS, "_instantiatedSession", None) is not None
+    )
     spark = builder.getOrCreate()
+    if reused and extra_conf:
+        # On an existing session getOrCreate copies every builder config
+        # into the session's runtime conf — so conf.get() echoes the new
+        # value even for STATIC configs (driver memory, state-store
+        # provider, event-log settings) that can no longer take effect.
+        # isModifiable() is the honest signal: warn when a non-modifiable
+        # key was requested with a value the live SparkConf does not hold
+        # — restart the JVM (new process) when a static conf matters.
+        import warnings
+
+        def _landed(k: str, v: str) -> bool:
+            if spark.conf.isModifiable(k):
+                return True  # runtime-settable: getOrCreate applied it
+            try:
+                actual = spark.sparkContext.getConf().get(k, None)
+            except Exception:  # Spark Connect: cannot confirm statics
+                return False
+            return actual == str(v)
+
+        stale = [k for k, v in extra_conf.items() if not _landed(k, str(v))]
+        if stale:
+            warnings.warn(
+                "get_spark reused the existing SparkSession; these "
+                f"extra_conf entries did NOT take effect: {sorted(stale)}",
+                stacklevel=2,
+            )
     try:
         spark.sparkContext.setLogLevel("WARN")
     except Exception:  # Spark Connect: no SparkContext; log level is

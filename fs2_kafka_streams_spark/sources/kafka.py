@@ -84,7 +84,27 @@ def read_stream(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
 
 
 def read_batch(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
-    """Bounded snapshot read of the same topics (batch Kafka source)."""
+    """Bounded snapshot read of the same topics (batch Kafka source).
+
+    The streaming-only knobs are NOT silently carried over: the batch
+    source ignores ``maxOffsetsPerTrigger``/``minOffsetsPerTrigger``
+    (the "bounded" read would scan the whole topic), and forbids
+    ``startingOffsets=latest`` — both are config errors here, raised
+    with the batch alternatives (``endingOffsets``/explicit offset
+    ranges via ``extra``) instead of discovered mid-scan."""
+    if cfg.starting_offsets == "latest":
+        raise ValueError(
+            "startingOffsets=latest is a streaming posture; a batch read "
+            "of 'nothing before now' is empty by definition — pass "
+            "explicit offsets (or 'earliest' with endingOffsets in extra)"
+        )
+    if cfg.max_offsets_per_trigger or cfg.min_offsets_per_trigger:
+        raise ValueError(
+            "maxOffsetsPerTrigger/minOffsetsPerTrigger are ignored by the "
+            "batch Kafka source — the read would silently scan the whole "
+            "topic; bound a batch read with startingOffsets/endingOffsets "
+            "JSON ranges instead"
+        )
     reader = spark.read.format("kafka")
     for k, v in cfg.options().items():
         reader = reader.option(k, v)
@@ -110,7 +130,16 @@ def encode_for_kafka(
     source columns through here to pin them."""
     out = [F.to_json(F.struct(*value_cols)).cast("binary").alias("value")]
     if key_col is not None:
-        out.append(F.col(key_col).cast("string").cast("binary").alias("key"))
+        # a key that is ALREADY binary passes through untouched: a
+        # binary→string→binary round-trip UTF-8-decodes the bytes and
+        # mangles any non-UTF8 key (Avro/hashed), silently changing its
+        # Kafka partition assignment downstream
+        from pyspark.sql.types import BinaryType
+
+        key = F.col(key_col)
+        if not isinstance(df.schema[key_col].dataType, BinaryType):
+            key = key.cast("string").cast("binary")
+        out.append(key.alias("key"))
     if topic is not None:
         out.append(F.lit(topic).alias("topic"))
     if partition_col is not None:

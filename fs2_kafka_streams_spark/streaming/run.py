@@ -26,6 +26,13 @@ def run_to_memory(
     output_mode: str = "append",
     extra_conf: dict[str, str] | None = None,
 ) -> DataFrame:
+    """Returns the memory-sink table. The sink itself (small by design —
+    every harness query aggregates before sinking) lives until the session
+    ends or the caller drops it; the RocksDB checkpoint tree, which is NOT
+    small, is deleted here once the query has terminated — availableNow
+    ran the stream to completion, so nothing will resume from it."""
+    import shutil
+
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     confs = dict(STREAM_PERF_CONF)
@@ -40,4 +47,5 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+    shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name)

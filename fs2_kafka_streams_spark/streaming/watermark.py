@@ -20,9 +20,6 @@ SQL model of that trajectory (the Q36 oracle):
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,6 +53,8 @@ def tumbling_with_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fs2_kafka_streams_spark.streaming.run import run_to_memory
+
     src = (
         spark.readStream.schema(EVENTS_SCHEMA.replace("timestamp_ntz", "timestamp"))
         .option("maxFilesPerTrigger", 1)
@@ -72,18 +71,9 @@ def _run_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    name = f"q36_sink_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    # the caller (tumbling_with_watermark) already pinned UTC +
+    # STREAM_PERF_CONF; run_to_memory re-pins the same values, a no-op
+    return run_to_memory(spark, agg, "q36_sink")
 
 
 ORACLE_Q36 = f"""
@@ -91,8 +81,14 @@ WITH tagged AS (
   SELECT *, event_id % {N_FILES} AS f,
          time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS w_end
   FROM events
+), allf AS (
+  -- every bucket id, INCLUDING empty ones: Spark still runs an empty
+  -- micro-batch (watermark unchanged), so the ROWS frame below must
+  -- count batches, not just the non-empty buckets present in the data
+  SELECT unnest(range(0, {N_FILES})) AS f
 ), fmax AS (
-  SELECT f, max(ts) AS mx FROM tagged GROUP BY f
+  SELECT a.f, max(t.ts) AS mx
+  FROM allf a LEFT JOIN tagged t ON t.f = a.f GROUP BY a.f
 ), wm AS (
   SELECT f, max(mx) OVER (ORDER BY f
            ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)

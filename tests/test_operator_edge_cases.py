@@ -300,3 +300,136 @@ def test_binary_format_parameterized_ddl_types(spark):
     )
     row = clean_view(reg.decode(records)).collect()[0]
     assert row.amount == Decimal("12.50") and row.note == "ok"
+
+
+def test_apply_changes_is_order_aware_across_batches(spark):
+    """Chained event-time merges where batches OVERLAP in order_col: a
+    delta row older than the snapshot's recorded position must lose (no
+    value regression), and with keep_tombstones=True a late record older
+    than a kept tombstone must not resurrect the key — the batch twin of
+    the streaming engines' kept tombstone marker."""
+    from fs2_kafka_streams_spark.operators.incremental import apply_changes
+
+    schema = "k long, v string, ord long, deleted boolean"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    # batch 1: k1 value@100; k2 tombstone@100
+    snap = apply_changes(
+        None, batch([(1, "new", 100, False), (2, None, 100, True)]),
+        key_cols=["k"], order_col="ord", value_cols=["v"],
+        tombstone_col="deleted", keep_tombstones=True,
+    )
+    # batch 2 (late, overlapping): k1 older value@50 must lose;
+    # k2 older record@50 must stay dead; k3 fresh insert
+    snap2 = apply_changes(
+        snap, batch([(1, "old", 50, False), (2, "ghost", 50, False),
+                     (3, "live", 60, False)]),
+        key_cols=["k"], order_col="ord", value_cols=["v"],
+        tombstone_col="deleted", keep_tombstones=True,
+    )
+    got = {r.k: (r.v, r.ord, r.deleted) for r in snap2.collect()}
+    assert got[1] == ("new", 100, False)      # no regression
+    assert got[2][2] is True and got[2][1] == 100  # tombstone retained
+    assert got[3] == ("live", 60, False)
+    live = {r.k for r in snap2.filter("not deleted").collect()}
+    assert live == {1, 3}
+
+    # default mode (offset-driven, non-overlapping batches): output schema
+    # unchanged — live rows only, no tombstone column
+    plain = apply_changes(
+        None, batch([(1, "a", 1, False), (1, None, 2, True)]),
+        key_cols=["k"], order_col="ord", value_cols=["v"],
+        tombstone_col="deleted",
+    )
+    assert plain.columns == ["k", "v", "ord"] and plain.count() == 0
+
+
+def test_encode_for_kafka_binary_key_passthrough(spark):
+    """A binary key must pass through byte-for-byte: the old
+    binary->string->binary round-trip UTF-8-mangled non-UTF8 keys,
+    changing their Kafka partition assignment downstream."""
+    from fs2_kafka_streams_spark.sources.kafka import encode_for_kafka
+
+    raw = bytes([0xC3, 0x28, 0xFF, 0x00, 0x01])  # invalid UTF-8
+    df = spark.createDataFrame(
+        [(bytearray(raw), 1)], "k binary, x long"
+    )
+    out = encode_for_kafka(df, value_cols=["x"], key_col="k").collect()[0]
+    assert bytes(out.key) == raw
+    # string keys still encode to their UTF-8 bytes
+    df2 = spark.createDataFrame([("uid-7", 1)], "k string, x long")
+    out2 = encode_for_kafka(df2, value_cols=["x"], key_col="k").collect()[0]
+    assert bytes(out2.key) == b"uid-7"
+
+
+def test_read_batch_rejects_streaming_only_knobs(spark):
+    """Batch Kafka reads silently ignore the per-trigger rate limits and
+    forbid startingOffsets=latest — both must fail fast as config errors
+    instead of scanning the whole topic / failing mid-plan."""
+    from fs2_kafka_streams_spark.sources.kafka import (
+        KafkaSourceConfig,
+        read_batch,
+    )
+
+    with pytest.raises(ValueError, match="streaming posture"):
+        read_batch(spark, KafkaSourceConfig(
+            "localhost:9092", topics=["t"], starting_offsets="latest",
+        ))
+    with pytest.raises(ValueError, match="maxOffsetsPerTrigger"):
+        read_batch(spark, KafkaSourceConfig(
+            "localhost:9092", topics=["t"], max_offsets_per_trigger=100,
+        ))
+
+
+def test_salted_join_hot_threshold_equals_plain_join(spark):
+    """Hot-keys-only salting (hot_threshold): only keys above the
+    frequency threshold are replicated across salts, and the result is
+    row-for-row the plain join for inner AND left."""
+    from fs2_kafka_streams_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(50)]      # hot key
+        + [(2, 100), (3, 101), (9, 102)],  # cold keys; 9 unmatched
+        "k long, x long",
+    )
+    small = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three"), (4, "unused")],
+        "k long, name string",
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, big.join(small, "k", how).collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(
+                    big, small, "k", salt=4, how=how, hot_threshold=10
+                ).collect(),
+            )
+        )
+        assert salted == plain, how
+
+
+def test_get_spark_reuse_warns_on_ineffective_static_conf(spark):
+    """getOrCreate on an existing session copies builder configs into the
+    runtime conf even when they are STATIC and can no longer take effect
+    — conf.get() then echoes the new value, hiding the drop. get_spark
+    must warn on exactly those keys and stay silent for runtime-settable
+    ones (which getOrCreate really does apply)."""
+    import warnings
+
+    from fs2_kafka_streams_spark.session import get_spark
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        get_spark(extra_conf={"spark.eventLog.enabled": "true"})
+    assert any("did NOT take effect" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s = get_spark(extra_conf={"spark.sql.autoBroadcastJoinThreshold": "10485760"})
+    assert not [x for x in w if "did NOT take effect" in str(x.message)]
+    assert s.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10485760"

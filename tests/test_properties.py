@@ -111,6 +111,40 @@ def test_scd2_asof_equals_python_replay(spark, rows, at):
 
 
 @SET
+@given(rows=changelogs, bids=st.lists(st.integers(0, 2), min_size=40, max_size=40))
+def test_apply_changes_overlapping_batches_equal_full_fold(spark, rows, bids):
+    """Chained ``apply_changes(keep_tombstones=True)`` over an ARBITRARY
+    3-way split of the changelog — batches overlap in offset ranges and
+    arrive in any interleaving — must equal the global last-write-wins
+    fold, tombstone markers included: an older record in a later batch
+    can neither regress a value nor resurrect a deleted key."""
+    from fs2_kafka_streams_spark.operators.incremental import apply_changes
+
+    batches: list[list] = [[], [], []]
+    for i, r in enumerate(rows):
+        batches[bids[i % len(bids)]].append(r)
+    schema = "k long, off long, v long, dead boolean"
+    snap = None
+    for b in batches:
+        if not b:
+            continue
+        df = spark.createDataFrame(
+            [(k, o, v, v < -50) for k, o, v in b], schema
+        )
+        snap = apply_changes(
+            snap, df, ["k"], "off", ["v"], "dead", keep_tombstones=True
+        )
+
+    head = {}
+    for k, o, v in sorted(rows, key=lambda r: r[1]):
+        head[k] = (o, v, v < -50)
+    want = {(k, v, o, dead) for k, (o, v, dead) in head.items()}
+    got = {(r.k, r.v, r.off, r.dead) for r in snap.collect()}
+    assert got == want
+    assert {t for t in got if not t[3]} == {t for t in want if not t[3]}
+
+
+@SET
 @given(
     docs=st.lists(
         st.lists(
