@@ -94,7 +94,12 @@ def apply_changes(
     if snapshot is None:
         return finish(delta)
 
-    if keep_tombstones and tombstone_col in snapshot.columns:
+    if tombstone_col is not None and tombstone_col in snapshot.columns:
+        # honor a marker-bearing snapshot in EVERY mode: feeding a
+        # keep_tombstones=True output back with the default mode must not
+        # resurrect its dead keys as live NULL rows — the marker still
+        # participates in the order comparison, and default-mode finish()
+        # filters the dead rows out of the result
         snapshot = snapshot.withColumn(
             "_s_dead",
             F.coalesce(F.col(tombstone_col).cast("boolean"), F.lit(False)),
@@ -106,14 +111,23 @@ def apply_changes(
         *[F.col(k) for k in key_cols],
         *[F.col(c).alias(f"_d_{c}") for c in list(value_cols) + [order_col]],
         "_dead",
+        F.lit(True).alias("_d_present"),
     )
     merged = snapshot.join(d, on=list(key_cols), how="full_outer")
     # the delta wins only where it is PRESENT and NOT OLDER than the
     # snapshot's recorded position (order_col is unique per key, so >= is
-    # the exact boundary for an idempotent re-apply of the same batch)
-    delta_wins = F.col(f"_d_{order_col}").isNotNull() & (
-        F.col(order_col).isNull()
-        | (F.col(f"_d_{order_col}") >= F.col(order_col))
+    # the exact boundary for an idempotent re-apply of the same batch).
+    # Presence is tracked by a sentinel, NOT by _d_<order_col> being
+    # non-null: a delta row with a NULL order position must still win
+    # against an absent snapshot entry (and lose to any present one —
+    # NULL sorts as minus-infinity here), never silently vanish.
+    delta_wins = F.coalesce(
+        F.col("_d_present")
+        & (
+            F.col(order_col).isNull()
+            | (F.col(f"_d_{order_col}") >= F.col(order_col))
+        ),
+        F.lit(False),
     )
     out = merged.select(
         *[F.col(k) for k in key_cols],

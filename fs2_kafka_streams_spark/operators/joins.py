@@ -110,6 +110,12 @@ def salted_join(
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > hot_threshold)
         .select(key, F.lit(True).alias("_hot"))
+        # materialize once: hot is broadcast into TWO joins below, and
+        # without cutting lineage the "one count pass over the big side"
+        # claim depends on exchange reuse canonicalizing both subplans —
+        # localCheckpoint makes it structural (same technique as
+        # operators/dedup.py's shared shingle frame)
+        .localCheckpoint(eager=True)
     )
     big_s = (
         big.join(F.broadcast(hot), on=key, how="left")

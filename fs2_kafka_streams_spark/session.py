@@ -66,14 +66,12 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
 
-    from pyspark.sql import SparkSession as _SS
-
     # getActiveSession is thread-local; a session created on another thread
     # is still reused by getOrCreate (via the default session), so probe
     # the classic-mode default too — missing it would skip the warning.
     reused = (
-        _SS.getActiveSession() is not None
-        or getattr(_SS, "_instantiatedSession", None) is not None
+        SparkSession.getActiveSession() is not None
+        or getattr(SparkSession, "_instantiatedSession", None) is not None
     )
     spark = builder.getOrCreate()
     if reused and extra_conf:
@@ -81,19 +79,28 @@ def get_spark(
         # into the session's runtime conf — so conf.get() echoes the new
         # value even for STATIC configs (driver memory, state-store
         # provider, event-log settings) that can no longer take effect.
-        # isModifiable() is the honest signal: warn when a non-modifiable
-        # key was requested with a value the live SparkConf does not hold
-        # — restart the JVM (new process) when a static conf matters.
+        # The honest signal is whether conf.set accepts the key: Spark
+        # raises CANNOT_MODIFY_(STATIC_)CONFIG for exactly the classes
+        # that cannot apply at runtime, while custom app keys and
+        # runtime SQL confs (which getOrCreate really did apply) pass.
+        # Warn on the rejected keys whose live SparkConf value differs —
+        # restart the JVM (new process) when a static conf matters.
         import warnings
 
         def _landed(k: str, v: str) -> bool:
-            if spark.conf.isModifiable(k):
-                return True  # runtime-settable: getOrCreate applied it
+            try:
+                current = spark.conf.get(k, None)
+                # re-setting the echoed value is a no-op probe for
+                # modifiability, never a value change
+                spark.conf.set(k, current if current is not None else v)
+                return True
+            except Exception:
+                pass
             try:
                 actual = spark.sparkContext.getConf().get(k, None)
             except Exception:  # Spark Connect: cannot confirm statics
                 return False
-            return actual == str(v)
+            return actual == v
 
         stale = [k for k, v in extra_conf.items() if not _landed(k, str(v))]
         if stale:

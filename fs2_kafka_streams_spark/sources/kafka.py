@@ -92,13 +92,20 @@ def read_batch(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
     ``startingOffsets=latest`` — both are config errors here, raised
     with the batch alternatives (``endingOffsets``/explicit offset
     ranges via ``extra``) instead of discovered mid-scan."""
-    if cfg.starting_offsets == "latest":
+    # validate the MERGED options, after cfg.extra overrides, and
+    # case-insensitively (Spark's option keys and the offset sentinels
+    # are both case-insensitive) — checking only the dataclass fields
+    # would let extra={"startingOffsets": "latest"} bypass the guard and
+    # spuriously reject a cfg whose extra overrides it back to a range
+    opts = cfg.options()
+    folded = {k.lower(): str(v) for k, v in opts.items()}
+    if folded.get("startingoffsets", "").strip().lower() == "latest":
         raise ValueError(
             "startingOffsets=latest is a streaming posture; a batch read "
             "of 'nothing before now' is empty by definition — pass "
             "explicit offsets (or 'earliest' with endingOffsets in extra)"
         )
-    if cfg.max_offsets_per_trigger or cfg.min_offsets_per_trigger:
+    if "maxoffsetspertrigger" in folded or "minoffsetspertrigger" in folded:
         raise ValueError(
             "maxOffsetsPerTrigger/minOffsetsPerTrigger are ignored by the "
             "batch Kafka source — the read would silently scan the whole "
@@ -106,7 +113,7 @@ def read_batch(spark: SparkSession, cfg: KafkaSourceConfig) -> DataFrame:
             "JSON ranges instead"
         )
     reader = spark.read.format("kafka")
-    for k, v in cfg.options().items():
+    for k, v in opts.items():
         reader = reader.option(k, v)
     return reader.load()
 
@@ -133,11 +140,13 @@ def encode_for_kafka(
         # a key that is ALREADY binary passes through untouched: a
         # binary→string→binary round-trip UTF-8-decodes the bytes and
         # mangles any non-UTF8 key (Avro/hashed), silently changing its
-        # Kafka partition assignment downstream
+        # Kafka partition assignment downstream. Resolve the type through
+        # select() so nested paths ("payload.user_id") keep working.
         from pyspark.sql.types import BinaryType
 
         key = F.col(key_col)
-        if not isinstance(df.schema[key_col].dataType, BinaryType):
+        key_type = df.select(key).schema.fields[0].dataType
+        if not isinstance(key_type, BinaryType):
             key = key.cast("string").cast("binary")
         out.append(key.alias("key"))
     if topic is not None:

@@ -8,6 +8,7 @@ plan with a Kafka/parquet sink and a durable checkpoint instead.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -31,10 +32,24 @@ def run_to_memory(
     ends or the caller drops it; the RocksDB checkpoint tree, which is NOT
     small, is deleted here once the query has terminated — availableNow
     ran the stream to completion, so nothing will resume from it."""
-    import shutil
-
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    try:
+        return _run(spark, df, name, checkpoint, output_mode, extra_conf)
+    finally:
+        # delete on failure too: a query that errors mid-replay must not
+        # leave its RocksDB tree behind (repeated failing runs fill /tmp)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+
+
+def _run(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    checkpoint: str,
+    output_mode: str,
+    extra_conf: dict[str, str] | None,
+) -> DataFrame:
     confs = dict(STREAM_PERF_CONF)
     confs.update(extra_conf or {})
     with pinned_conf(spark, confs):
@@ -47,5 +62,4 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
-    shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name)
