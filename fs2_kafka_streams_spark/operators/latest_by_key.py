@@ -25,18 +25,27 @@ def latest_by_key(
     key_cols: Sequence[str],
     order_cols: Sequence[str],
     value_cols: Sequence[str] | None = None,
+    unique_order: bool = False,
 ) -> DataFrame:
     """Return one row per key: the row with the greatest ``order_cols`` tuple.
 
     Ties on the full ``order_cols`` tuple are broken by the greatest value
     tuple so the result is deterministic (the reference never ties: Kafka
-    offsets are unique per partition).
+    offsets are unique per partition). When the caller KNOWS ``order_cols``
+    is unique per key (an offset, a (ts, event_id) pair), pass
+    ``unique_order=True``: the comparator struct then carries only the
+    order columns, halving per-key aggregation state and map-side shuffle
+    bytes for wide payloads — the tie-break columns are dead weight when
+    no tie can occur.
     """
     if value_cols is None:
         value_cols = [c for c in df.columns if c not in key_cols]
+    tiebreak = (
+        [] if unique_order
+        else [F.col(c) for c in value_cols if c not in order_cols]
+    )
     ordering: Column = F.struct(
-        *[F.col(c) for c in order_cols],
-        *[F.col(c) for c in value_cols if c not in order_cols],
+        *[F.col(c) for c in order_cols], *tiebreak
     )
     picked = F.max_by(
         F.struct(*[F.col(c) for c in value_cols]), ordering

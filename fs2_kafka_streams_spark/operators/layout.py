@@ -76,6 +76,20 @@ def zorder_code(
     probs = [i / n_bins for i in range(1, n_bins)]
 
     dtypes = dict(df.dtypes)
+    _ok = ("tinyint", "smallint", "int", "bigint", "float", "double",
+           "timestamp", "timestamp_ntz", "date")
+    for c in cols:
+        t = dtypes.get(c)
+        if t is None:
+            raise ValueError(f"zorder column {c!r} not in DataFrame")
+        if t not in _ok and not t.startswith("decimal"):
+            # A silent cast-to-double would NULL every value of e.g. a
+            # string column: its z-bits all zero, the dimension clusters
+            # nothing, and pruning quietly never improves. Fail instead.
+            raise TypeError(
+                f"zorder column {c!r} has non-orderable-numeric type {t}; "
+                "cast it to a numeric/timestamp rank yourself first"
+            )
     proj = df.select(
         *[
             (

@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "seeded_bucket",
     "hash_split",
+    "stratified_sample",
+    "stratified_sample_flag",
     "deterministic_shuffle",
     "sharded_export",
     "pack_sequences",
@@ -118,6 +120,26 @@ def stratified_sample(
     projection + filter — no shuffle; composes with :func:`hash_split`
     (different seeds give independent bucketings).
     """
+    return df.filter(
+        stratified_sample_flag(stratum_col, id_col, fractions, default, seed)
+    )
+
+
+def stratified_sample_flag(
+    stratum_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: str = "sample-v1",
+) -> Column:
+    """The membership predicate :func:`stratified_sample` filters on, as a
+    standalone boolean column.
+
+    Exposing the flag (rather than semi-joining against the sampled set)
+    matters at scale: the kept set is O(corpus) — broadcasting or joining
+    it to tag membership is a driver OOM waiting to happen, while this is
+    a zero-join scan-stage projection.
+    """
     bucket = seeded_bucket(id_col, seed, SPLIT_BUCKETS)
     thresh = F.lit(round(default * SPLIT_BUCKETS))
     for stratum, frac in fractions.items():
@@ -127,7 +149,7 @@ def stratified_sample(
                 F.lit(round(frac * SPLIT_BUCKETS)),
             ).otherwise(thresh)
         )
-    return df.filter(bucket < thresh)
+    return bucket < thresh
 
 
 def deterministic_shuffle(

@@ -37,6 +37,7 @@ class MaterializedTable:
         order_cols: Sequence[str],
         value_cols: Sequence[str] | None = None,
         tombstone_col: str | None = None,
+        unique_order: bool = False,
     ):
         self.key_cols = list(key_cols)
         self.order_cols = list(order_cols)
@@ -47,7 +48,13 @@ class MaterializedTable:
         )
         self._changelog = changelog
         self._tombstone_col = tombstone_col
-        snap = latest_by_key(changelog, key_cols, order_cols, self.value_cols)
+        # unique_order: caller's promise that order_cols never ties per key
+        # (e.g. Kafka offsets) — halves the max_by comparator state.
+        self._unique_order = unique_order
+        snap = latest_by_key(
+            changelog, key_cols, order_cols, self.value_cols,
+            unique_order=unique_order,
+        )
         if tombstone_col is not None:
             # a tombstone (NULL value) as the latest write removes the key.
             # NOTE the convention: this is Kafka's null-VALUE tombstone
@@ -113,7 +120,8 @@ class MaterializedTable:
                 F.broadcast(keys_df), on=self.key_cols, how="left_semi"
             )
         matched = latest_by_key(
-            pruned_log, self.key_cols, self.order_cols, self.value_cols
+            pruned_log, self.key_cols, self.order_cols, self.value_cols,
+            unique_order=self._unique_order,
         )
         if self._tombstone_col is not None:
             matched = matched.filter(F.col(self._tombstone_col).isNotNull())

@@ -195,6 +195,7 @@ def q67_python_datasource(spark, sf_dir):
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
         value_cols=["event_id", "ts", "event_type", "value", "props"],
+        unique_order=True,
     )
 
 

@@ -54,10 +54,16 @@ def q39_udf_pandas(spark, sf_dir):
 
     @F.pandas_udf("long")
     def price_bucket(s: pd.Series) -> pd.Series:
-        return pd.Series(np.floor(s / 50000).astype("int64"))
+        # Nullable Int64, not int64: a NULL price arrives as NaN and the
+        # non-nullable cast would throw, failing the whole query.
+        return pd.Series(np.floor(s / 50000)).astype("Int64")
 
     @F.udf("string")
     def tag(status: str, key: int) -> str:
+        # Row UDFs are still invoked on NULL inputs; mirror SQL
+        # NULL-propagation instead of rendering the string "None-…".
+        if status is None or key is None:
+            return None
         return f"{status}-{key % 10}"
 
     o = Catalog(spark, sf_dir).orders
@@ -687,27 +693,24 @@ def q43e_sample_shuffle_shard(spark, sf_dir):
     ``sharded_export`` repartitions by.
 
     All three are pure scan-stage projections; the sample membership flag
-    is realized through the actual :func:`stratified_sample` filter
-    (left-semi derived flag) so the operator itself is on the verified
-    path.
+    comes from :func:`stratified_sample_flag` — the exact predicate
+    :func:`stratified_sample` filters on — as a zero-join column. (An
+    earlier version semi-joined against the sampled set with a broadcast;
+    the kept set is ~50% of the corpus, so at scale that broadcast is a
+    driver OOM. The projection is the only 100 TB-safe realization.)
     """
     from fs2_kafka_streams_spark.operators.pipeline import (
         deterministic_shuffle,
         seeded_bucket,
-        stratified_sample,
+        stratified_sample_flag,
     )
 
     d = Catalog(spark, sf_dir).documents
-    kept = stratified_sample(
-        d, "lang", "doc_id", {"en": 0.5, "de": 0.25}, default=0.1
-    ).select("doc_id").withColumn("_kept", F.lit(True))
-    out = (
-        d.select("doc_id")
-        .join(F.broadcast(kept), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("_kept", F.lit(False)).alias("sampled"),
-        )
+    out = d.select(
+        "doc_id",
+        stratified_sample_flag(
+            "lang", "doc_id", {"en": 0.5, "de": 0.25}, default=0.1
+        ).alias("sampled"),
     )
     out = deterministic_shuffle(out, "doc_id", expose_key="shuffle_key")
     return out.withColumn(
@@ -1077,27 +1080,44 @@ def q47_multimodal_features(spark, sf_dir):
 _N_QUERIES = 3
 
 
+# ---- shared quantized-cosine oracle SQL ------------------------------------
+#
+# ONE definition of the 1e6 quantizer and of the cosine expression (dot /
+# sqrt(left norm) / sqrt(right norm), in exactly the Spark side's IEEE op
+# order) — every embedding oracle below composes these, so a change to the
+# quantizer or op order cannot silently diverge between entries.
+
+#: embedding → int64 micro-unit list (exact cross-engine dot products).
+_QUANT_SQL = (
+    "list_transform(embedding,"
+    " x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Quantized-integer cosine between aliases carrying a ``v`` int list —
+    same op order as the Spark side (dot / sqrt(a·a) / sqrt(b·b))."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}.v) + 1),"
+        f" i -> {a}.v[i] * {b}.v[i])) AS DOUBLE)"
+        f" / sqrt(CAST(list_sum(list_transform(range(1, len({a}.v) + 1),"
+        f" i -> {a}.v[i] * {a}.v[i])) AS DOUBLE))"
+        f" / sqrt(CAST(list_sum(list_transform(range(1, len({b}.v) + 1),"
+        f" i -> {b}.v[i] * {b}.v[i])) AS DOUBLE))"
+    )
+
+
 @query(
     "q44_cosine_topk",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id AS query_id,
-             list_transform(embedding,
-               x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS qv
+      SELECT vec_id AS query_id, {_QUANT_SQL} AS v
       FROM embeddings WHERE vec_id < {_N_QUERIES}
     ), e AS (
-      SELECT vec_id AS neighbor_id,
-             list_transform(embedding,
-               x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS nv
+      SELECT vec_id AS neighbor_id, {_QUANT_SQL} AS v
       FROM embeddings
     ), scored AS (
-      SELECT query_id, neighbor_id,
-             CAST(list_sum(list_transform(range(1, len(qv) + 1),
-                    i -> qv[i] * nv[i])) AS DOUBLE)
-             / sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1),
-                    i -> qv[i] * qv[i])) AS DOUBLE))
-             / sqrt(CAST(list_sum(list_transform(range(1, len(nv) + 1),
-                    i -> nv[i] * nv[i])) AS DOUBLE)) AS cos
+      SELECT query_id, neighbor_id, {_cos_sql('q', 'e')} AS cos
       FROM e CROSS JOIN q
       WHERE neighbor_id <> query_id
     )
@@ -1121,27 +1141,14 @@ def q44_cosine_topk(spark, sf_dir):
 
 @query(
     "q44c_embedding_neardup",
-    oracle="""
+    oracle=f"""
     WITH e AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
+      SELECT vec_id, {_QUANT_SQL} AS v
       FROM embeddings
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CAST(list_sum(list_transform(range(1, len(a.v) + 1),
-                  i -> a.v[i] * b.v[i])) AS DOUBLE)
-           / sqrt(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
-                  i -> a.v[i] * a.v[i])) AS DOUBLE))
-           / sqrt(CAST(list_sum(list_transform(range(1, len(b.v) + 1),
-                  i -> b.v[i] * b.v[i])) AS DOUBLE)) AS cos
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a', 'b')} AS cos
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE CAST(list_sum(list_transform(range(1, len(a.v) + 1),
-                  i -> a.v[i] * b.v[i])) AS DOUBLE)
-           / sqrt(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
-                  i -> a.v[i] * a.v[i])) AS DOUBLE))
-           / sqrt(CAST(list_sum(list_transform(range(1, len(b.v) + 1),
-                  i -> b.v[i] * b.v[i])) AS DOUBLE)) >= 0.4
+    WHERE {_cos_sql('a', 'b')} >= 0.4
     """,
     tags=("llm", "similarity", "dedup"),
 )
@@ -1177,24 +1184,10 @@ def _planes_sql_literal() -> str:
     ) + "]"
 
 
-def _cos_sql(a: str, b: str) -> str:
-    """Quantized-integer cosine between aliases carrying a ``v`` int list —
-    same op order as the Spark side (dot / sqrt / sqrt)."""
-    return (
-        f"CAST(list_sum(list_transform(range(1, len({a}.v) + 1),"
-        f" i -> {a}.v[i] * {b}.v[i])) AS DOUBLE)"
-        f" / sqrt(CAST(list_sum(list_transform(range(1, len({a}.v) + 1),"
-        f" i -> {a}.v[i] * {a}.v[i])) AS DOUBLE))"
-        f" / sqrt(CAST(list_sum(list_transform(range(1, len({b}.v) + 1),"
-        f" i -> {b}.v[i] * {b}.v[i])) AS DOUBLE))"
-    )
-
-
 def _hyperplane_ctes() -> str:
     return f"""
     qv AS (
-      SELECT vec_id, list_transform(embedding,
-               x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS v
+      SELECT vec_id, {_QUANT_SQL} AS v
       FROM embeddings
     ),
     planes AS (
@@ -1297,23 +1290,13 @@ def q44b_lsh_ann(spark, sf_dir):
     "q44e_ivf_ann",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id AS query_id,
-             list_transform(embedding,
-               x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS qv
+      SELECT vec_id AS query_id, {_QUANT_SQL} AS v
       FROM embeddings WHERE vec_id < {_N_QUERIES}
     ), e AS (
-      SELECT vec_id AS neighbor_id,
-             list_transform(embedding,
-               x -> CAST(floor(x::DOUBLE * 1000000) AS BIGINT)) AS nv
+      SELECT vec_id AS neighbor_id, {_QUANT_SQL} AS v
       FROM embeddings
     ), scored AS (
-      SELECT query_id, neighbor_id,
-             CAST(list_sum(list_transform(range(1, len(qv) + 1),
-                    i -> qv[i] * nv[i])) AS DOUBLE)
-             / sqrt(CAST(list_sum(list_transform(range(1, len(qv) + 1),
-                    i -> qv[i] * qv[i])) AS DOUBLE))
-             / sqrt(CAST(list_sum(list_transform(range(1, len(nv) + 1),
-                    i -> nv[i] * nv[i])) AS DOUBLE)) AS cos
+      SELECT query_id, neighbor_id, {_cos_sql('q', 'e')} AS cos
       FROM e CROSS JOIN q
       WHERE neighbor_id <> query_id
     )
@@ -1350,12 +1333,15 @@ def q44e_ivf_ann(spark, sf_dir):
 
     emb = Catalog(spark, sf_dir).embeddings
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    # Both top-k subtrees feed three/two joins below; cut the lineage once
+    # so the IVF scoring and brute-force cosine pipelines run once, not per
+    # reference (the q42b lesson: multi-referenced subtrees re-execute).
     ivf = ivf_topk(emb, q, k=5, nlist=16, nprobe=4).select(
         "query_id", "neighbor_id", "rank"
-    )
+    ).localCheckpoint(eager=False)
     exact = cosine_topk(emb, q, k=5).select(
         "query_id", "neighbor_id", "rank"
-    )
+    ).localCheckpoint(eager=False)
     hits = (
         ivf.select("query_id", "neighbor_id")
         .intersect(exact.select("query_id", "neighbor_id"))
@@ -1369,16 +1355,22 @@ def q44e_ivf_ann(spark, sf_dir):
         "query_id", F.col("neighbor_id").alias("_ivf_top1")
     )
     n_ivf = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ivf"))
+    # LEFT joins from the exact top-1 (which always exists): an IVF
+    # regression that returns zero candidates or zero overlap must surface
+    # as ivf_top1_ok/recall_ok = false — an inner join would instead drop
+    # the row and the property columns could never fire.
     return (
-        top1.join(ivf1, "query_id")
-        .join(hits, "query_id")
-        .join(n_ivf, "query_id")
+        top1.join(ivf1, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .join(n_ivf, "query_id", "left")
         .select(
             "query_id",
             F.col("exact_top1").cast("bigint"),
-            F.col("n_ivf").cast("bigint"),
-            (F.col("_ivf_top1") == F.col("exact_top1")).alias("ivf_top1_ok"),
-            (F.col("_n_hits") >= 4).alias("recall_ok"),
+            F.coalesce("n_ivf", F.lit(0)).cast("bigint").alias("n_ivf"),
+            F.coalesce(
+                F.col("_ivf_top1") == F.col("exact_top1"), F.lit(False)
+            ).alias("ivf_top1_ok"),
+            (F.coalesce("_n_hits", F.lit(0)) >= 4).alias("recall_ok"),
         )
     )
 

@@ -299,6 +299,7 @@ def q12_join_asof(spark, sf_dir):
         key_cols=["o_custkey", "o_orderdate"],
         order_cols=["o_orderkey"],
         value_cols=["o_orderkey", "o_totalprice"],
+        unique_order=True,  # o_orderkey is globally unique — no ties
     )
     return asof_join(
         c.events.select("event_id", "user_id", "ts"),
@@ -610,6 +611,8 @@ def q17_latest_by_key(spark, sf_dir):
         key_cols=["user_id"],
         order_cols=["ts", "event_id"],
         value_cols=["event_id", "ts", "event_type", "value", "props"],
+        unique_order=True,  # event_id is unique — the payload (props) would
+        # otherwise ride in the comparator struct too, doubling agg state
     )
 
 
@@ -641,6 +644,7 @@ def q17b_latest_by_key_partitioned(spark, sf_dir):
         key_cols=["part", "user_id"],
         order_cols=["ts", "event_id"],
         value_cols=["event_id", "ts", "event_type", "value"],
+        unique_order=True,
     )
 
 
@@ -1060,16 +1064,19 @@ def q29_array_functions(spark, sf_dir):
     array_join-ed to a string because top-level array columns crash the
     driver's pandas canonicalizer, the round-1 q29 failure)."""
     li = Catalog(spark, sf_dir).lineitem
-    return li.groupBy("l_orderkey").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list("l_linenumber")),
-                lambda x: x.cast("string"),
-            ),
-            "|",
-        ).alias("lns"),
-        F.size(F.collect_list("l_linenumber")).alias("n_lines"),
-        F.array_contains(F.collect_list("l_linenumber"), 3).alias("has_line3"),
+    # One collect_list buffer per group, not three — size/contains are
+    # derived from the single collected array in a post-agg projection.
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("_lns"))
+        .select(
+            "l_orderkey",
+            F.array_join(
+                F.transform(F.col("_lns"), lambda x: x.cast("string")), "|"
+            ).alias("lns"),
+            F.size("_lns").alias("n_lines"),
+            F.array_contains("_lns", 3).alias("has_line3"),
+        )
     )
 
 
@@ -1193,19 +1200,35 @@ def q32_dead_letter_split(spark, sf_dir):
 
     A deterministic 5% of payloads are mangled (leading garbage — Spark's
     parser tolerates *trailing* garbage that DuckDB rejects) to exercise the
-    corrupt path; `get_json_object` returns NULL on invalid JSON.
+    corrupt path. Good/bad is decided by JSON *validity*
+    (``try_parse_json`` ≡ DuckDB ``json_valid``), not by presence of the
+    ``$.k`` field — valid JSON without ``k`` is a good record with a NULL
+    metric, and a NULL payload (like SQL's NULL ``json_valid``) counts in
+    neither bucket.
     """
     e = Catalog(spark, sf_dir).events
     payload = F.when(
         F.col("event_id") % 20 == 0, F.concat(F.lit("x"), F.col("props"))
     ).otherwise(F.col("props"))
-    parsed = F.get_json_object(payload, "$.k")
+    valid = F.try_parse_json(payload).isNotNull()
+    k = F.when(valid, F.get_json_object(payload, "$.k").cast("int"))
     return (
-        e.select("event_type", parsed.cast("int").alias("k"))
+        e.select(
+            "event_type",
+            valid.alias("ok"),
+            payload.isNotNull().alias("present"),
+            k.alias("k"),
+        )
         .groupBy("event_type")
         .agg(
-            F.count("k").alias("n_good"),
-            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_bad"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_good"),
+            F.sum(
+                F.when(F.col("present") & ~F.col("ok"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_bad"),
             F.sum("k").alias("sum_k"),
         )
     )

@@ -529,6 +529,10 @@ def _log_head(log: DataFrame, dead_col: str | None = None) -> DataFrame:
         key_cols=["user_id"],
         order_cols=["_epoch", "ts", "event_id"],
         value_cols=value_cols,
+        # (_epoch, ts, event_id) is unique per key per append; an
+        # at-least-once duplicate append ties only against an IDENTICAL
+        # row, so dropping the value tie-break stays deterministic.
+        unique_order=True,
     )
     if dead_col is not None:
         head = head.filter(~F.col(dead_col)).drop(dead_col)
@@ -585,6 +589,7 @@ def compact_upsert_log(
             key_cols=["user_id"],
             order_cols=["_epoch", "ts", "event_id"],
             value_cols=value_cols,
+            unique_order=True,
         )
         if dead_col is not None and not retain_tombstones:
             compacted = compacted.filter(~F.col(dead_col))

@@ -1,0 +1,144 @@
+"""Pins for the round-6 cold-file review findings: older query/operator
+code paths the sf-data sweep exercises only on well-behaved inputs. Each
+test reproduces the input class that used to crash, silently misclassify,
+or silently degrade."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_q39_udfs_null_safe(spark):
+    """A NULL o_totalprice used to raise inside the pandas UDF (NaN →
+    non-nullable int64 cast) and a NULL o_orderstatus rendered as the
+    *string* 'None-…' instead of SQL NULL. Both must mirror SQL
+    NULL-propagation now."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def price_bucket(s: pd.Series) -> pd.Series:
+        return pd.Series(np.floor(s / 50000)).astype("Int64")
+
+    @F.udf("string")
+    def tag(status: str, key: int) -> str:
+        if status is None or key is None:
+            return None
+        return f"{status}-{key % 10}"
+
+    df = spark.createDataFrame(
+        [(1, 100000.0, "O"), (2, None, "F"), (3, 49999.0, None)],
+        "k long, price double, status string",
+    )
+    rows = {
+        r.k: (r.b, r.t)
+        for r in df.select(
+            "k",
+            price_bucket("price").alias("b"),
+            tag("status", "k").alias("t"),
+        ).collect()
+    }
+    assert rows[1] == (2, "O-1")
+    assert rows[2] == (None, "F-2")
+    assert rows[3] == (0, None)
+
+
+def test_dead_letter_split_classifies_like_json_valid(spark):
+    """Good/bad must be decided by JSON *validity*, not presence of $.k:
+    valid JSON without k is a good record (NULL metric), a NULL payload
+    counts in neither bucket — exactly DuckDB's json_valid semantics the
+    oracle uses. The old non-null-$.k classifier miscounted both."""
+    df = spark.createDataFrame(
+        [
+            ('{"k": 3}',),      # good, k=3
+            ('x{"k": 3}',),     # bad (leading garbage)
+            ('{"j": 1}',),      # good, k NULL  (old code: bad)
+            (None,),            # neither      (old code: bad)
+        ],
+        "payload string",
+    )
+    valid = F.try_parse_json("payload").isNotNull()
+    out = df.agg(
+        F.sum(F.when(valid, 1).otherwise(0)).alias("n_good"),
+        F.sum(
+            F.when(F.col("payload").isNotNull() & ~valid, 1).otherwise(0)
+        ).alias("n_bad"),
+        F.sum(
+            F.when(valid, F.get_json_object("payload", "$.k").cast("int"))
+        ).alias("sum_k"),
+    ).collect()[0]
+    assert (out.n_good, out.n_bad, out.sum_k) == (2, 1, 3)
+
+
+def test_zorder_rejects_non_numeric_column(spark):
+    """A string z-order column used to cast to all-NULL doubles: every
+    z-bit of that dimension was 0 and pruning silently never improved.
+    It must raise instead."""
+    from fs2_kafka_streams_spark.operators.layout import zorder_code
+
+    df = spark.createDataFrame(
+        [("nyc", 1.0), ("sfo", 2.0)], "city string, x double"
+    )
+    with pytest.raises(TypeError, match="city"):
+        zorder_code(df, ["city", "x"], bits_per_col=4)
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        zorder_code(df, ["nope"], bits_per_col=4)
+
+
+def test_latest_by_key_unique_order_equivalence(spark):
+    """unique_order=True drops the value tie-break from the comparator;
+    on tie-free order keys the result must be identical to the default
+    (it only halves the aggregation state)."""
+    from fs2_kafka_streams_spark.operators.latest_by_key import (
+        latest_by_key,
+    )
+
+    rows = [
+        (k, off, f"v{k}-{off}" * 20)
+        for k in range(30)
+        for off in range(7)
+    ]
+    df = spark.createDataFrame(rows, "k long, off long, payload string")
+    base = {
+        (r.k, r.off, r.payload)
+        for r in latest_by_key(df, ["k"], ["off"]).collect()
+    }
+    fast = {
+        (r.k, r.off, r.payload)
+        for r in latest_by_key(
+            df, ["k"], ["off"], unique_order=True
+        ).collect()
+    }
+    assert base == fast and len(base) == 30
+
+
+def test_stratified_sample_flag_matches_filter(spark):
+    """The projected membership flag must be exactly the predicate
+    stratified_sample filters on — the zero-join realization q43e ships
+    (the old broadcast-semi-join realization was a driver OOM at scale)."""
+    from fs2_kafka_streams_spark.operators.pipeline import (
+        stratified_sample,
+        stratified_sample_flag,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(300)],
+        "doc_id long, lang string",
+    )
+    fracs = {"en": 0.5, "de": 0.25}
+    kept = {
+        r.doc_id
+        for r in stratified_sample(
+            df, "lang", "doc_id", fracs, default=0.1
+        ).collect()
+    }
+    flagged = {
+        r.doc_id
+        for r in df.select(
+            "doc_id",
+            stratified_sample_flag("lang", "doc_id", fracs, 0.1).alias("s"),
+        ).collect()
+        if r.s
+    }
+    assert kept == flagged and 0 < len(kept) < 300
