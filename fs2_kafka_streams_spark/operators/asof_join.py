@@ -65,8 +65,15 @@ def asof_join(
     # a NULL right_time never matches in an ASOF comparison (DuckDB: the
     # inequality is never true) — but ascending-NULLS-FIRST would sort such
     # a row BEFORE every timestamped row and hand its payload to early left
-    # rows via last(ignorenulls); drop them before the union
-    r2 = right.filter(F.col(right_time).isNotNull()).select(
+    # rows via last(ignorenulls); drop them before the union. Likewise a
+    # NULL join KEY never matches an equality condition, but the window's
+    # partitionBy groups NULLs together — a NULL-key right row would hand
+    # its payload to NULL-key left rows; drop those too (NULL-key left
+    # rows stay, unmatched, as ASOF LEFT JOIN requires).
+    _r_matchable = F.col(right_time).isNotNull()
+    for b in right_by:
+        _r_matchable = _r_matchable & F.col(b).isNotNull()
+    r2 = right.filter(_r_matchable).select(
         *[F.col(b).alias(f"_k{i}") for i, b in enumerate(right_by)],
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),

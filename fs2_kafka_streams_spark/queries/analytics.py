@@ -296,14 +296,24 @@ def q56_incremental_upsert(spark, sf_dir):
 
     Plan: the delta apply shuffles O(snapshot keys + delta rows),
     independent of log length — the property that matters at 100 TB.
+
+    The split is on ``event_id`` — the SAME column the merge orders by —
+    so seg1 is a strict prefix of the changelog in merge order. A split
+    on a different column (an earlier version used ``ts``) silently
+    depends on that column being monotone in event_id: one out-of-order
+    id and a key tombstoned in seg1 (whose marker the snapshot drops)
+    resurrects from a lower-id seg2 row, diverging from the whole-log
+    fold.
     """
     from fs2_kafka_streams_spark.operators.incremental import apply_changes
 
     e = Catalog(spark, sf_dir).events.withColumn(
         "_tomb", F.col("event_type") == "error"
     )
-    split = F.lit("2024-01-21 00:00:00").cast("timestamp")
-    seg1, seg2 = e.filter(F.col("ts") < split), e.filter(F.col("ts") >= split)
+    # 2/3 checkpoint position; a single-scalar agg, not a data collect.
+    split = e.agg((F.max("event_id") * 2 / 3).cast("long")).collect()[0][0]
+    seg1 = e.filter(F.col("event_id") <= split)
+    seg2 = e.filter(F.col("event_id") > split)
     snap = apply_changes(
         None, seg1, ["user_id"], "event_id", ["event_type", "value"], "_tomb"
     )
@@ -397,7 +407,17 @@ if HAS_TWS:
       SELECT p_name AS n, CAST(min(p_partkey) AS BIGINT) AS id
       FROM part GROUP BY 1
     ),
-    b AS (SELECT id, n, split_part(n, ' ', 1) AS tok FROM names)
+    -- mirror the operator's skew guard (blocks > 10000 names dropped
+    -- whole) so the two sides stay in lock-step at ANY scale factor:
+    -- TPC-H first tokens are ~92 colors, so blocks grow linearly with SF
+    -- and an unguarded oracle would keep pairs Spark cut
+    b AS (
+      SELECT id, n, tok FROM (
+        SELECT id, n, split_part(n, ' ', 1) AS tok,
+               count(*) OVER (PARTITION BY split_part(n, ' ', 1)) AS bs
+        FROM names
+      ) WHERE bs <= 10000
+    )
     SELECT a.id AS id_a, c.id AS id_b, a.n AS name_a, c.n AS name_b,
            CAST(levenshtein(a.n, c.n) AS INTEGER) AS dist
     FROM b a JOIN b c
@@ -412,7 +432,8 @@ def q58_fuzzy_match(spark, sf_dir):
     (``operators/fuzzy.py``): blocked fuzzy-match join — candidates from a
     first-token blocking key, verified with banded Levenshtein ≤ 4. The
     short-string counterpart of the shingle/LSH text-dedup family;
-    O(n·blocks) candidate shuffle with a block-size skew guard, and the
+    O(n·blocks) candidate shuffle with a block-size skew guard (pinned to
+    10 000 here and replayed in the oracle's qualifying CTE), and the
     thresholded DP (O(d·len) per pair) replays exactly in DuckDB's
     unthresholded ``levenshtein`` filtered to the same bound."""
     from fs2_kafka_streams_spark.operators.fuzzy import fuzzy_pairs
@@ -421,7 +442,7 @@ def q58_fuzzy_match(spark, sf_dir):
     names = p.groupBy(F.col("p_name").alias("n")).agg(
         F.min("p_partkey").cast("bigint").alias("id")
     )
-    return fuzzy_pairs(names, "n", "id", max_dist=4)
+    return fuzzy_pairs(names, "n", "id", max_dist=4, max_block_size=10_000)
 
 
 @query(

@@ -46,8 +46,19 @@ from fs2_kafka_streams_spark.queries import query
 )
 def q64_hll_sketch_merge(spark, sf_dir):
     """Distinct users per event type, three ways at once: exact, one-pass
-    HLL sketch, and an 8-shard partial-sketch union — asserting the merged
-    path equals the direct path and both land within 5% of exact.
+    HLL sketch, and an 8-shard partial-sketch union — asserting the two
+    sketch paths agree at the REGISTER level and both estimates land
+    within 5% of exact.
+
+    ``merge_consistent`` compares ``est(union(sk, msk))`` with
+    ``est(union(msk, msk))``: both sides are two-input unions, so both use
+    the same estimator, and they agree iff the direct sketch's registers
+    match the sharded union's registers. Comparing the raw estimates
+    directly is NOT an invariant — once sketches leave exact coupon mode,
+    a stream-built sketch reports the DataSketches HIP estimate while a
+    union reports the composite register estimate (1494 vs 1488 on the
+    sf0.1 corpus from identical registers), so a naive equality check
+    passes only at toy scale.
 
     Plan: the sharded path is the deployment shape — partials are
     map-side-combinable fixed-size binaries, so the shuffle carries
@@ -70,13 +81,18 @@ def q64_hll_sketch_merge(spark, sf_dir):
     )
     est_d = F.hll_sketch_estimate("sk")
     est_m = F.hll_sketch_estimate("msk")
+    registers_equal = F.expr(
+        "hll_sketch_estimate(hll_union(sk, msk))"
+        " = hll_sketch_estimate(hll_union(msk, msk))"
+    )
+    tol = F.lit(0.05) * F.col("n_exact")
     return direct.join(merged, "event_type").select(
         "event_type",
         "n_exact",
-        (est_d == est_m).alias("merge_consistent"),
+        registers_equal.alias("merge_consistent"),
         (
-            F.abs(est_d - F.col("n_exact"))
-            <= F.lit(0.05) * F.col("n_exact")
+            (F.abs(est_d - F.col("n_exact")) <= tol)
+            & (F.abs(est_m - F.col("n_exact")) <= tol)
         ).alias("est_within_5pct"),
     )
 

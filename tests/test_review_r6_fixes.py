@@ -113,6 +113,75 @@ def test_latest_by_key_unique_order_equivalence(spark):
     assert base == fast and len(base) == 30
 
 
+def test_q64_merge_property_holds_in_estimation_mode(spark):
+    """q64's merge_consistent must be TRUE at sf0.1, where sketches leave
+    exact coupon mode: the old check compared a HIP estimate to a
+    composite estimate (1494 vs 1488 from identical registers) and went
+    false even though the merge was correct. The fixed check routes both
+    sides through the same two-input union so it compares registers."""
+    from fs2_kafka_streams_spark.queries import load_all
+
+    spec = load_all()["q64_hll_sketch_merge"]
+    rows = spec.build(spark, "/root/testdata/sf0.1").collect()
+    assert len(rows) == 5
+    assert all(r.merge_consistent for r in rows)
+    assert all(r.est_within_5pct for r in rows)
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """An equality join condition never matches NULL = NULL; the window
+    realization used to group NULL keys into one partition and hand a
+    NULL-key right payload to NULL-key left rows."""
+    from fs2_kafka_streams_spark.operators.asof_join import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, 10.0), (2, "k1", 10.0)],
+        "id long, k string, t double",
+    )
+    right = spark.createDataFrame(
+        [(None, 5.0, "leak"), ("k1", 5.0, "ok")],
+        "k string, rt double, payload string",
+    )
+    out = {
+        r.id: r.payload
+        for r in asof_join(
+            left, right, "t", "rt", ["k"], ["k"]
+        ).collect()
+    }
+    assert out == {1: None, 2: "ok"}
+
+
+def test_apply_changes_prefix_split_is_order_column_safe(spark):
+    """Splitting a changelog by a column NOT monotone in the merge order
+    resurrects tombstoned keys (the old q56 shape: split by ts, merge by
+    event_id). Splitting by the order column itself must equal the
+    whole-log fold regardless of ts/event_id correlation."""
+    from fs2_kafka_streams_spark.operators.incremental import apply_changes
+
+    # key 7: live write at id 50 carries a LATE ts; tombstone at id 100
+    # has an EARLY ts — a ts-based split puts the tombstone in seg1 (its
+    # marker then dropped) and the live row in seg2, resurrecting key 7.
+    rows = [
+        (7, 50, 9.0, "w", False),
+        (7, 100, 1.0, "w", True),
+        (8, 60, 2.0, "w", False),
+        (8, 110, 8.0, "w", False),
+    ]
+    log = spark.createDataFrame(
+        rows, "k long, event_id long, ts double, v string, tomb boolean"
+    )
+    full = apply_changes(None, log, ["k"], "event_id", ["v"], "tomb")
+    split = 75  # prefix in event_id order
+    seg1 = log.filter(log.event_id <= split)
+    seg2 = log.filter(log.event_id > split)
+    snap = apply_changes(None, seg1, ["k"], "event_id", ["v"], "tomb")
+    merged = apply_changes(snap, seg2, ["k"], "event_id", ["v"], "tomb")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in full.collect()
+    }
+    assert {r.k for r in merged.collect()} == {8}
+
+
 def test_stratified_sample_flag_matches_filter(spark):
     """The projected membership flag must be exactly the predicate
     stratified_sample filters on — the zero-join realization q43e ships
