@@ -354,13 +354,21 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
         sink(cosine_topk(corpus, bdf, k=k), epoch_id)
 
     checkpoint = tempfile.mkdtemp(prefix="ckpt_ann_stream_")
-    q = (
-        stream.writeStream.foreachBatch(score_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # availableNow ran to completion (or died); nothing resumes from
+        # this checkpoint — only the SPOOL must outlive the call (the
+        # returned DataFrame reads it lazily), never the offset log
+        import shutil
+
+        shutil.rmtree(checkpoint, ignore_errors=True)
     if spool is None:
         return None
     return (

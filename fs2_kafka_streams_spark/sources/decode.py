@@ -30,22 +30,35 @@ class JsonFormat:
 
     def decode(self, value: Column) -> tuple[Column, Column]:
         s = value.cast("string")
-        decoded = F.from_json(s, self.schema)
-        # from_json yields a struct of NULLs on corrupt input, so the error
-        # test must be independent: json_object_keys is NULL exactly when
-        # the payload is not a JSON OBJECT — malformed bytes, valid
-        # non-object roots ('5', '[1,2]', which can never fill a struct
-        # schema), and NULL payloads (nothing to decode → dead-letter;
-        # coalesce keeps the error message itself non-NULL so the row
-        # cannot masquerade as clean)
+        decoded = F.from_json(
+            s,
+            f"{self.schema}, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        )
+        # Two independent error channels, because from_json yields a struct
+        # of NULLs (never a null struct) on corrupt input:
+        # 1. json_object_keys is NULL exactly when the payload is not a
+        #    JSON OBJECT — malformed bytes, valid non-object roots ('5',
+        #    '[1,2]', which can never fill a struct schema), and NULL
+        #    payloads (coalesce keeps the message non-NULL so the row
+        #    cannot masquerade as clean);
+        # 2. the _corrupt record catches FIELD-level failures inside a
+        #    well-formed object ('{"a":"xyz"}' for an int field), which
+        #    would otherwise decode to NULL fields with a NULL error and
+        #    pass clean_view as a phantom row — the same Result[A] hole
+        #    CsvFormat closes. A merely-missing field stays clean (NULL
+        #    value): JSON objects are sparse by design.
         err = F.when(
             F.json_object_keys(s).isNull(),
             F.concat(
                 F.lit("malformed json: "),
                 F.coalesce(F.substring(s, 1, 64), F.lit("<null payload>")),
             ),
+        ).when(
+            decoded.getField("_corrupt").isNotNull(),
+            F.concat(F.lit("malformed json field: "), F.substring(s, 1, 64)),
         )
-        return decoded, err
+        return decoded.dropFields("_corrupt"), err
 
 
 @dataclass
@@ -102,6 +115,10 @@ class BinaryFormat:
     schema: str
     fn: object  # Callable[[bytes], dict]
 
+    #: tells DecodeRegistry this decode runs in a Python worker, so its
+    #: input must be gated per topic (see DecodeRegistry.decode)
+    python_backed = True
+
     def decode(self, value: Column) -> tuple[Column, Column]:
         import pandas as pd
 
@@ -115,9 +132,22 @@ class BinaryFormat:
 
         def _decode(s):
             rows = []
+            none_row = {**{k: None for k in field_names},
+                        "_err": "null payload: nothing to decode"}
             for b in s:
+                if b is None:
+                    # NULL payload → dead letter (uniform with JsonFormat's
+                    # "<null payload>"), and — critically — the fast path
+                    # for rows of OTHER topics: DecodeRegistry gates this
+                    # UDF's input with when(topic == mine, value), because
+                    # Spark extracts Python UDFs out of CASE WHEN and runs
+                    # them over EVERY row; without the gate a registry with
+                    # one binary topic would ship all topics' payload bytes
+                    # through the Python worker and user decoder.
+                    rows.append(none_row)
+                    continue
                 try:
-                    d = user_fn(bytes(b) if b is not None else b"")
+                    d = user_fn(bytes(b))
                     rows.append({**{k: d.get(k) for k in field_names}, "_err": None})
                 except Exception as ex:  # noqa: BLE001 — in-band by design
                     rows.append(
@@ -192,10 +222,17 @@ class DecodeRegistry:
         two different types is a registry conflict and raises."""
         if not self._formats:
             raise ValueError("no formats registered")
-        pairs = [
-            (topic, *fmt.decode(F.col("value")))
-            for topic, fmt in self._formats.items()
-        ]
+        pairs = []
+        for topic, fmt in self._formats.items():
+            v = F.col("value")
+            if getattr(fmt, "python_backed", False):
+                # Python-backed decoders are EXTRACTED out of the CASE WHEN
+                # below (ExtractPythonUDFs) and evaluated over every row of
+                # every topic; gate their input so foreign rows arrive as
+                # NULL and skip the user decoder instead of shipping other
+                # topics' full payload volume through the Python worker.
+                v = F.when(F.col(topic_col) == topic, v)
+            pairs.append((topic, *fmt.decode(v)))
         # analysis-only probe for each topic's decoded struct type; merge
         # into the field-union supertype (insertion-ordered, stable)
         types = {

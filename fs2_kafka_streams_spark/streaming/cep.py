@@ -246,7 +246,13 @@ if HAS_TWS:
             )
 
         def _expiry_ms(self, base_ts_us: int, off_us: int) -> int:
-            return (base_ts_us - off_us + self._gap_us) // 1000
+            # +1 ms, not floor: the timer clock is ms while matching is µs.
+            # A floored expiry can fire with the watermark still up to
+            # 999 µs BEFORE base+gap, clearing the base while a valid
+            # trigger (and even an exactly-at-boundary one, since the
+            # watermark keeps rows at ts == wm) can still arrive. Firing
+            # 1 ms late is output-neutral — the timer only GCs state.
+            return (base_ts_us - off_us + self._gap_us) // 1000 + 1
 
         def handleInputRows(self, key, rows, timerValues):
             prev = tuple(self._base.get()) if self._base.exists() else None
@@ -352,24 +358,30 @@ def pattern_match_stream_tws(
 ) -> DataFrame:
     """Run the timer-expiring TWS pattern query to completion; returns the
     match table (must equal :func:`pattern_match_batch` — the q57 oracle)."""
-    import tempfile
-
     from fs2_kafka_streams_spark.streaming.conf import (
         STREAM_PERF_CONF,
         pinned_conf,
     )
+    from fs2_kafka_streams_spark.streaming.run import run_to_memory
     from fs2_kafka_streams_spark.streaming.stateful import _tws_prepare
 
-    conf = dict(_tws_prepare(spark))
-    conf.update(STREAM_PERF_CONF)
     matches = pattern_matches_stream_tws(
         spark, sf_dir, base_type, trigger_type, gap
     )
+    if checkpoint is None:
+        # throwaway checkpoint: run_to_memory owns the tempdir and deletes
+        # the RocksDB tree after termination (a hand-rolled mkdtemp here
+        # used to leak one tree per run)
+        return run_to_memory(
+            spark, matches, "cep_tws", extra_conf=dict(_tws_prepare(spark))
+        )
+    # explicit checkpoint = the crash-recovery path: the caller owns the
+    # tree (it restarts from it), so no cleanup here
     import uuid as _uuid
 
+    conf = dict(_tws_prepare(spark))
+    conf.update(STREAM_PERF_CONF)
     name = f"cep_tws_{_uuid.uuid4().hex[:8]}"
-    if checkpoint is None:
-        checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     with pinned_conf(spark, conf):
         q = (
             matches.writeStream.outputMode("append")

@@ -158,7 +158,11 @@ def run_compare(spark, sf_dir: str, spec,
     spark_rows = [tuple(r) for r in df.collect()]
 
     if spec.oracle is None:
-        ok = len(spark_rows) >= 0
+        # No registry entry is oracle-less today; if one appears, an empty
+        # result is almost certainly a regression (every declared query
+        # returns rows on the fixtures), so fail on 0 — the old `>= 0`
+        # read like a guard but could never be false.
+        ok = len(spark_rows) > 0
         return CompareResult(spec.name, ok, f"rows-only check: {len(spark_rows)} rows")
 
     own_con = con is None

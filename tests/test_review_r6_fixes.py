@@ -182,6 +182,92 @@ def test_apply_changes_prefix_split_is_order_column_safe(spark):
     assert {r.k for r in merged.collect()} == {8}
 
 
+def test_json_field_failure_dead_letters(spark):
+    """A well-formed JSON object whose field cannot convert to the declared
+    type ('{"a":"xyz"}' for a int) used to decode as a phantom clean row
+    with NULL fields and NULL error; it must dead-letter like CsvFormat.
+    A merely-MISSING field stays clean — JSON objects are sparse."""
+    from fs2_kafka_streams_spark.sources.decode import (
+        DecodeRegistry,
+        JsonFormat,
+        clean_view,
+        dead_letters,
+    )
+
+    records = spark.createDataFrame(
+        [
+            ("t", 0, 0, b'{"a": 1}'),
+            ("t", 0, 1, b'{"a": "xyz"}'),   # field-level failure
+            ("t", 0, 2, b'{"other": 9}'),   # missing field: clean, NULL a
+            ("t", 0, 3, b"x{"),             # malformed
+        ],
+        "topic string, partition int, offset long, value binary",
+    )
+    reg = DecodeRegistry().register("t", JsonFormat("a int"))
+    decoded = reg.decode(records)
+    clean = {r.offset: r.a for r in clean_view(decoded).collect()}
+    assert clean == {0: 1, 2: None}
+    dlq = {r.offset: r.decode_error for r in dead_letters(decoded).collect()}
+    assert set(dlq) == {1, 3}
+    assert "field" in dlq[1] and "malformed json" in dlq[3]
+
+
+def test_binary_format_null_payload_and_topic_gating(spark):
+    """NULL payload → dead letter (uniform with JsonFormat), and in a
+    mixed registry the binary decoder's input is topic-gated so other
+    topics' rows reach the Python worker as NULL (fast-skipped) while
+    still decoding through their own format."""
+    from fs2_kafka_streams_spark.sources.decode import (
+        BinaryFormat,
+        DecodeRegistry,
+        JsonFormat,
+        clean_view,
+        dead_letters,
+    )
+
+    def pipe(b: bytes) -> dict:
+        uid, name = b.decode().split("|")
+        return {"uid": int(uid), "name": name}
+
+    records = spark.createDataFrame(
+        [
+            ("bin", 0, 0, b"7|bob"),
+            ("bin", 0, 1, None),            # NULL payload → dead letter
+            ("js", 0, 0, b'{"uid": 1, "name": "ann"}'),
+        ],
+        "topic string, partition int, offset long, value binary",
+    )
+    reg = (
+        DecodeRegistry()
+        .register("bin", BinaryFormat("uid long, name string", pipe))
+        .register("js", JsonFormat("uid long, name string"))
+    )
+    decoded = reg.decode(records)
+    clean = {
+        (r.topic, r.uid): r.name for r in clean_view(decoded).collect()
+    }
+    assert clean == {("bin", 7): "bob", ("js", 1): "ann"}
+    dlq = dead_letters(decoded).collect()
+    assert len(dlq) == 1 and "null payload" in dlq[0].decode_error
+
+
+def test_tws_cep_runner_cleans_its_checkpoint(spark, sf_dir):
+    """The throwaway-checkpoint path must not leak a RocksDB tree per run
+    (the leak run_to_memory exists to prevent)."""
+    import glob
+    import tempfile
+
+    pytest.importorskip("google.protobuf")
+    from fs2_kafka_streams_spark.streaming.cep import (
+        pattern_match_stream_tws,
+    )
+
+    pat = f"{tempfile.gettempdir()}/ckpt_cep_tws_*"
+    before = set(glob.glob(pat))
+    pattern_match_stream_tws(spark, sf_dir).collect()
+    assert set(glob.glob(pat)) == before
+
+
 def test_stratified_sample_flag_matches_filter(spark):
     """The projected membership flag must be exactly the predicate
     stratified_sample filters on — the zero-join realization q43e ships
