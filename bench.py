@@ -70,11 +70,19 @@ def main() -> None:
         table keeps it cheap; failures are non-fatal (the bench then just
         measures cold, as before)."""
         try:
+            import os as _os
             import tempfile as _tf
 
             import pandas as _pd
 
-            _warm_sf = _tf.mkdtemp(prefix="bench_warm_sf_")
+            # FIXED name, not mkdtemp: the replay cache is keyed by this
+            # directory's basename, so a random name deposited one
+            # never-reusable cache dir per bench run; a stable name is
+            # rebuilt in place and the warm dir itself never accumulates
+            _warm_sf = _os.path.join(
+                _tf.gettempdir(), "spark_graft_bench_warm_sf"
+            )
+            _os.makedirs(_warm_sf, exist_ok=True)
             _pd.DataFrame(
                 {
                     "event_id": [1, 2, 3, 4],

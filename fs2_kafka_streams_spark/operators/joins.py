@@ -95,9 +95,32 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side is replicated)")
+
+    def _hashable(dtype) -> bool:
+        # Spark forbids hash/xxhash64 over MapType (HASH_MAP_TYPE), at any
+        # nesting depth — skip such columns; the salt only needs to vary
+        # per row, and the remaining columns still provide that (worst
+        # case the residual-skew bound degrades to duplicates-modulo-the-
+        # hashable-columns, same order as the documented duplicate bound).
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dtype, MapType):
+            return False
+        if isinstance(dtype, ArrayType):
+            return _hashable(dtype.elementType)
+        if isinstance(dtype, StructType):
+            return all(_hashable(f.dataType) for f in dtype.fields)
+        return True
+
+    salt_cols = [f.name for f in big.schema.fields if _hashable(f.dataType)]
+    if not salt_cols:
+        raise ValueError(
+            "salted_join: every big-side column is map-typed; xxhash64 "
+            "cannot derive a deterministic salt — add a hashable column"
+        )
     if hot_threshold is None:
         big_s = big.withColumn(
-            "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int")
+            "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt)).cast("int")
         )
         small_s = small.withColumn(
             "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
@@ -123,7 +146,7 @@ def salted_join(
             "_salt",
             F.when(
                 F.col("_hot").isNotNull(),
-                F.pmod(F.xxhash64(*big.columns), F.lit(salt)),
+                F.pmod(F.xxhash64(*salt_cols), F.lit(salt)),
             )
             .otherwise(F.lit(0))
             .cast("int"),

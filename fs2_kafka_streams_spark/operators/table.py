@@ -83,10 +83,15 @@ class MaterializedTable:
         return self._snapshot
 
     def get(self, key: Any | tuple) -> dict | None:
-        """Point lookup (A10). Returns the value row dict or None."""
-        out = self.get_all([key]).collect()[0]
+        """Point lookup (A10). Returns the value row dict or None.
+
+        Presence is decided by a join marker, NOT by all-NULL value
+        columns — a key whose latest write genuinely carries NULL values
+        is Some(null row), not None (the ``Map[K, Option[V]]`` contract).
+        """
+        out = self._get_all([key], marker=True).collect()[0]
         d = out.asDict()
-        if all(d[c] is None for c in self.value_cols):
+        if not d["_found"]:
             return None
         return {c: d[c] for c in self.value_cols}
 
@@ -104,8 +109,17 @@ class MaterializedTable:
         which prunes before the aggregation shuffle. Never broadcasts or
         fully aggregates the table itself.
         """
+        return self._get_all(keys)
+
+    def _get_all(
+        self, keys: Sequence[Any | tuple], marker: bool = False
+    ) -> DataFrame:
         spark = self._snapshot.sparkSession
-        rows = [k if isinstance(k, tuple) else (k,) for k in keys]
+        # dedupe (order-preserving): a Map result has one row per KEY, and
+        # a duplicated request key would otherwise duplicate output rows
+        rows = list(dict.fromkeys(
+            k if isinstance(k, tuple) else (k,) for k in keys
+        ))
         schema_fields = ", ".join(
             f"{c} {self._snapshot.schema[c].dataType.simpleString()}"
             for c in self.key_cols
@@ -125,7 +139,16 @@ class MaterializedTable:
         )
         if self._tombstone_col is not None:
             matched = matched.filter(F.col(self._tombstone_col).isNotNull())
-        return keys_df.join(F.broadcast(matched), on=self.key_cols, how="left")
+        if marker:
+            matched = matched.withColumn("_found", F.lit(True))
+        out = keys_df.join(
+            F.broadcast(matched), on=self.key_cols, how="left"
+        )
+        if marker:
+            out = out.withColumn(
+                "_found", F.coalesce("_found", F.lit(False))
+            )
+        return out
 
     def last_committed_offset(self) -> Any:
         """Highest changelog position applied (A17,

@@ -449,6 +449,11 @@ def q75_state_reader(spark, sf_dir):
         fcntl.flock(lock, fcntl.LOCK_EX)
         try:
             latest_by_key_streaming(spark, sf_dir, checkpoint=ckpt)
+            # materialize the state read INSIDE the lock: the state source
+            # reads checkpoint files lazily, and a concurrent process that
+            # grabs the lock next will resume the query and let RocksDB
+            # maintenance delete old versions mid-scan. localCheckpoint
+            # pins the (O(keys), distributed) result in executor storage.
+            return read_table_state(spark, ckpt).localCheckpoint(eager=True)
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)
-    return read_table_state(spark, ckpt)

@@ -60,13 +60,16 @@ def duration_us(s: str) -> int:
 @contextmanager
 def pinned_conf(spark: SparkSession, confs: dict[str, str]):
     old: dict[str, str | None] = {}
-    for k, v in confs.items():
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
-        spark.conf.set(k, v)
     try:
+        # set inside the try: if a later key raises (static conf, bad
+        # value), the finally still restores the keys already pinned —
+        # otherwise they'd silently stay set for the session's lifetime
+        for k, v in confs.items():
+            try:
+                old[k] = spark.conf.get(k)
+            except Exception:
+                old[k] = None
+            spark.conf.set(k, v)
         yield
     finally:
         for k, v in old.items():

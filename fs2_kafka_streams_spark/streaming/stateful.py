@@ -16,6 +16,8 @@ key domain churns.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 import uuid
 
@@ -606,6 +608,26 @@ def compact_upsert_log(
     return rows_before, rows_after
 
 
+#: tempdirs whose contents a returned lazy DataFrame may still read — they
+#: can only be reclaimed when the process ends.
+_EXIT_REAP: list[str] = []
+
+
+def _reap_all() -> None:
+    import os
+
+    for d in _EXIT_REAP:
+        shutil.rmtree(d, ignore_errors=True)
+        with contextlib.suppress(OSError):
+            os.remove(d.rstrip("/") + ".lock")  # the sink's flock file
+
+
+def _reap_at_exit(path: str) -> None:
+    if not _EXIT_REAP:
+        atexit.register(_reap_all)
+    _EXIT_REAP.append(path)
+
+
 def _run_upsert_sink(
     spark: SparkSession, updates: DataFrame, checkpoint: str | None = None,
     sink_dir: str | None = None, row_schema: str = _OUTPUT_SCHEMA,
@@ -629,10 +651,16 @@ def _run_upsert_sink(
     from pyspark.sql import functions as F
 
     run_id = uuid.uuid4().hex[:8]
-    if checkpoint is None:
+    own_ckpt = checkpoint is None
+    if own_ckpt:
         checkpoint = tempfile.mkdtemp(prefix=f"ckpt_upsert_{run_id}_")
     if sink_dir is None:
+        # The returned DataFrame reads the sink LAZILY, so the directory
+        # must outlive this call — clean it at interpreter exit instead
+        # (an unmanaged mkdtemp here used to leak one O(events) log per
+        # driver-gate/bench/test run).
         sink_dir = tempfile.mkdtemp(prefix=f"sink_upsert_{run_id}_")
+        _reap_at_exit(sink_dir)
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         # SHARED lock: appends may run concurrently with each other but
@@ -654,15 +682,21 @@ def _run_upsert_sink(
         pinned_conf,
     )
 
-    with pinned_conf(spark, STREAM_PERF_CONF):
-        q = (
-            updates.writeStream.outputMode("update")
-            .foreachBatch(upsert)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with pinned_conf(spark, STREAM_PERF_CONF):
+            q = (
+                updates.writeStream.outputMode("update")
+                .foreachBatch(upsert)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if own_ckpt:
+            # availableNow ran to completion (or died): nothing resumes
+            # from a throwaway checkpoint — only the sink must outlive us
+            shutil.rmtree(checkpoint, ignore_errors=True)
 
     return _log_head(
         _read_upsert_log(spark, sink_dir, row_schema), dead_col=dead_col

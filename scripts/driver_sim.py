@@ -53,7 +53,9 @@ def _hash(df: pd.DataFrame) -> str:
         if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
         if isinstance(v, float):
-            return format(round(v, 2), ".2f")
+            # + 0.0 normalizes -0.0: round(-0.001, 2) is -0.0, which
+            # formats as '-0.00' and would spuriously hash-mismatch '0.00'
+            return format(round(v, 2) + 0.0, ".2f")
         # DATE columns come back as datetime.date from Spark but midnight
         # datetime64 Timestamps from DuckDB's .df() — same value; round-1
         # evidence (q21/q26/q28 green) shows the driver normalizes these.

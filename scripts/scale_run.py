@@ -225,12 +225,19 @@ def run_streaming_section(spark, out: str, scales: list[int]) -> list[dict]:
             .parquet(replay)
         )
         updates = updates_builder(src)
-        sink_counts: list[int] = []
         with pinned_conf(spark, STREAM_PERF_CONF):
             t0 = time.time()
             q = (
                 updates.writeStream.outputMode(output_mode)
-                .foreachBatch(lambda bdf, bid: sink_counts.append(bdf.count()))
+                # noop write, not count(): count() materializes only what
+                # the count needs, silently excluding output serialization
+                # from the per-trigger times — the bench's noop-sink
+                # methodology includes it, and these numbers are compared
+                # against the bench's
+                .foreachBatch(
+                    lambda bdf, bid: bdf.write.format("noop")
+                    .mode("overwrite").save()
+                )
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()

@@ -268,6 +268,63 @@ def test_tws_cep_runner_cleans_its_checkpoint(spark, sf_dir):
     assert set(glob.glob(pat)) == before
 
 
+def test_table_get_distinguishes_null_values_from_missing(spark):
+    """Map[K, Option[V]]: a present key whose latest write carries all-NULL
+    values is Some(null row), not None — presence is a join marker, not an
+    all-NULL heuristic. Duplicate requested keys collapse to one row."""
+    from fs2_kafka_streams_spark.operators.table import MaterializedTable
+
+    log = spark.createDataFrame(
+        [(1, 10, None), (2, 20, "x")],
+        "k long, off long, v string",
+    )
+    t = MaterializedTable(log, ["k"], ["off"], ["v"])
+    assert t.get(1) == {"v": None}      # present, value NULL
+    assert t.get(2) == {"v": "x"}
+    assert t.get(3) is None             # genuinely missing
+    assert t.get_all([2, 2, 3]).count() == 2
+
+
+def test_salted_join_skips_map_columns(spark):
+    """xxhash64 over MapType throws HASH_MAP_TYPE; the salt hash must skip
+    map columns (any nesting) while results stay correct."""
+    from fs2_kafka_streams_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(1, {"a": 1}), (1, {"b": 2}), (2, {"c": 3})],
+        "k long, props map<string,int>",
+    )
+    small = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    out = salted_join(big, small, "k", salt=4)
+    assert out.count() == 3
+    assert {r.name for r in out.collect()} == {"one", "two"}
+    # all-map big side: no deterministic salt derivable — loud error
+    import pytest as _pytest
+
+    only_map = spark.createDataFrame([({"a": 1},)], "m map<string,int>")
+    with _pytest.raises(ValueError, match="map-typed"):
+        salted_join(only_map, small, "m")
+
+
+def test_pinned_conf_restores_on_partial_failure(spark):
+    """If pinning a later conf raises, the earlier keys must be restored —
+    not stay silently set for the rest of the shared session."""
+    from fs2_kafka_streams_spark.streaming.conf import pinned_conf
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(Exception):
+        with pinned_conf(
+            spark,
+            {
+                "spark.sql.shuffle.partitions": "3",
+                # static conf: cannot be set on a live session
+                "spark.sql.warehouse.dir": "/nope",
+            },
+        ):
+            pass  # pragma: no cover — set loop raises before yield
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+
+
 def test_stratified_sample_flag_matches_filter(spark):
     """The projected membership flag must be exactly the predicate
     stratified_sample filters on — the zero-join realization q43e ships
