@@ -396,7 +396,7 @@ class _StreamReader(DataSourceStreamReader):
         # mid-query replans from the NEW file — offsets planned against a
         # stale count would be silently truncated by Arrow's slice when
         # read() builds batches from the fresh bytes
-        self._ends: dict[tuple[str, tuple[int, int]], dict[int, int]] = {}
+        self._ends: dict[str, tuple[tuple[int, int], dict[int, int]]] = {}
         # A17 seek: the Kafka source's startingOffsets shape — "earliest"
         # (default) or {"topic": {"partition": offset}} with Kafka's
         # -2=earliest / -1=latest sentinels. Consulted at query start
@@ -437,12 +437,17 @@ class _StreamReader(DataSourceStreamReader):
         return _resolve_topics(self.options)
 
     def _end_offsets(self, topic: str, path: str) -> dict[int, int]:
-        key = (topic, _file_stamp(path))
-        if key not in self._ends:
-            self._ends[key] = _partition_counts(
+        stamp = _file_stamp(path)
+        hit = self._ends.get(topic)
+        if hit is None or hit[0] != stamp:
+            # one LIVE entry per topic, replaced when the file stamp moves
+            # — keying by (topic, stamp) without eviction grew without
+            # bound on a long-running query over re-published topics
+            hit = (stamp, _partition_counts(
                 path, self.n_parts, self.grow_to, self.grow_at
-            )
-        return self._ends[key]
+            ))
+            self._ends[topic] = hit
+        return hit[1]
 
     # -- cursor (simulated publication point) ----------------------------
     def _load_cursor(self) -> dict:
@@ -453,7 +458,8 @@ class _StreamReader(DataSourceStreamReader):
             return {}
 
     def _save_cursor(self, cur: dict) -> None:
-        os.makedirs(os.path.dirname(self.cursor_file), exist_ok=True)
+        # dirname is '' for a bare relative filename — makedirs('') raises
+        os.makedirs(os.path.dirname(self.cursor_file) or ".", exist_ok=True)
         tmp = self.cursor_file + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(cur, fh)
@@ -576,6 +582,21 @@ class _StreamReader(DataSourceStreamReader):
             part.path, self.n_parts, part.pid, part.topic,
             self.grow_to, self.grow_at,
         )
+        if batch.num_rows < part.end:
+            # Offsets were planned on the driver against one file stamp;
+            # the task reads whatever file exists NOW. An append-only
+            # publish (publish_topic) keeps the planned prefix valid, but
+            # a destructive rewrite that SHRANK the log would otherwise be
+            # silently truncated by Arrow's clamping slice while Spark
+            # commits the planned end — records lost without error. A real
+            # broker surfaces this as OffsetOutOfRange; fail the same way.
+            raise RuntimeError(
+                f"offset out of range: topic {part.topic!r} partition "
+                f"{part.pid} planned end {part.end} but the log now holds "
+                f"{batch.num_rows} records — topic file rewritten "
+                "destructively mid-query (only append-only republish is "
+                "supported while a stream is running)"
+            )
         yield batch.slice(part.start, part.end - part.start)
 
     def commit(self, end):

@@ -55,6 +55,47 @@ _OUTPUT_SCHEMA = (
 )
 
 
+def _pick_latest(pdf: pd.DataFrame, tombstone_col: str | None = None):
+    """(ts, event_id)-max row of ONE pandas micro-batch frame as a state
+    tuple ``(event_id, ts_us, event_type, value, props[, dead])`` plus the
+    winning index — the single fold step every stateful engine here shares
+    (four near-identical copies of it had already been drifting).
+
+    NULL-safe on the payload columns: a NULL event_type/props stays None
+    (``str()`` would store the literal string ``'None'``, silently
+    diverging from the batch fold, which keeps NULL) and a NULL value
+    stays None (``float()`` would store NaN). A NULL ts orders SMALLEST —
+    the numpy iNaT sentinel is the most-negative int64, which matches the
+    batch ``max_by``'s NULLS-FIRST struct ordering — and round-trips back
+    out as NaT/NULL. ``event_id`` is the changelog position and must be
+    non-null (as in the reference, where it is the Kafka offset).
+    """
+    ts_us = pd.Series(
+        pdf["ts"].values.astype("datetime64[us]").astype("int64"),
+        index=pdf.index,
+    )
+    idx = (
+        pd.DataFrame({"t": ts_us, "e": pdf["event_id"]})
+        .sort_values(["t", "e"])
+        .index[-1]
+    )
+    row = pdf.loc[idx]
+
+    def _opt(v, conv):
+        return None if pd.isna(v) else conv(v)
+
+    cand = (
+        int(row["event_id"]),
+        int(ts_us.loc[idx]),
+        _opt(row["event_type"], str),
+        _opt(row["value"], float),
+        _opt(row["props"], str),
+    )
+    if tombstone_col is not None:
+        cand = cand + (bool(row[tombstone_col]),)
+    return cand, idx
+
+
 def _latest_update(key, pdf_iter, state: GroupState):
     """Keep the (ts, event_id)-max row per key across micro-batches.
 
@@ -66,20 +107,7 @@ def _latest_update(key, pdf_iter, state: GroupState):
     for pdf in pdf_iter:
         if pdf.empty:
             continue
-        ts_us = pdf["ts"].astype("int64") // 1000
-        idx = (
-            pd.DataFrame({"t": ts_us, "e": pdf["event_id"]})
-            .sort_values(["t", "e"])
-            .index[-1]
-        )
-        row = pdf.loc[idx]
-        cand = (
-            int(row["event_id"]),
-            int(ts_us.loc[idx]),
-            str(row["event_type"]),
-            float(row["value"]),
-            str(row["props"]),
-        )
+        cand, _ = _pick_latest(pdf)
         if best is None or (cand[1], cand[0]) > (best[1], best[0]):
             best = cand
     if best is not None:
@@ -125,21 +153,7 @@ def _latest_update_deletes(tombstone_col: str):
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
-            ts_us = pdf["ts"].astype("int64") // 1000
-            idx = (
-                pd.DataFrame({"t": ts_us, "e": pdf["event_id"]})
-                .sort_values(["t", "e"])
-                .index[-1]
-            )
-            row = pdf.loc[idx]
-            cand = (
-                int(row["event_id"]),
-                int(ts_us.loc[idx]),
-                str(row["event_type"]),
-                float(row["value"]),
-                str(row["props"]),
-                bool(row[tombstone_col]),
-            )
+            cand, _ = _pick_latest(pdf, tombstone_col)
             if best is None or (cand[1], cand[0]) > (best[1], best[0]):
                 best = cand
         if best is not None:
@@ -188,20 +202,7 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
             for pdf in rows:
                 if pdf.empty:
                     continue
-                ts_us = pdf["ts"].astype("int64") // 1000
-                idx = (
-                    pd.DataFrame({"t": ts_us, "e": pdf["event_id"]})
-                    .sort_values(["t", "e"])
-                    .index[-1]
-                )
-                row = pdf.loc[idx]
-                cand = (
-                    int(row["event_id"]),
-                    int(ts_us.loc[idx]),
-                    str(row["event_type"]),
-                    float(row["value"]),
-                    str(row["props"]),
-                )
+                cand, _ = _pick_latest(pdf)
                 if best is None or (cand[1], cand[0]) > (best[1], best[0]):
                     best = cand
             if best is not None:
@@ -274,21 +275,7 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
             for pdf in rows:
                 if pdf.empty:
                     continue
-                ts_us = pdf["ts"].astype("int64") // 1000
-                idx = (
-                    pd.DataFrame({"t": ts_us, "e": pdf["event_id"]})
-                    .sort_values(["t", "e"])
-                    .index[-1]
-                )
-                row = pdf.loc[idx]
-                cand = (
-                    int(row["event_id"]),
-                    int(ts_us.loc[idx]),
-                    str(row["event_type"]),
-                    float(row["value"]),
-                    str(row["props"]),
-                    bool(row[self._tombstone_col]),
-                )
+                cand, idx = _pick_latest(pdf, self._tombstone_col)
                 if best is None or (cand[1], cand[0]) > (best[1], best[0]):
                     best = cand
                     best_frame = (pdf, idx)
@@ -584,6 +571,21 @@ def compact_upsert_log(
         row_schema = row_schema + f", {dead_col} boolean"
         value_cols = value_cols + [dead_col]
     with _sink_lock(sink_dir, exclusive=True):
+        # crash recovery BEFORE reading (under the same exclusive lock the
+        # swap holds): a previous compaction that died mid-swap leaves
+        # either (a) both '.old' and the new sink — its rmtree never ran;
+        # finish the cleanup — or (b) only '.old' — it died between the
+        # two renames; roll the log back into place. Without this, case
+        # (a) wedges every future compaction on ENOTEMPTY and case (b)
+        # silently orphans the whole log.
+        old_dir = sink_dir.rstrip("/") + ".old"
+        tmp_dir = sink_dir.rstrip("/") + ".compacting"
+        if os.path.isdir(old_dir):
+            if os.path.isdir(sink_dir):
+                shutil.rmtree(old_dir)
+            else:
+                os.rename(old_dir, sink_dir)
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # stale partial output
         log = _read_upsert_log(spark, sink_dir, row_schema)
         rows_before = log.count()
         compacted = latest_by_key(
@@ -598,9 +600,7 @@ def compact_upsert_log(
         compacted = compacted.withColumn(
             "_bucket", F.pmod(F.xxhash64("user_id"), F.lit(SINK_BUCKETS))
         )
-        tmp_dir = sink_dir.rstrip("/") + ".compacting"
         compacted.write.mode("overwrite").partitionBy("_bucket").parquet(tmp_dir)
-        old_dir = sink_dir.rstrip("/") + ".old"
         os.rename(sink_dir, old_dir)
         os.rename(tmp_dir, sink_dir)
         shutil.rmtree(old_dir)
@@ -662,12 +662,33 @@ def _run_upsert_sink(
         sink_dir = tempfile.mkdtemp(prefix=f"sink_upsert_{run_id}_")
         _reap_at_exit(sink_dir)
 
+    # Epoch ids restart at 0 on a FRESH checkpoint; appending a re-run's
+    # batches to an EXISTING sink with raw epoch ids would let the prior
+    # run's higher-_epoch rows shadow genuinely newer updates in
+    # _log_head's (_epoch, ts, event_id) ordering. Offset this run's
+    # epochs past everything already in the log. (A crash-resume on the
+    # SAME checkpoint recomputes a higher base for the replayed batch —
+    # harmless: the replayed rows are identical in content, and either
+    # copy is the same head.)
+    import os as _os
+
+    epoch_base = 0
+    if _os.path.isdir(sink_dir) and any(
+        not f.startswith(".") for f in _os.listdir(sink_dir)
+    ):
+        prev_max = (
+            _read_upsert_log(spark, sink_dir, row_schema)
+            .agg(F.max("_epoch"))
+            .collect()[0][0]
+        )
+        epoch_base = (prev_max + 1) if prev_max is not None else 0
+
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         # SHARED lock: appends may run concurrently with each other but
         # never overlap compaction's exclusive directory swap
         with _sink_lock(sink_dir, exclusive=False):
             (
-                batch_df.withColumn("_epoch", F.lit(epoch_id))
+                batch_df.withColumn("_epoch", F.lit(epoch_base + epoch_id))
                 .withColumn(
                     "_bucket",
                     F.pmod(F.xxhash64("user_id"), F.lit(SINK_BUCKETS)),

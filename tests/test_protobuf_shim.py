@@ -381,3 +381,34 @@ def test_double_float_roundtrip_property(d, fl):
 
         fmt = "<d" if ftype == rt.TYPE_DOUBLE else "<f"
         assert _s.pack(fmt, got) == _s.pack(fmt, v)
+
+
+def test_sfixed_fields_decode_signed():
+    """sfixed32/sfixed64 are fixed-width but SIGNED: decode must restore
+    the sign from the raw bit pattern (returning 2^64-5 for -5 would be
+    silent corruption, inconsistent with the sint rejection policy)."""
+    rt = _rt()
+    f64 = rt.FieldInfo("x", 1, 1, rt.TYPE_SFIXED64, "")
+    f32 = rt.FieldInfo("y", 2, 1, rt.TYPE_SFIXED32, "")
+    assert rt.ShimMessage._coerce(f64, (1 << 64) - 5) == -5
+    assert rt.ShimMessage._coerce(f64, 7) == 7
+    assert rt.ShimMessage._coerce(f32, (1 << 32) - 9) == -9
+    assert rt.ShimMessage._coerce(f32, 3) == 3
+
+
+def test_singular_message_field_merges_across_occurrences():
+    """proto3 merge rule: when the same SINGULAR message field number
+    appears twice in one buffer (legal — produced by message
+    concatenation), the occurrences MERGE; a replace would discard fields
+    set only in the first chunk. Holds under both the shim and the real
+    runtime (the real lib defines the rule)."""
+    from pyspark.sql.streaming.proto import StateMessage_pb2 as sm
+
+    a = sm.StatefulProcessorCall()
+    a.getValueState.stateName = "s1"
+    b = sm.StatefulProcessorCall()
+    b.getValueState.schema = "f int"
+    merged = sm.StatefulProcessorCall()
+    merged.ParseFromString(a.SerializeToString() + b.SerializeToString())
+    assert merged.getValueState.stateName == "s1"
+    assert merged.getValueState.schema == "f int"

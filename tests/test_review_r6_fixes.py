@@ -325,6 +325,123 @@ def test_pinned_conf_restores_on_partial_failure(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == orig
 
 
+def test_pick_latest_null_safe():
+    """The shared stateful fold step must keep NULL payload fields NULL:
+    str()/float() coercion used to store the literal 'None' / NaN,
+    silently diverging from the batch fold (which keeps NULL). NULL ts
+    orders smallest (the batch max_by's NULLS FIRST) and never crashes."""
+    from fs2_kafka_streams_spark.streaming.stateful import _pick_latest
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime([1_000_000, 2_000_000], unit="us"),
+            "user_id": [7, 7],
+            "event_type": ["view", None],
+            "value": [1.0, None],
+            "props": ["{}", None],
+        }
+    )
+    cand, idx = _pick_latest(pdf)
+    assert cand == (2, 2_000_000, None, None, None)
+    # NULL ts loses to any real ts (NULLS-FIRST ordering), no crash
+    pdf2 = pdf.assign(ts=[pd.NaT, pd.Timestamp(2_000_000, unit="us")])
+    cand2, _ = _pick_latest(pdf2)
+    assert cand2[0] == 2
+    # tombstone variant appends the flag
+    pdf3 = pdf.assign(deleted=[False, True])
+    cand3, _ = _pick_latest(pdf3, "deleted")
+    assert cand3[-1] is True
+
+
+def test_upsert_sink_epochs_monotone_across_runs(spark, tmp_path):
+    """Re-running a query against an EXISTING sink with a fresh checkpoint
+    restarts foreachBatch epochs at 0; without an epoch base the prior
+    run's higher-_epoch rows would shadow genuinely newer updates in the
+    head fold."""
+    from tests.conftest import write_replay_files
+    from fs2_kafka_streams_spark.streaming.stateful import (
+        _run_upsert_sink,
+        _latest_update,
+        _STATE_SCHEMA,
+        _OUTPUT_SCHEMA,
+        EVENTS_SCHEMA,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def mk(eid, us, val):
+        return {
+            "event_id": eid,
+            "ts": pd.Timestamp(us, unit="us"),
+            "user_id": 1,
+            "event_type": "view",
+            "value": val,
+            "props": "{}",
+        }
+
+    sink = str(tmp_path / "sink")
+
+    def run(rows, n_frames, tag):
+        rep = tmp_path / f"rep_{tag}"
+        frames = [pd.DataFrame([r]) for r in rows][:n_frames]
+        write_replay_files(rep, frames)
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(rep))
+        )
+        updates = src.groupBy("user_id").applyInPandasWithState(
+            _latest_update,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return _run_upsert_sink(spark, updates, sink_dir=sink)
+
+    # run 1: five micro-batches -> epochs 0..4, head ts=50us
+    run([mk(i, i * 10, float(i)) for i in range(1, 6)], 5, "a")
+    # run 2 (fresh checkpoint, same sink): ONE batch with a NEWER record;
+    # raw epoch 0 < 4 would lose to run 1's head without the base
+    head = run([mk(9, 99, 9.0)], 1, "b").collect()
+    assert len(head) == 1 and head[0].event_id == 9
+
+
+def test_compaction_recovers_from_crashed_swap(spark, tmp_path):
+    """A compaction that died mid-swap leaves '.old' behind; the next
+    compaction must clean up (old + sink present) or roll back (old only)
+    instead of wedging on ENOTEMPTY or orphaning the log."""
+    import os
+    import shutil
+
+    from fs2_kafka_streams_spark.streaming.stateful import (
+        compact_upsert_log,
+    )
+
+    sink = str(tmp_path / "s")
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "event_id": [1, 2],
+            "ts": pd.to_datetime([1, 2], unit="us").astype("datetime64[us]"),
+            "event_type": ["view", "view"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+            "_epoch": [0, 1],
+        }
+    )
+    os.makedirs(f"{sink}/_bucket=0")
+    pdf.to_parquet(f"{sink}/_bucket=0/part-0.parquet", index=False)
+    # crash case (a): rmtree never ran — both sink and .old exist
+    shutil.copytree(sink, sink + ".old")
+    before, after = compact_upsert_log(spark, sink)
+    assert (before, after) == (2, 1) and not os.path.exists(sink + ".old")
+    # crash case (b): died between renames — only .old exists
+    os.rename(sink, sink + ".old")
+    before, after = compact_upsert_log(spark, sink)
+    assert after == 1 and os.path.isdir(sink)
+
+
 def test_stratified_sample_flag_matches_filter(spark):
     """The projected membership flag must be exactly the predicate
     stratified_sample filters on — the zero-join realization q43e ships
