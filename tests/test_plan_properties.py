@@ -146,8 +146,12 @@ def test_boilerplate_no_pair_join(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # the 1-row corpus count crossJoin plans as a broadcast nested loop
     # with a single build row - that's the intended shape; what must NOT
-    # appear is a shuffled join keyed on nothing
-    assert "SortMergeJoin Cross" not in plan
+    # appear is a shuffled join keyed on nothing. Spark renders the node
+    # as 'SortMergeJoin [keys], [keys], Cross' — the old contiguous
+    # 'SortMergeJoin Cross' substring could never match any plan
+    import re
+
+    assert not re.search(r"SortMergeJoin.*Cross", plan)
 
 
 def test_quality_filter_single_wordcount_aggregation(spark):

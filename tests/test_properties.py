@@ -73,7 +73,9 @@ def test_latest_by_key_chunked_fold_duality(spark, rows, cut):
     fold = lambda df: latest_by_key(df, ["k"], ["off"], ["off", "v"])
     whole = fold(spark.createDataFrame(rows, schema))
     if cut == 0:
-        parts = whole
+        # degenerate split: assert refold idempotence (parts = whole would
+        # compare a frame with itself — a tautology wasting the example)
+        parts = fold(whole)
     else:
         h1 = fold(spark.createDataFrame(rows[:cut], schema))
         h2 = fold(spark.createDataFrame(rows[cut:], schema))
@@ -141,7 +143,6 @@ def test_apply_changes_overlapping_batches_equal_full_fold(spark, rows, bids):
     want = {(k, v, o, dead) for k, (o, v, dead) in head.items()}
     got = {(r.k, r.v, r.off, r.dead) for r in snap.collect()}
     assert got == want
-    assert {t for t in got if not t[3]} == {t for t in want if not t[3]}
 
 
 @SET

@@ -13,7 +13,9 @@ import pytest
 from fs2_kafka_streams_spark.queries import load_all
 from fs2_kafka_streams_spark.testing import duck_connect, run_compare
 
-SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+from tests.conftest import SF_SMOKE
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", SF_SMOKE)
 
 REGISTRY = load_all()
 

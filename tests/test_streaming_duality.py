@@ -26,15 +26,23 @@ def _replay_stream(spark, ts_type="timestamp"):
 
 def _run_to_memory(df, mode="append"):
     name = f"t_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp())
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = tempfile.mkdtemp()
+    try:
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # availableNow ran to completion; nothing resumes from this tree —
+        # leaving it would leak one checkpoint per test invocation
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return df.sparkSession.table(name)
 
 
@@ -197,9 +205,12 @@ def test_session_window_append_mode(spark):
     )
 
     reg = load_all()
+    from fs2_kafka_streams_spark.catalog import Catalog
+
     batch = reg["q35_session_window"].build(spark, SF_SMOKE)
-    events = reg["q37_dedup"].build(spark, SF_SMOKE)  # full events table
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    max_ts = (
+        Catalog(spark, SF_SMOKE).events.agg(F.max("ts")).collect()[0][0]
+    )
     import datetime
 
     final_wm = max_ts - datetime.timedelta(minutes=10)
@@ -330,11 +341,15 @@ def test_streaming_deletes_match_batch_merge(spark, tmp_path, engine):
     ev["ts"] = ev["ts"].astype("datetime64[us]")
     ev["deleted"] = (ev["event_id"] % 7 == 0)
     replay = tmp_path / "changelog"
-    replay.mkdir()
     n = len(ev)
-    for i in range(5):
-        chunk = ev.iloc[i * n // 5 : (i + 1) * n // 5]
-        chunk.to_parquet(replay / f"part-{i:02d}.parquet", index=False)
+    # the shared writer spaces mtimes: back-to-back to_parquet can tie in
+    # the same ms and the file source's mtime ordering would then deal
+    # files into nondeterministic triggers
+    from tests.conftest import write_replay_files
+
+    write_replay_files(
+        replay, [ev.iloc[i * n // 5 : (i + 1) * n // 5] for i in range(5)]
+    )
 
     # sanity: the fixture must exercise both tombstone-at-head and
     # re-insert-after-tombstone, else the test proves nothing
@@ -457,12 +472,12 @@ def test_compaction_preserves_tombstones(spark, tmp_path):
     ev["ts"] = ev["ts"].astype("datetime64[us]")
     ev["deleted"] = (ev["event_id"] % 5 == 0)
     replay = tmp_path / "changelog"
-    replay.mkdir()
     n = len(ev)
-    for i in range(4):
-        ev.iloc[i * n // 4 : (i + 1) * n // 4].to_parquet(
-            replay / f"part-{i:02d}.parquet", index=False
-        )
+    from tests.conftest import write_replay_files
+
+    write_replay_files(
+        replay, [ev.iloc[i * n // 4 : (i + 1) * n // 4] for i in range(4)]
+    )
 
     sink = str(tmp_path / "sink")
     view_before = sorted(
