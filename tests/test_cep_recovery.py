@@ -82,9 +82,12 @@ def _crash_resume_run(spark, build_stream, out, ckpt, crash_after=1):
 
     assert bids_second, "resume processed no batches — crash was not mid-replay"
     assert max(bids_second) > max(bids_first), "no progress after resume"
-    # the crashed batch re-ran under the SAME id (offset log replay),
-    # absorbed by the idempotent overwrite
-    assert min(bids_second) <= max(bids_first) + 1
+    # the crashed batch re-ran under EXACTLY the same id (offset log
+    # replay; crash_sink records the bid before raising, and the raise
+    # prevents that batch's commit), absorbed by the idempotent overwrite.
+    # The old `<= max+1` also accepted the failure mode this pins against:
+    # a crashed batch whose offsets committed anyway and was skipped.
+    assert min(bids_second) == max(bids_first)
     return (
         spark.read.option("basePath", out).parquet(out).drop("bid")
     )

@@ -44,6 +44,7 @@ def test_zero_norm_vector_never_ranks_or_pairs(spark):
             df, threshold=0.5, dim=4
         ).collect()
     }
+    assert not any(9 in p for p in exact), "zero vector paired in exact tier"
     assert not any(9 in p for p in lsh), "zero vector paired in LSH tier"
     assert lsh <= exact  # LSH can miss, must never invent
 

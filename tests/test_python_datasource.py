@@ -69,16 +69,18 @@ def test_offsets_respect_event_time_order(spark, wire):
     per-partition total order the reference's consumer model guarantees
     (client/RecordStream.scala:14-16)."""
     dec = decode_wire(wire)
-    w = (
-        dec.groupBy("partition")
-        .agg(
-            F.min_by(F.struct("ts", "event_id"), "offset").alias("first"),
-            F.max_by(F.struct("ts", "event_id"), "offset").alias("last"),
-        )
-        .collect()
-    )
-    for r in w:
-        assert (r.first.ts, r.first.event_id) <= (r.last.ts, r.last.event_id)
+    # EVERY adjacent pair, not just the endpoints: checking only the
+    # min/max-offset records would pass a source that shuffles all the
+    # interior rows
+    rows = dec.select("partition", "offset", "ts", "event_id").collect()
+    by_part: dict[int, list] = {}
+    for r in rows:
+        by_part.setdefault(r.partition, []).append(r)
+    assert by_part
+    for part_rows in by_part.values():
+        part_rows.sort(key=lambda r: r.offset)
+        keys = [(r.ts, r.event_id) for r in part_rows]
+        assert keys == sorted(keys), "offset order violates (ts, event_id)"
 
 
 def test_decode_roundtrip_equals_parquet(spark, wire):
@@ -152,9 +154,21 @@ def test_stream_multi_batch_and_exactly_once_recovery(spark, tmp_path):
         )
         deadline = time.time() + 120
         try:
+            idle = 0
             while time.time() < deadline:
                 if len(seen_batches) >= n_progress:
                     break
+                # drained detector: once batches have flowed and progress
+                # reports several consecutive empty triggers, stop — an
+                # unreachable n_progress (the phase-2 "drain everything"
+                # call) would otherwise sleep out the full deadline
+                lp = q.lastProgress
+                if seen_batches and lp and lp["numInputRows"] == 0:
+                    idle += 1
+                    if idle >= 4:
+                        break
+                else:
+                    idle = 0
                 time.sleep(0.3)
         finally:
             q.stop()
@@ -264,8 +278,10 @@ def test_starting_offsets_seek_without_checkpoint(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt2"))
         .start()
     )
+    # exit via the drained/terminated breaks below (no sentinel file
+    # protocol exists — an earlier version polled one nothing wrote)
     deadline = time.time() + 120
-    while time.time() < deadline and not (sink2 / "_done").exists():
+    while time.time() < deadline:
         if q2.awaitTermination(1):
             break
         prog = q2.lastProgress
@@ -337,7 +353,13 @@ def test_starting_offsets_with_pacing_never_regress(tmp_path):
     first = r.latestOffset()
     for p, hi in first["events"].items():
         assert hi >= 120, f"paced end {hi} regressed below the seek point"
-        assert hi <= max(120 + 50, ends[int(p)])
+        # exact pacing: seek point + batch_rows, clamped to the log end —
+        # the old `<= max(170, ends[p])` could never fail (latestOffset
+        # clamps to ends[p] by construction), so a regression that ignored
+        # batch_rows entirely passed it
+        assert hi == min(120 + 50, ends[int(p)]), (
+            f"partition {p}: paced end {hi} != min(170, {ends[int(p)]})"
+        )
     # ranges planned from (init, first) are non-empty and start at the seek
     parts = r.partitions(init, first)
     assert parts and all(pt.start == 120 for pt in parts)

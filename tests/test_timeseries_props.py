@@ -86,10 +86,10 @@ def test_twa_bounded_and_exact(spark, rows):
     from fs2_kafka_streams_spark.queries import load_all
 
     df = _events_df(spark, rows)
-    df.createOrReplaceTempView("_twa_events")
 
-    # reuse the registered builder against a temp Catalog-free path by
-    # computing directly with the same operator expression
+    # compute directly with the same operator expression as the registered
+    # builder (no temp view needed — an earlier version registered one
+    # that nothing read)
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -111,9 +111,8 @@ def test_twa_bounded_and_exact(spark, rows):
     ts = np.array([r[1].replace(tzinfo=datetime.timezone.utc).timestamp() for r in rows])
     cents = np.array([round(r[4] * 100) for r in rows])
     gaps = np.diff(ts).astype(np.int64)
-    if gaps.sum() == 0:
-        assert agg == []
-        return
+    # _user_series draws unique offsets with n >= 2, so total gap > 0
+    assert gaps.sum() > 0
     expected = float((cents[:-1] * gaps).sum()) / (100.0 * gaps.sum())
     assert len(agg) == 1
     got = agg[0].wsum / (100.0 * agg[0].wtot)

@@ -74,25 +74,32 @@ def _run_tws(spark, processor, output_schema, time_mode="None", stop_when=None):
             ),
         },
     ):
-        q = (
-            updates.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="tws_kinds_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        if stop_when is None:
-            q.awaitTermination()
-        else:
-            deadline = time.time() + 120
-            while time.time() < deadline:
-                if q.awaitTermination(2):
-                    break
-                if stop_when(spark.table(name)):
-                    break
-            q.stop()
-            q.awaitTermination()
+        ckpt = tempfile.mkdtemp(prefix="tws_kinds_")
+        try:
+            q = (
+                updates.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if stop_when is None:
+                q.awaitTermination()
+            else:
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    if q.awaitTermination(2):
+                        break
+                    if stop_when(spark.table(name)):
+                        break
+                q.stop()
+                q.awaitTermination()
+        finally:
+            # per-run RocksDB tree; nothing resumes from it
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -226,8 +226,15 @@ def test_partition_growth_exactly_once_and_fold(spark, tmp_path):
 
     # the offset map in the checkpoint is the nested Kafka shape
     import glob
+    import os
 
-    off_files = sorted(glob.glob(str(ckpt / "offsets" / "*")))
+    # numeric sort: lexical sorted(...)[-1] picks '9' over '10' once ten
+    # batch files exist, silently validating a mid-stream offset map
+    off_files = sorted(
+        (f for f in glob.glob(str(ckpt / "offsets" / "*"))
+         if os.path.basename(f).isdigit()),
+        key=lambda f: int(os.path.basename(f)),
+    )
     last = open(off_files[-1]).read().splitlines()[-1]
     offmap = json.loads(json.loads(last)) if last.startswith('"') else json.loads(last)
     assert "events" in offmap and set(offmap["events"]) == {
