@@ -117,9 +117,12 @@ def test_dedup_keep_best_end_to_end_fixture(spark):
     from fs2_kafka_streams_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = Catalog(spark, SF_SMOKE).documents
+    # localCheckpoint, not persist: the session outlives this test and an
+    # un-unpersisted cache block would occupy executor storage for the
+    # rest of the whole pytest run
     pairs = ngram_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=0.4
-    ).select("id_a", "id_b").persist()
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     if pairs.count() == 0:
         pytest.skip("fixture produced no near-dup pairs at this threshold")
 

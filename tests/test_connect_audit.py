@@ -57,10 +57,24 @@ def _code_lines(path):
                 continue
             if stripped.startswith("#"):
                 continue
-            # drop trailing comments (good enough: no string literals in
-            # this package contain the audited patterns)
-            out.append((i, line.split("#")[0]))
+            out.append((i, _strip_trailing_comment(line)))
     return out
+
+
+def _strip_trailing_comment(line: str) -> str:
+    """Cut at the first '#' OUTSIDE a string literal — a naive split('#')
+    would also cut at a '#' inside an f-string/url literal, letting any
+    classic-only call AFTER such a literal escape the audit entirely."""
+    quote = None
+    for j, ch in enumerate(line):
+        if quote:
+            if ch == quote and (j == 0 or line[j - 1] != "\\"):
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "#":
+            return line[:j]
+    return line
 
 
 def test_classic_only_touches_are_exactly_the_documented_set():

@@ -37,13 +37,15 @@ def test_threshold_equals_unbounded_levenshtein(spark):
     rows = [(i, n) for i, n in enumerate(
         ["alpha beam", "alpha bean", "alpha gleam", "alpha beams", "alpha x"]
     )]
-    got = fuzzy_pairs(_df(spark, rows), "name", "id", max_dist=3).collect()
+    pairs = fuzzy_pairs(_df(spark, rows), "name", "id", max_dist=3)
+    # one job for every oracle distance — a per-pair createDataFrame loop
+    # scheduled O(pairs) separate Spark jobs
+    got = pairs.withColumn(
+        "exact", F.levenshtein("name_a", "name_b")
+    ).collect()
     assert got, "expected at least one pair"
     for r in got:
-        exact = _df(spark, [(0, "x")]).select(
-            F.levenshtein(F.lit(r.name_a), F.lit(r.name_b)).alias("d")
-        ).collect()[0].d
-        assert r.dist == exact <= 3
+        assert r.dist == r.exact <= 3
 
 
 def test_block_size_guard_drops_degenerate_blocks(spark):

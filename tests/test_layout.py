@@ -26,7 +26,9 @@ from fs2_kafka_streams_spark.operators.layout import (
     zorder_code,
 )
 
-SF = "/root/testdata/sf0.01"
+from tests.conftest import SF_CORRECT
+
+SF = SF_CORRECT
 N_FILES = 16
 
 

@@ -117,11 +117,31 @@ def test_pipeline_deterministic_end_to_end(spark):
 
 def test_pipeline_strict_path_composes(spark):
     """The full-conjunction quality gate may keep zero documents on the
-    synthetic fixture — the composition must still plan and execute."""
-    assert _pipeline(spark, strict=True).count() >= 0
+    synthetic fixture — the composition must still plan and execute, and
+    every document it DOES keep must actually pass the strict gate (the
+    old ``count() >= 0`` could never fail; note the strict output is NOT
+    a subset of the permissive output — dedup_keep_best representatives
+    depend on the candidate set)."""
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.operators.text import gopher_metrics
+
+    kept = {
+        r["doc_id"]
+        for r in _pipeline(spark, strict=True)
+        .select("doc_id").distinct().collect()
+    }
+    docs = Catalog(spark, SF_SMOKE).documents
+    passing = {
+        r["doc_id"]
+        for r in gopher_metrics(docs, "text", "doc_id")
+        .filter("pass_quality").select("doc_id").collect()
+    }
+    assert kept <= passing
 
 
 def test_pipeline_plan_has_no_cartesian(spark):
+    import re
+
     plan = (
         _pipeline(spark, strict=False)
         ._jdf.queryExecution()
@@ -129,3 +149,7 @@ def test_pipeline_plan_has_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin IS expected here (the 1-row corpus-count
+    # crossJoin, q43h's shape); what must never appear is a SHUFFLED
+    # keyless product
+    assert not re.search(r"SortMergeJoin.*Cross", plan)

@@ -100,9 +100,13 @@ def test_sharded_export_balanced_files(spark, docs, tmp_path):
     sharded_export(docs, path, n_shards=4, id_col="doc_id")
     back = spark.read.parquet(path)
     assert back.count() == docs.count()
+    # group by the actual FILE, not spark_partition_id(): read-side file
+    # packing (maxSplitBytes from defaultParallelism) can merge small
+    # files into one read partition, which says nothing about what
+    # sharded_export wrote
     sizes = [
         r["n"]
-        for r in back.groupBy(F.spark_partition_id().alias("p"))
+        for r in back.groupBy(F.input_file_name().alias("f"))
         .agg(F.count("*").alias("n"))
         .collect()
     ]

@@ -122,7 +122,9 @@ def test_q64_merge_property_holds_in_estimation_mode(spark):
     from fs2_kafka_streams_spark.queries import load_all
 
     spec = load_all()["q64_hll_sketch_merge"]
-    rows = spec.build(spark, "/root/testdata/sf0.1").collect()
+    from tests.conftest import SF_BENCH
+
+    rows = spec.build(spark, SF_BENCH).collect()
     assert len(rows) == 5
     assert all(r.merge_consistent for r in rows)
     assert all(r.est_within_5pct for r in rows)

@@ -103,8 +103,12 @@ def test_history_matches_duckdb_oracle(spark):
 
     ev = Catalog(spark, SF_SMOKE).events.select("user_id", "event_id", "value")
     h = changelog_history(ev, ["user_id"], "event_id", ["value"])
+    # raw values, no rounding: both engines read the SAME parquet doubles
+    # and carry them through untouched, so they are bit-identical — and
+    # Python round() (half-to-even) vs DuckDB round() (half-away-from-
+    # zero) can disagree by 1e-9 at boundary doubles
     got = sorted(
-        (r["user_id"], r["valid_from"], r["valid_to"], round(r["value"], 9))
+        (r["user_id"], r["valid_from"], r["valid_to"], r["value"])
         for r in h.collect()
     )
     want = sorted(
@@ -113,7 +117,7 @@ def test_history_matches_duckdb_oracle(spark):
             SELECT user_id, event_id AS valid_from,
                    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
                      AS valid_to,
-                   round(value, 9) AS value
+                   value
             FROM read_parquet('{SF_SMOKE}/events.parquet')
             """
         ).fetchall()

@@ -32,7 +32,9 @@ def test_doc_has_snippets():
 
 
 def test_usage_snippets_execute(spark):
-    ns: dict = {"spark": spark, "sf_dir": "/root/testdata/sf0.001"}
+    from tests.conftest import SF_SMOKE
+
+    ns: dict = {"spark": spark, "sf_dir": SF_SMOKE}
     for i, src in enumerate(_blocks()):
         try:
             exec(compile(src, f"USAGE.md[block {i}]", "exec"), ns)
