@@ -341,7 +341,12 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
     out_schema = "query_id bigint, neighbor_id bigint, rank int, cos double"
     spool = None
     if sink is None:
+        from fs2_kafka_streams_spark.streaming.stateful import _reap_at_exit
+
+        # the returned DataFrame reads the spool lazily, so it must
+        # outlive this call — reclaim it at interpreter exit
         spool = tempfile.mkdtemp(prefix="sink_ann_stream_")
+        _reap_at_exit(spool)
 
         def sink(result_df, epoch_id: int) -> None:
             # idempotent per-batch overwrite — re-run of an uncommitted
