@@ -83,6 +83,10 @@ def main() -> None:
                 _tf.gettempdir(), "spark_graft_bench_warm_sf"
             )
             _os.makedirs(_warm_sf, exist_ok=True)
+            # written atomically below (tmp + os.replace) so an unlikely
+            # concurrent bench run never reads a half-written fixture —
+            # though overlapping bench runs skew each other's timings and
+            # are not a supported measurement anyway
             _pd.DataFrame(
                 {
                     "event_id": [1, 2, 3, 4],
@@ -94,7 +98,11 @@ def main() -> None:
                     "value": [1.0] * 4,
                     "props": ["{}"] * 4,
                 }
-            ).to_parquet(f"{_warm_sf}/events.parquet", index=False)
+            ).to_parquet(f"{_warm_sf}/.events.tmp.parquet", index=False)
+            _os.replace(
+                f"{_warm_sf}/.events.tmp.parquet",
+                f"{_warm_sf}/events.parquet",
+            )
             from fs2_kafka_streams_spark.streaming import stateful as _st
 
             _st.latest_by_key_streaming(spark, _warm_sf).collect()

@@ -77,6 +77,7 @@ def zorder_code(
 
     dtypes = dict(df.dtypes)
     _ok = ("tinyint", "smallint", "int", "bigint", "float", "double",
+           "boolean",  # casts to 0.0/1.0 — orderable, never NULLed
            "timestamp", "timestamp_ntz", "date")
     for c in cols:
         t = dtypes.get(c)

@@ -50,15 +50,18 @@ def q64_hll_sketch_merge(spark, sf_dir):
     sketch paths agree at the REGISTER level and both estimates land
     within 5% of exact.
 
-    ``merge_consistent`` compares ``est(union(sk, msk))`` with
-    ``est(union(msk, msk))``: both sides are two-input unions, so both use
-    the same estimator, and they agree iff the direct sketch's registers
-    match the sharded union's registers. Comparing the raw estimates
-    directly is NOT an invariant — once sketches leave exact coupon mode,
-    a stream-built sketch reports the DataSketches HIP estimate while a
-    union reports the composite register estimate (1494 vs 1488 on the
-    sf0.1 corpus from identical registers), so a naive equality check
-    passes only at toy scale.
+    ``merge_consistent`` routes BOTH sketches through the same two-input
+    union estimator and requires ``est(union(sk, sk)) ==
+    est(union(msk, msk))`` (symmetric: registers lost in EITHER path
+    change one side's composite estimate) AND ``est(union(sk, msk)) ==
+    est(union(msk, msk))`` (the absorbed union must equal the sharded one
+    — a one-sided check alone would also pass when sk's registers are a
+    strict subset of msk's). Comparing the raw estimates directly is NOT
+    an invariant — once sketches leave exact coupon mode, a stream-built
+    sketch reports the DataSketches HIP estimate while a union reports
+    the composite register estimate (1494 vs 1488 on the sf0.1 corpus
+    from identical registers), so a naive equality check passes only at
+    toy scale.
 
     Plan: the sharded path is the deployment shape — partials are
     map-side-combinable fixed-size binaries, so the shuffle carries
@@ -82,7 +85,9 @@ def q64_hll_sketch_merge(spark, sf_dir):
     est_d = F.hll_sketch_estimate("sk")
     est_m = F.hll_sketch_estimate("msk")
     registers_equal = F.expr(
-        "hll_sketch_estimate(hll_union(sk, msk))"
+        "hll_sketch_estimate(hll_union(sk, sk))"
+        " = hll_sketch_estimate(hll_union(msk, msk))"
+        " AND hll_sketch_estimate(hll_union(sk, msk))"
         " = hll_sketch_estimate(hll_union(msk, msk))"
     )
     tol = F.lit(0.05) * F.col("n_exact")

@@ -29,6 +29,16 @@ class JsonFormat:
     schema: str
 
     def decode(self, value: Column) -> tuple[Column, Column]:
+        from pyspark.sql.types import StructType
+
+        if "_corrupt" in {f.name for f in StructType.fromDDL(self.schema).fields}:
+            # the corrupt-record channel appends a field of this name; a
+            # user field would collide (duplicate struct field — ambiguous
+            # getField, rows misclassified as dead letters)
+            raise ValueError(
+                "JsonFormat reserves the field name '_corrupt' for its "
+                "corrupt-record channel; rename the schema field"
+            )
         s = value.cast("string")
         decoded = F.from_json(
             s,

@@ -376,11 +376,13 @@ def pattern_match_stream_tws(
             spark, matches, "cep_tws", extra_conf=dict(_tws_prepare(spark))
         )
     # explicit checkpoint = the crash-recovery path: the caller owns the
-    # tree (it restarts from it), so no cleanup here
+    # tree (it restarts from it), so no cleanup here. Conf layering matches
+    # run_to_memory's (_tws_prepare on top of STREAM_PERF_CONF) so both
+    # paths run under identical session confs.
     import uuid as _uuid
 
-    conf = dict(_tws_prepare(spark))
-    conf.update(STREAM_PERF_CONF)
+    conf = dict(STREAM_PERF_CONF)
+    conf.update(_tws_prepare(spark))
     name = f"cep_tws_{_uuid.uuid4().hex[:8]}"
     with pinned_conf(spark, conf):
         q = (

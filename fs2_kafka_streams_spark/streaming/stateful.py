@@ -669,19 +669,25 @@ def _run_upsert_sink(
     # epochs past everything already in the log. (A crash-resume on the
     # SAME checkpoint recomputes a higher base for the replayed batch —
     # harmless: the replayed rows are identical in content, and either
-    # copy is the same head.)
+    # copy is the same head.) The scan holds the shared sink lock so it
+    # cannot interleave with compaction's exclusive directory-rename swap.
+    # Writers themselves are one-at-a-time per sink (q75's writer flock is
+    # the pattern): two runs snapshotting the same base would interleave
+    # epochs — same as the pre-base behavior, not a regression, but not
+    # supported either.
     import os as _os
 
     epoch_base = 0
-    if _os.path.isdir(sink_dir) and any(
-        not f.startswith(".") for f in _os.listdir(sink_dir)
-    ):
-        prev_max = (
-            _read_upsert_log(spark, sink_dir, row_schema)
-            .agg(F.max("_epoch"))
-            .collect()[0][0]
-        )
-        epoch_base = (prev_max + 1) if prev_max is not None else 0
+    with _sink_lock(sink_dir, exclusive=False):
+        if _os.path.isdir(sink_dir) and any(
+            not f.startswith(".") for f in _os.listdir(sink_dir)
+        ):
+            prev_max = (
+                _read_upsert_log(spark, sink_dir, row_schema)
+                .agg(F.max("_epoch"))
+                .collect()[0][0]
+            )
+            epoch_base = (prev_max + 1) if prev_max is not None else 0
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         # SHARED lock: appends may run concurrently with each other but

@@ -56,7 +56,8 @@ def main() -> None:
                     and _hash(sdf) == _hash(ddf)
                 )
             else:
-                ok = len(sdf) >= 0
+                # mirror run_compare's rows-only policy: empty = regression
+                ok = len(sdf) > 0
             status = "OK" if ok else "FAIL"
             fails += 0 if ok else 1
             print(f"{status:4s} {name:36s} {time.perf_counter()-t0:6.2f}s "
