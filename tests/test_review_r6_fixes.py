@@ -444,6 +444,37 @@ def test_compaction_recovers_from_crashed_swap(spark, tmp_path):
     assert after == 1 and os.path.isdir(sink)
 
 
+def test_wire_read_raises_on_shrunken_log(spark, tmp_path):
+    """Offsets are planned on the driver; if the topic file is rewritten
+    DESTRUCTIVELY (fewer records) before the read task runs, the task must
+    raise OffsetOutOfRange-style — Arrow's clamping slice used to silently
+    drop the missing records while Spark committed the planned end."""
+    import shutil
+
+    from fs2_kafka_streams_spark.sources.python_source import (
+        _Part,
+        _StreamReader,
+    )
+    from tests.conftest import SF_SMOKE
+
+    src = tmp_path / "events.parquet"
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src)
+    opts = {
+        "path": str(src),
+        "topic": "t",
+        "partitions": "4",
+        "cursor_file": str(tmp_path / "cursor.json"),
+    }
+    r = _StreamReader(opts)
+    ends = r._end_offsets("t", str(src))
+    # within range: serves fine
+    ok = list(r.read(_Part("t", str(src), 0, 0, ends[0])))
+    assert ok and ok[0].num_rows == ends[0]
+    # plan an end past what a SHRUNKEN log holds
+    with pytest.raises(RuntimeError, match="offset out of range"):
+        list(r.read(_Part("t", str(src), 0, 0, ends[0] + 10)))
+
+
 def test_stratified_sample_flag_matches_filter(spark):
     """The projected membership flag must be exactly the predicate
     stratified_sample filters on — the zero-join realization q43e ships
