@@ -30,6 +30,30 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: (path, size, mtime_ns) -> names of TIMESTAMP(NANOS) columns. Every query
+#: builder constructs its own Catalog, so a per-instance cache gets almost
+#: no reuse — without this, each of the ~50 driver entries re-runs the
+#: blocking driver-side parquet footer read for the same files.
+_NANOS_CACHE: dict[tuple[str, int, int], frozenset[str]] = {}
+
+
+def _nanos_cols(path: str) -> frozenset[str]:
+    import pyarrow as pa
+
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    hit = _NANOS_CACHE.get(key)
+    if hit is None:
+        hit = frozenset(
+            f.name
+            for f in pq.read_schema(path)
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        )
+        _NANOS_CACHE[key] = hit
+        if len(_NANOS_CACHE) > 256:  # bound: stale stamps of rewritten files
+            _NANOS_CACHE.pop(next(iter(_NANOS_CACHE)))
+    return hit
+
 
 class Catalog:
     """Bind a SparkSession to one scale-factor directory of parquet tables."""
@@ -58,8 +82,6 @@ class Catalog:
         Conversion happens inside the scan projection (whole-stage codegen),
         so pushdown/pruning on all other columns is unaffected.
         """
-        import pyarrow as pa
-
         # Deliberate session mutation, set once: the driver hands us a
         # vanilla session and builds queries through this catalog only —
         # without the flag every read of the nano-timestamp driver parquet
@@ -71,12 +93,7 @@ class Catalog:
             != "true"
         ):
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        arrow_schema = pq.read_schema(path)
-        nanos_cols = {
-            f.name
-            for f in arrow_schema
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-        }
+        nanos_cols = _nanos_cols(path)
         df = self.spark.read.parquet(path)
         for c in nanos_cols:
             # timestampadd on an NTZ literal stays NTZ end-to-end — no

@@ -139,6 +139,11 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     actual frame (metadata pruning before decode)."""
     return (
         media.filter(F.col("kind") == "video")
+        # NULL or zero duration → NO frames: greatest() skips NULLs, so an
+        # unguarded sequence(0, greatest(NULL-1, 0)) would emit a phantom
+        # frame at ts 0 for a video of unknown/zero length, and downstream
+        # per-frame decode would read a frame that does not exist
+        .filter(F.col("duration_ms") > 0)
         .select(
             "media_id",
             F.explode(

@@ -54,6 +54,17 @@ def changelog_history(
     if value_cols is None:
         reserved = set(key_cols) | {order_col, tombstone_col}
         value_cols = [c for c in df.columns if c not in reserved]
+    taken = {"valid_from", "valid_to", "is_current", "_dead"}
+    clash = taken & set(value_cols)
+    if clash:
+        # a payload column with one of the emitted names would produce a
+        # duplicate-named select and fail later with AMBIGUOUS_REFERENCE —
+        # fail here, at the API boundary, with the actionable message
+        raise ValueError(
+            f"changelog_history emits columns {sorted(taken)}; rename the "
+            f"conflicting input column(s) {sorted(clash)} or exclude them "
+            "via value_cols"
+        )
     w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
     out = df.select(
         *[F.col(k) for k in key_cols],

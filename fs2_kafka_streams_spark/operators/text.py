@@ -68,7 +68,12 @@ def whitespace_token_count(col: str | Column) -> Column:
 # numeric chunking), punctuation runs, whitespace runs. Deliberately
 # lookahead-free so the same pattern runs in Java regex (Spark) and RE2
 # (DuckDB oracle).
-BPE_RE = r"[a-z]+|[0-9]{1,3}|[^a-z0-9\s]+|\s+"
+# explicit whitespace class, NOT \s: Java regex (Spark) includes \x0b in
+# \s while RE2 (the DuckDB oracle) does not, so \s-based tokenization
+# diverges on any document containing a vertical tab; this class is
+# byte-identical in both engines
+_WS = r" \t\n\x0b\f\r"
+BPE_RE = rf"[a-z]+|[0-9]{{1,3}}|[^a-z0-9{_WS}]+|[{_WS}]+"
 
 
 def bpe_token_count(col: str | Column) -> Column:
@@ -157,9 +162,12 @@ def redact(col: str | Column) -> Column:
     placeholder tags — the standard pre-training privacy pass.
 
     A chain of ``regexp_replace`` column expressions: whole-stage codegen,
-    no Python, no shuffle — at 100 TB this runs at scan speed. Order
-    matters (SSN before IPv4 would also match phone-shaped text), so the
-    chain applies patterns most-specific-first as listed.
+    no Python, no shuffle — at 100 TB this runs at scan speed. The listed
+    order is safe because the patterns' shapes are mutually exclusive on
+    realistic text (email requires '@'+TLD; phone is 3-3-4 digit groups vs
+    SSN's 3-2-4; IPv4 requires dots between octets) — each replacement
+    cannot consume a prefix another pattern needs. Re-verify that
+    invariant when adding a pattern; order alone is not the guarantee.
     """
     c = F.col(col) if isinstance(col, str) else col
     for pat, tag in REDACT_PATTERNS:

@@ -558,12 +558,14 @@ def q43b_text_analysis(spark, sf_dir):
 
 @query(
     "q43c_token_budget",
+    # the tokenizer class is spelled out (not \s): Java's \s includes \x0b,
+    # RE2's does not — BPE_RE in operators/text.py is the one definition
     oracle=r"""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
            CAST(len(regexp_extract_all(lower(text),
-                '[a-z]+|[0-9]{1,3}|[^a-z0-9\s]+|\s+')) AS INTEGER)
-             AS n_bpe_tokens
+                '[a-z]+|[0-9]{1,3}|[^a-z0-9 \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+'))
+             AS INTEGER) AS n_bpe_tokens
     FROM documents
     """,
     tags=("llm", "text"),

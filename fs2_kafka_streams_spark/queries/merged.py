@@ -23,7 +23,20 @@ from pyspark.sql import functions as F
 
 from fs2_kafka_streams_spark.canonical import SQL_REVENUE, revenue_expr
 from fs2_kafka_streams_spark.catalog import Catalog
-from fs2_kafka_streams_spark.queries import REGISTRY, query
+from fs2_kafka_streams_spark.queries import (  # noqa: F401 — the variant
+    REGISTRY,  # modules must be imported BEFORE the module-level
+    query,  # _register_* calls below look their specs up in REGISTRY;
+)  # without these imports, importing merged directly raises KeyError
+from fs2_kafka_streams_spark.queries import (  # noqa: F401
+    analytics,
+    llm,
+    relational,
+    sketches,
+    stateful,
+    streaming_ext,
+    timeseries,
+    windows,
+)
 
 
 def _spec(name: str):
@@ -596,8 +609,11 @@ def q42b_minhash_simhash(spark, sf_dir):
     (merge of q42b/q42c/q42d): MinHash(64)+LSH(16 bands) pairs with exact
     Jaccard verification, SimHash-64 banded-hamming candidate pairs — both
     O(n·bands) bucketed shuffles, never O(n²) — and the connected-components
-    dedup clustering (pointer-jumping label propagation) over the exact-tier
-    pairs. The portable md5 hash family makes the WHOLE pipeline DuckDB-
+    dedup clustering (pointer-jumping label propagation) over the
+    MINHASH-tier pairs (the tier that exists at corpus scale; the exact
+    Jaccard tier is the oracle-scale ground truth only — see the inline
+    comment at the cluster step). The portable md5 hash family makes the
+    WHOLE pipeline DuckDB-
     replayable (signatures, bands, candidates, verification, and the CC
     fixed point as a recursive CTE), so this entry is hash-checked, not
     rows-only; recall vs the exact q42 tier and cluster labels vs a
