@@ -311,6 +311,7 @@ def pattern_matches_stream_tws(
     base_type: str = "view",
     trigger_type: str = "click",
     gap: str = "10 minutes",
+    source: DataFrame | None = None,
 ) -> DataFrame:
     """Un-sinked TWS pattern stream (see :class:`PatternTimerProcessor`).
     Event-time mode needs a watermark, and watermarks require TIMESTAMP —
@@ -319,15 +320,26 @@ def pattern_matches_stream_tws(
     matching and output; ``_utc_us`` carries the cast's UTC micros so the
     processor can convert wall-time expiries into the timer clock's domain.
     The time-ordered replay's contiguous chunks make a 0-second delay
-    lossless (no late rows)."""
+    lossless (no late rows).
+
+    ``source`` injects any other streaming DataFrame carrying the events
+    columns with an NTZ ``ts`` (e.g. the wire source's decoded stream —
+    the reference's rebalance + table-materialization composition,
+    ``client/RecordStream.scala:71-108`` + ``streams/Tables.scala``);
+    default is the deterministic time-ordered file replay of
+    ``{sf_dir}/events.parquet``."""
     from fs2_kafka_streams_spark.streaming.stateful import _tws_prepare
 
     _tws_prepare(spark)
     gap_us = duration_us(gap)
+    if source is None:
+        source = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(replay_dir(sf_dir, "events", order_col="ts"))
+        )
     src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(replay_dir(sf_dir, "events", order_col="ts"))
+        source
         .withColumn("_evt", F.col("ts").cast("timestamp"))
         .withColumn("_utc_us", F.unix_micros(F.col("_evt")))
         .withWatermark("_evt", "0 seconds")
@@ -355,6 +367,7 @@ def pattern_match_stream_tws(
     trigger_type: str = "click",
     gap: str = "10 minutes",
     checkpoint: str | None = None,
+    source: DataFrame | None = None,
 ) -> DataFrame:
     """Run the timer-expiring TWS pattern query to completion; returns the
     match table (must equal :func:`pattern_match_batch` — the q57 oracle)."""
@@ -366,7 +379,7 @@ def pattern_match_stream_tws(
     from fs2_kafka_streams_spark.streaming.stateful import _tws_prepare
 
     matches = pattern_matches_stream_tws(
-        spark, sf_dir, base_type, trigger_type, gap
+        spark, sf_dir, base_type, trigger_type, gap, source=source
     )
     if checkpoint is None:
         # throwaway checkpoint: run_to_memory owns the tempdir and deletes

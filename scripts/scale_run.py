@@ -135,10 +135,17 @@ BASE_EVENTS = 60_000    # = sf0.1 events rows
 BASE_KEYS = 1_500       # = sf0.1 distinct user_ids
 
 
-def gen_events(path: str, n: int, n_keys: int, seed: int = 13) -> None:
+def gen_events(
+    path: str, n: int, n_keys: int, seed: int = 13, hot_frac: float = 0.0
+) -> None:
     """Seeded synthetic changelog in the events schema: increasing ts
     (publish order), keys uniform over ``n_keys``, types weighted like the
-    fixture (view-heavy so CEP has bases)."""
+    fixture (view-heavy so CEP has bases).
+
+    ``hot_frac`` > 0 plants ONE hot key: that fraction of all events lands
+    on user_id 0 (the reference's own fixture is deliberately skewed onto a
+    handful of users, ``ReadOnlyTableSpec.scala:41-54``; a real changelog is
+    Zipfian). The rest stays uniform over the remaining keys."""
     if os.path.exists(path):
         return
     import pyarrow as pa
@@ -152,13 +159,14 @@ def gen_events(path: str, n: int, n_keys: int, seed: int = 13) -> None:
         size=n,
         p=[0.5, 0.3, 0.1, 0.1],
     )
+    user_id = rng.randint(0, n_keys, size=n).astype("int64")
+    if hot_frac > 0.0:
+        user_id[rng.rand(n) < hot_frac] = 0
     t = pa.table(
         {
             "event_id": pa.array(range(1, n + 1), pa.int64()),
             "ts": pa.array(ts_us, pa.timestamp("us")),
-            "user_id": pa.array(
-                rng.randint(0, n_keys, size=n).astype("int64"), pa.int64()
-            ),
+            "user_id": pa.array(user_id, pa.int64()),
             "event_type": pa.array(types, pa.string()),
             "value": pa.array(rng.rand(n), pa.float64()),
             "props": pa.array(["{}"] * n, pa.string()),
@@ -167,16 +175,27 @@ def gen_events(path: str, n: int, n_keys: int, seed: int = 13) -> None:
     pq.write_table(t, path)
 
 
-def _events_replay(out: str, n: int, n_keys: int, n_files: int) -> str:
+def _events_dir(out: str, n: int, n_keys: int, hot_frac: float = 0.0) -> str:
+    """sf-style directory holding one seeded events.parquet (cached)."""
+    suffix = f"_h{int(hot_frac * 100)}" if hot_frac else ""
+    sf_like = os.path.join(out, f"evdir_{n}_k{n_keys}{suffix}")
+    os.makedirs(sf_like, exist_ok=True)
+    gen_events(
+        os.path.join(sf_like, "events.parquet"), n, n_keys, hot_frac=hot_frac
+    )
+    return sf_like
+
+
+def _events_replay(
+    out: str, n: int, n_keys: int, n_files: int, hot_frac: float = 0.0
+) -> str:
     """Generate the seeded changelog into its own sf-style directory and
     chunk it with the harness's OWN replay machinery (`replay_dir`: ordered
     mtimes, contiguous-ts chunks, source-stamped cache) — one replay
     implementation, one cache-invalidation rule."""
     from fs2_kafka_streams_spark.streaming.replay import replay_dir
 
-    sf_like = os.path.join(out, f"evdir_{n}_k{n_keys}")
-    os.makedirs(sf_like, exist_ok=True)
-    gen_events(os.path.join(sf_like, "events.parquet"), n, n_keys)
+    sf_like = _events_dir(out, n, n_keys, hot_frac=hot_frac)
     return replay_dir(
         sf_like, "events", n_files=n_files, order_col="ts",
         cache_root=os.path.join(out, "replay_cache"),
@@ -257,6 +276,11 @@ def run_streaming_section(spark, out: str, scales: list[int]) -> list[dict]:
             "wall_s": round(wall, 1),
             "triggers": len(trig_ms),
             "mean_trigger_ms": int(np.mean(trig_ms)) if trig_ms else -1,
+            # p50 vs max is the skew instrument: a hot key serializes one
+            # key-group's Arrow round-trip, stretching the worst trigger
+            # while the median stays put
+            "p50_trigger_ms": int(np.median(trig_ms)) if trig_ms else -1,
+            "max_trigger_ms": int(np.max(trig_ms)) if trig_ms else -1,
             "state_rows": state_rows,
             "state_mb": round(state_bytes / 1e6, 1),
         }
@@ -304,6 +328,100 @@ def run_streaming_section(spark, out: str, scales: list[int]) -> list[dict]:
         row = {"op": tag, "scale": scales[-1], "events": n_ev, "keys": big_keys, **m}
         rows.append(row)
         print("STREAM_ROW", json.dumps(row), flush=True)
+    # axis 3: HOT KEY — same volume/key-domain as axis 1's largest run but
+    # 40% of all events land on one user (the reference fixture's own shape,
+    # ReadOnlyTableSpec.scala:41-54). State must stay O(keys) — the skew
+    # cost, if any, shows up in max_trigger_ms (one key group = one Arrow
+    # round-trip that cannot be split across tasks).
+    replay = _events_replay(out, n_ev, BASE_KEYS, n_files, hot_frac=0.4)
+    for tag, builder, mode in (
+        ("latest", latest_updates, "update"),
+        ("funnel", funnel_updates, "append"),
+    ):
+        m = drive(builder, replay, f"{tag}_skew", output_mode=mode)
+        row = {
+            "op": f"{tag}_hot40", "scale": scales[-1], "events": n_ev,
+            "keys": BASE_KEYS, **m,
+        }
+        rows.append(row)
+        print("STREAM_ROW", json.dumps(row), flush=True)
+    return rows
+
+
+def run_rows_section(spark, out: str, scales: list[int]) -> list[dict]:
+    """Measured scale evidence for the two O(rows)-output families (VERDICT
+    r6 #6): SCD2 history (q53's operator) and the as-of join (q12's). Both
+    carry a shuffle on the key plus a per-key window sort; the claim under
+    test is that wall time grows ~linearly with rows and the plan's
+    exchange count stays FLAT (the window sort is the only O(rows log rows)
+    term, and it never becomes an extra shuffle). A hot-key corpus row
+    exposes the one real skew risk: a window partition cannot be split by
+    AQE, so one hot key serializes its own sort."""
+    from fs2_kafka_streams_spark.operators.asof_join import asof_join
+    from fs2_kafka_streams_spark.operators.scd import changelog_history
+
+    def n_exchanges(df) -> int:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    def measure(events):
+        # SCD2: full version history of the changelog keyed by user.
+        # Timed region = plan build + noop write (the bench methodology);
+        # row counts run after, untimed.
+        hist = changelog_history(events, ["user_id"], "event_id")
+        t0 = time.time()
+        hist.write.format("noop").mode("overwrite").save()
+        t_hist = time.time() - t0
+        n_hist, ex_hist = hist.count(), n_exchanges(hist)
+        # as-of: every event enriched with the latest PRIOR purchase of the
+        # same user — right side is the purchases subset (~10% of rows)
+        right = events.filter("event_type = 'purchase'").select(
+            "user_id", "ts", "value"
+        )
+        joined = asof_join(
+            events, right, "ts", "ts", ["user_id"], ["user_id"],
+            right_values=["value"],
+        )
+        t0 = time.time()
+        joined.write.format("noop").mode("overwrite").save()
+        t_asof = time.time() - t0
+        n_asof, ex_asof = joined.count(), n_exchanges(joined)
+        return n_hist, t_hist, ex_hist, n_asof, t_asof, ex_asof
+
+    rows = []
+    for s in scales:
+        n_ev = BASE_EVENTS * s
+        events = spark.read.parquet(
+            os.path.join(_events_dir(out, n_ev, BASE_KEYS), "events.parquet")
+        )
+        n_hist, t_hist, ex_hist, n_asof, t_asof, ex_asof = measure(events)
+        row = {
+            "corpus": "uniform", "scale": s, "events": n_ev,
+            "scd2_rows": n_hist, "scd2_s": round(t_hist, 1),
+            "scd2_exchanges": ex_hist,
+            "asof_rows": n_asof, "asof_s": round(t_asof, 1),
+            "asof_exchanges": ex_asof,
+        }
+        rows.append(row)
+        print("ROWS_ROW", json.dumps(row), flush=True)
+    # hot-key corpus at the largest scale: the per-key window sort is the
+    # one place a hot key cannot be split — measure the cost honestly
+    n_ev = BASE_EVENTS * scales[-1]
+    events = spark.read.parquet(
+        os.path.join(
+            _events_dir(out, n_ev, BASE_KEYS, hot_frac=0.4), "events.parquet"
+        )
+    )
+    n_hist, t_hist, ex_hist, n_asof, t_asof, ex_asof = measure(events)
+    row = {
+        "corpus": "hot40", "scale": scales[-1], "events": n_ev,
+        "scd2_rows": n_hist, "scd2_s": round(t_hist, 1),
+        "scd2_exchanges": ex_hist,
+        "asof_rows": n_asof, "asof_s": round(t_asof, 1),
+        "asof_exchanges": ex_asof,
+    }
+    rows.append(row)
+    print("ROWS_ROW", json.dumps(row), flush=True)
     return rows
 
 
@@ -315,14 +433,19 @@ def main() -> None:
         "--streaming", action="store_true",
         help="run the measured streaming section instead of the batch one",
     )
+    ap.add_argument(
+        "--rows", action="store_true",
+        help="run the O(rows) families section (SCD2 history, as-of join)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     os.makedirs(args.out, exist_ok=True)
 
-    if args.streaming:
+    if args.streaming or args.rows:
         from fs2_kafka_streams_spark.session import get_spark
 
-        rows = run_streaming_section(get_spark(), args.out, scales)
+        section = run_streaming_section if args.streaming else run_rows_section
+        rows = section(get_spark(), args.out, scales)
         hdr = list(rows[0])
         print("\n| " + " | ".join(hdr) + " |")
         print("|" + "---|" * len(hdr))

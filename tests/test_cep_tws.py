@@ -121,13 +121,16 @@ def test_tws_timers_expire_base_state(spark):
     import pyarrow.parquet as pq
 
     rd = replay_dir(SF_SMOKE, "events", order_col="ts")
+    # replay files carry timestamp[us] — to_pandas gives datetime64[us],
+    # so astype(int64) IS already µs (a former //1000 here turned the
+    # watermark into milliseconds and made the loop below vacuous)
     wm1_us = max(
         pq.read_table(f"{rd}/part-{k:04d}.parquet")
         .column("ts")
         .to_pandas()
+        .astype("datetime64[us]")
         .astype("int64")
         .max()
-        // 1000
         for k in (0, 1)
     )
     for uid, (eid, ts_us) in last_view.items():
