@@ -64,7 +64,10 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    warm_ok = {"ran": False, "error": None}
+    # per-stage flags: a failure in one warm-up stage must not misreport
+    # the stages that DID complete (q38/q38b warmed but q48/q72 cold, or
+    # vice versa, are different measurement conditions)
+    warm_ok = {"stateful": False, "tws": False, "join": False, "error": None}
 
     def warm_streaming() -> None:
         """Warm the STREAMING machinery — RocksDB provider JNI + state-store
@@ -117,8 +120,10 @@ def main() -> None:
             from fs2_kafka_streams_spark.streaming import stateful as _st
 
             _st.latest_by_key_streaming(spark, _warm_sf).collect()
+            warm_ok["stateful"] = True
             if _st.HAS_TWS:
                 _st.latest_by_key_tws(spark, _warm_sf).collect()
+                warm_ok["tws"] = True
             # Also spin the SQL-native stream-stream join machinery
             # (SymmetricHashJoin state manager + its per-store layout) —
             # q48/q72 are the two most expensive streaming entries and the
@@ -128,7 +133,7 @@ def main() -> None:
             _sx._stream_stream_join(
                 spark, _warm_sf, watermark="10 minutes"
             ).collect()
-            warm_ok["ran"] = True
+            warm_ok["join"] = True
         except Exception as e:  # pragma: no cover - must never fail the bench
             warm_ok["error"] = str(e)[:200]
             print(f"streaming warm-up skipped: {e}", file=sys.stderr)
@@ -164,11 +169,17 @@ def main() -> None:
 
     from fs2_kafka_streams_spark.streaming import conf as _sconf
 
+    def _temp_views() -> set[str]:
+        return {
+            t.name for t in spark.catalog.listTables() if t.isTemporary
+        }
+
     def run_entry(spec) -> tuple[float, dict[str, str]]:
         """One timed execution of an entry (plan build + noop write), plus
         the union of every conf map the run pinned via ``pinned_conf`` —
         the artifact's per-entry proof of which streaming confs were live."""
-        pin_start = len(_sconf.PIN_TRACE)
+        pin_start = _sconf.PIN_SEQ  # monotonic: survives PIN_TRACE trimming
+        views_before = _temp_views()
         t0 = time.perf_counter()
         df = spec.build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -176,8 +187,18 @@ def main() -> None:
         # drop persisted intermediates (shared shingle/pair tables) so no
         # run's cache residue distorts the next measurement
         spark.catalog.clearCache()
+        # drop memory-sink tables the run registered: with median re-runs
+        # each streaming rep would otherwise pin another full sink table in
+        # driver memory for the rest of the bench (clearCache does not
+        # touch memory sinks), inflating later entries with GC residue
+        for name in _temp_views() - views_before:
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        n_new = min(_sconf.PIN_SEQ - pin_start, len(_sconf.PIN_TRACE))
         pinned: dict[str, str] = {}
-        for m in _sconf.PIN_TRACE[pin_start:]:
+        for m in _sconf.PIN_TRACE[-n_new:] if n_new > 0 else []:
             pinned.update(m)
         return dt, pinned
 
@@ -282,7 +303,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "calib_sec": [calib_before, calib_after],
                 "policy": f"median-of-{RERUN_REPS} over {RERUN_THRESHOLD_SEC}s",
-                "warm": warm_ok["ran"],
+                "warm": warm_ok["stateful"] and warm_ok["join"],
                 "queries": slowest,
             },
             separators=(",", ":"),

@@ -66,11 +66,20 @@ def duration_us(s: str) -> int:
 PIN_TRACE: list[dict[str, str]] = []
 _PIN_TRACE_MAX = 256
 
+#: Monotonic count of every ``pinned_conf`` entry ever appended. Readers
+#: must snapshot THIS (not ``len(PIN_TRACE)``) and take the last
+#: ``PIN_SEQ - snapshot`` elements — the rolling trim above shifts list
+#: indices, so a length-based slice silently goes empty once the session
+#: crosses ``_PIN_TRACE_MAX`` total pins.
+PIN_SEQ = 0
+
 
 @contextmanager
 def pinned_conf(spark: SparkSession, confs: dict[str, str]):
+    global PIN_SEQ
     old: dict[str, str | None] = {}
     PIN_TRACE.append(dict(confs))
+    PIN_SEQ += 1
     del PIN_TRACE[:-_PIN_TRACE_MAX]
     try:
         # set inside the try: if a later key raises (static conf, bad

@@ -3,9 +3,13 @@
 cancels instead of biasing one variant; pair counts must be identical
 across variants (same corpus, same seed, same plan modulo storage).
 
-Also prints a one-off stage breakdown (shingle build / signatures /
-candidates / full verify) for the checkpoint variant so the SCALE.md row
-can say WHERE the 100× wall time lives.
+``--breakdown`` additionally times the shingle build and the signature
+aggregation in isolation (the two stages the storage choice can affect);
+the full pipeline rebuilds its own shingles, so the remaining
+candidates+verify cost is NOT derivable by subtraction — the breakdown
+bounds where the wall time lives, it does not partition it exactly. It
+runs AFTER the A/B and is followed by an explicit cache clear, so its
+retained blocks never sit in executor memory during the timed reps.
 
 Usage::
 
@@ -50,36 +54,6 @@ def main() -> None:
     gen_documents(dpath, n_docs)
     docs = spark.read.parquet(dpath)
 
-    if args.breakdown:
-        t0 = time.time()
-        sh = _doc_shingles(docs, "text", "doc_id", 3).localCheckpoint(
-            eager=True
-        )
-        t_sh = time.time() - t0
-        t0 = time.time()
-        sig = minhash_signatures(docs, "text", "doc_id", shingle_df=sh)
-        sig.write.format("noop").mode("overwrite").save()
-        t_sig = time.time() - t0
-        t0 = time.time()
-        pairs = minhash_lsh_pairs(
-            docs, "text", "doc_id", max_bucket_size=256
-        )
-        n_pairs = pairs.count()
-        t_full = time.time() - t0
-        print(
-            "BREAKDOWN",
-            json.dumps(
-                {
-                    "shingle_build_s": round(t_sh, 1),
-                    "signatures_s": round(t_sig, 1),
-                    "full_pipeline_s": round(t_full, 1),
-                    "pairs": n_pairs,
-                }
-            ),
-            flush=True,
-        )
-        spark.catalog.clearCache()
-
     variants = ("checkpoint", "disk_persist")
     results: dict[str, list[float]] = {v: [] for v in variants}
     counts: dict[str, set[int]] = {v: set() for v in variants}
@@ -110,6 +84,27 @@ def main() -> None:
     assert counts["checkpoint"] == counts["disk_persist"], (
         "variants disagree on pair count — storage must not change results"
     )
+
+    if args.breakdown:
+        # after the A/B so the retained blocks can't bias the timed reps
+        t0 = time.time()
+        sh = _doc_shingles(docs, "text", "doc_id", 3).localCheckpoint(
+            eager=True
+        )
+        t_sh = time.time() - t0
+        t0 = time.time()
+        sig = minhash_signatures(docs, "text", "doc_id", shingle_df=sh)
+        sig.write.format("noop").mode("overwrite").save()
+        t_sig = time.time() - t0
+        print(
+            "BREAKDOWN",
+            json.dumps(
+                {"shingle_build_s": round(t_sh, 1), "signatures_s": round(t_sig, 1)}
+            ),
+            flush=True,
+        )
+        del sh, sig
+        spark.catalog.clearCache()
 
 
 if __name__ == "__main__":

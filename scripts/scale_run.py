@@ -444,13 +444,19 @@ def main() -> None:
     if args.streaming or args.rows:
         from fs2_kafka_streams_spark.session import get_spark
 
-        section = run_streaming_section if args.streaming else run_rows_section
-        rows = section(get_spark(), args.out, scales)
-        hdr = list(rows[0])
-        print("\n| " + " | ".join(hdr) + " |")
-        print("|" + "---|" * len(hdr))
-        for r in rows:
-            print("| " + " | ".join(str(r[k]) for k in hdr) + " |")
+        spark = get_spark()
+        sections = []
+        if args.streaming:
+            sections.append(run_streaming_section)
+        if args.rows:  # both flags run both sections, streaming first
+            sections.append(run_rows_section)
+        for section in sections:
+            rows = section(spark, args.out, scales)
+            hdr = list(rows[0])
+            print("\n| " + " | ".join(hdr) + " |")
+            print("|" + "---|" * len(hdr))
+            for r in rows:
+                print("| " + " | ".join(str(r[k]) for k in hdr) + " |")
         return
 
     from fs2_kafka_streams_spark.operators import clusters

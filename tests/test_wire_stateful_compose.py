@@ -51,14 +51,17 @@ def _two_topic_broker(tmp_path):
     shifted["user_id"] = shifted["user_id"] + 10_000
     shifted["event_id"] = shifted["event_id"] + 1_000_000
     span = t["ts"].max() - t["ts"].min()
-    shifted["ts"] = shifted["ts"] + span + pd.Timedelta(hours=3)
+    # keep µs precision explicit: the wire source's publish-order contract
+    # is epoch-µs (python_source.publish_topic casts the same way)
+    shifted["ts"] = (
+        shifted["ts"] + span + pd.Timedelta(hours=3)
+    ).astype("datetime64[us]")
     return broker, t, shifted
 
 
 def test_pattern_query_survives_topic_appearance(spark, tmp_path):
     import pandas as pd
 
-    from fs2_kafka_streams_spark.catalog import Catalog
     from fs2_kafka_streams_spark.sources.python_source import (
         decode_wire,
         read_wire_stream,
