@@ -1,0 +1,77 @@
+"""Pins for round-7 instrumentation seams.
+
+- The conf-pin trace protocol: readers snapshot the MONOTONIC ``PIN_SEQ``
+  and take the last ``PIN_SEQ - snapshot`` entries; a length-based
+  snapshot silently returns nothing once the rolling trim engages (the
+  regression a round-7 review caught in bench.py's first version).
+- The minhash ``shingle_storage`` seam: the DISK_ONLY persist variant
+  must produce byte-identical results to the default localCheckpoint
+  (storage is a measurement/ops knob, never semantics), and an unknown
+  value must fail loudly at the API boundary.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fs2_kafka_streams_spark.streaming import conf as sconf
+from tests.conftest import SF_SMOKE
+
+
+def test_pin_trace_counter_survives_trim(spark):
+    """Drive pinned_conf past the trim horizon; the PIN_SEQ read protocol
+    must still attribute the LAST scope's confs correctly while a naive
+    len() snapshot goes empty (asserted too, so a future 'simplification'
+    back to len() fails here)."""
+    key = "spark.sql.shuffle.partitions"
+    base = spark.conf.get(key)
+
+    # push well past the trim horizon
+    for i in range(sconf._PIN_TRACE_MAX + 5):
+        with sconf.pinned_conf(spark, {key: base}):
+            pass
+    assert len(sconf.PIN_TRACE) == sconf._PIN_TRACE_MAX
+
+    # reader protocol: snapshot PIN_SEQ, run a scope, slice by the delta
+    snap_seq = sconf.PIN_SEQ
+    snap_len = len(sconf.PIN_TRACE)
+    marker = {key: base, "spark.sql.session.timeZone": "UTC"}
+    with sconf.pinned_conf(spark, marker):
+        pass
+    n_new = min(sconf.PIN_SEQ - snap_seq, len(sconf.PIN_TRACE))
+    assert n_new == 1
+    got = {}
+    for m in sconf.PIN_TRACE[-n_new:]:
+        got.update(m)
+    assert got == marker
+
+    # the naive protocol is broken here: the list is already at its cap,
+    # so a len() snapshot slices from a position at/beyond the tail and
+    # misses the scope that just ran
+    assert sconf.PIN_TRACE[snap_len:] == []
+    assert spark.conf.get(key) == base  # scopes restored
+
+
+def test_minhash_disk_persist_parity(spark):
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = Catalog(spark, SF_SMOKE).documents
+    kwargs = dict(text_col="text", id_col="doc_id", threshold=0.5)
+    a = sorted(
+        map(tuple, minhash_lsh_pairs(docs, **kwargs).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                docs, shingle_storage="disk_persist", **kwargs
+            ).collect(),
+        )
+    )
+    spark.catalog.clearCache()  # the disk_persist contract: caller unpersists
+    assert a == b
+    assert len(a) > 0
+
+    with pytest.raises(ValueError, match="shingle_storage"):
+        minhash_lsh_pairs(docs, shingle_storage="nope", **kwargs)
