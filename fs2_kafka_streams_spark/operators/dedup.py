@@ -79,12 +79,25 @@ def _spread(df: DataFrame) -> DataFrame:
     is a no-op and adds nothing to the plan.
 
     Width probe: the exact ``df.rdd.getNumPartitions()`` on classic Spark
-    (one cheap RPC; counts actual scan splits, so a few LARGE files with
-    many row groups correctly no-op); under Spark Connect — where the RDD
-    handle doesn't exist — fall back to estimating splits from
-    ``inputFiles()`` sizes against ``spark.sql.files.maxPartitionBytes``
-    (file count alone would under-count splittable files and force the
-    very shuffle this guard avoids).
+    (one cheap RPC; counts actual scan splits); under Spark Connect —
+    where the RDD handle doesn't exist — fall back to estimating splits
+    from ``inputFiles()`` sizes against
+    ``spark.sql.files.maxPartitionBytes`` (file count alone would
+    under-count splittable files and force the very shuffle this guard
+    avoids).
+
+    Parquet caveat the probe must correct for: byte-range SPLITS only
+    parallelize across ROW GROUPS — Spark assigns each row group to the
+    split holding its starting offset, so a 176 MB single-row-group file
+    plans as 32 splits yet delivers every row to ONE task (31 empty
+    tasks beside one straggler; measured at the 100× corpus: the shingle
+    stage serialized on one core). When the split count looks sufficient
+    but the input is a FEW large parquet files, read their footers
+    (cheap, driver-side, capped at ``target`` files by construction) and
+    demote the effective width to the real row-group count. Inputs with
+    at least ``target`` files, non-parquet formats (byte-splittable —
+    splits genuinely parallelize), non-file sources, and unreadable
+    (remote) footers keep the split-based answer.
     """
     spark = df.sparkSession
     try:
@@ -106,9 +119,30 @@ def _spread(df: DataFrame) -> DataFrame:
                 n_splits += max(1, -(-size // max_bytes))
             except OSError:  # remote/object-store path: count the file
                 n_splits += 1
-    if n_splits >= target:
-        return df
-    return df.repartition(target)
+    if n_splits < target:
+        return df.repartition(target)
+    # splits >= target: trustworthy only if the rows can actually reach
+    # that many tasks — for parquet that means enough row groups
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and len(files) < target and all(
+        f.endswith(".parquet") for f in files
+    ):
+        import pyarrow.parquet as _pq
+
+        row_groups = 0
+        for f in files:
+            local = f[len("file:"):] if f.startswith("file:") else f
+            try:
+                row_groups += _pq.ParquetFile(local).metadata.num_row_groups
+            except Exception:  # remote/unreadable footer: trust the splits
+                return df
+            if row_groups >= target:
+                return df
+        return df.repartition(target)
+    return df
 
 
 def _doc_shingles(

@@ -52,6 +52,52 @@ def test_pin_trace_counter_survives_trim(spark):
     assert spark.conf.get(key) == base  # scopes restored
 
 
+def test_spread_sees_through_split_inflated_single_row_group(spark, tmp_path):
+    """A single-row-group parquet file planned as many byte-range splits
+    must still be repartitioned: parquet rows can only parallelize across
+    ROW GROUPS, so the split count alone overstates the scan's real width
+    (the 100×-corpus regression: 32 planned splits, every row in one
+    task, the shingle stage serialized on one core). A genuinely
+    multi-row-group file of the same planned width must stay a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fs2_kafka_streams_spark.operators.dedup import _spread
+
+    n = 20_000
+    t = pa.table({"doc_id": list(range(n)), "text": ["word " * 40] * n})
+    one_rg = str(tmp_path / "one_rg.parquet")
+    many_rg = str(tmp_path / "many_rg.parquet")
+    pq.write_table(t, one_rg)  # default row_group_size ≫ n → 1 row group
+    pq.write_table(t, many_rg, row_group_size=n // 200)  # 200 row groups
+    assert pq.ParquetFile(one_rg).metadata.num_row_groups == 1
+
+    target = spark.sparkContext.defaultParallelism
+    # shrink maxPartitionBytes so the planner slices the file into at
+    # least `target` splits — the condition that used to fool the probe
+    size = __import__("os").path.getsize(one_rg)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(max(1, size // (target * 2)))
+    )
+    try:
+        df1 = spark.read.parquet(one_rg)
+        assert df1.rdd.getNumPartitions() >= target, "probe precondition"
+        spread1 = _spread(df1)
+        assert spread1.rdd.getNumPartitions() == target, (
+            "single-row-group input must be repartitioned despite its "
+            "inflated split count"
+        )
+        dfm = spark.read.parquet(many_rg)
+        assert dfm.rdd.getNumPartitions() >= target
+        assert _spread(dfm) is dfm, (
+            "a genuinely multi-row-group scan of sufficient width must "
+            "stay shuffle-free"
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_minhash_disk_persist_parity(spark):
     from fs2_kafka_streams_spark.catalog import Catalog
     from fs2_kafka_streams_spark.operators.dedup import minhash_lsh_pairs
