@@ -26,6 +26,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Corpus-side scans do their heavy per-row work (quantization, signature
+# UDFs, cross-join scoring) in the SCAN stage — a coarsely-partitioned
+# input (few files, or giant single-row-group parquet) would serialize it
+# on a handful of cores. Same guard as the text-dedup pipeline.
+from fs2_kafka_streams_spark.operators.dedup import _spread
+
 QUANT = 1_000_000
 
 
@@ -116,7 +122,7 @@ def cosine_topk(
     construction, used to validate the LSH tier.
     """
     q = with_quantized(queries, vec_col, id_col, "q_")
-    e = with_quantized(embeddings, vec_col, id_col, "n_")
+    e = with_quantized(_spread(embeddings), vec_col, id_col, "n_")
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
@@ -261,6 +267,7 @@ def embedding_neardup_pairs_lsh(
 
         n = embeddings.count()
         bits_per_band = max(8, min(20, math.ceil(math.log2(max(n, 2)))))
+    embeddings = _spread(embeddings)
     e = embeddings.select(
         F.col(id_col).alias("id"),
         quantized(F.col(vec_col)).alias("q"),
@@ -375,7 +382,7 @@ def lsh_cosine_topk(
             f"{prefix}n2", dot_int(F.col(f"{prefix}q"), F.col(f"{prefix}q"))
         )
 
-    e = prep(embeddings, "n_")
+    e = prep(_spread(embeddings), "n_")
     q = prep(queries, "q_")
     scored = (
         e.join(F.broadcast(q), "bucket")
@@ -482,7 +489,7 @@ def ivf_topk(
     assign_one = _cell_udf(C, 1)
     assign_probe = _cell_udf(C, nprobe)
 
-    e = embeddings.select(
+    e = _spread(embeddings).select(
         F.col(id_col).alias("n_id"),
         quantized(F.col(vec_col)).alias("n_q"),
         assign_one(F.col(vec_col))[0].alias("cell"),
