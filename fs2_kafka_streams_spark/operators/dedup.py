@@ -66,6 +66,38 @@ def _parse_byte_size(v) -> int:
     return int(m.group(1)) * mult
 
 
+def _local_path(uri: str) -> str:
+    """``DataFrame.inputFiles()`` returns percent-encoded ``file:`` URIs —
+    decode to a filesystem path (a space in a directory name otherwise
+    breaks every footer/size probe with FileNotFoundError)."""
+    from urllib.parse import unquote
+
+    if uri.startswith("file:"):
+        uri = uri[len("file:"):]
+    return unquote(uri)
+
+
+def _is_scan_shaped(df: DataFrame) -> bool:
+    """True when the plan is a bare scan pipeline (project/filter/generate
+    over a relation) — the only shape where parquet rows are still pinned
+    to their row groups. After any shuffle-introducing operator
+    (repartition, join, aggregate, sort, window, distinct) the rows are
+    already spread, so demoting the width by row-group count would add a
+    redundant shuffle and could even override caller-set parallelism.
+    Unknown (Spark Connect: no plan handle) → False, i.e. don't demote."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return not any(
+        tok in plan
+        for tok in (
+            "Repartition", "Join", "Aggregate", "Sort", "Window",
+            "Deduplicate", "Distinct", "Union",
+        )
+    )
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Redistribute a coarsely-partitioned input before CPU-heavy per-row
     work (tokenization, shingle explode, vectorized packing).
@@ -104,6 +136,10 @@ def _spread(df: DataFrame) -> DataFrame:
         target = spark.sparkContext.defaultParallelism
     except Exception:  # Spark Connect: no SparkContext handle
         target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        files = df.inputFiles()  # fetched ONCE; reused by both probes below
+    except Exception:
+        files = []
     n_splits = None
     try:
         n_splits = df.rdd.getNumPartitions()
@@ -112,31 +148,31 @@ def _spread(df: DataFrame) -> DataFrame:
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
         n_splits = 0
-        for f in df.inputFiles():
-            local = f[len("file:"):] if f.startswith("file:") else f
+        for f in files:
             try:
-                size = os.path.getsize(local)
+                size = os.path.getsize(_local_path(f))
                 n_splits += max(1, -(-size // max_bytes))
             except OSError:  # remote/object-store path: count the file
                 n_splits += 1
     if n_splits < target:
         return df.repartition(target)
     # splits >= target: trustworthy only if the rows can actually reach
-    # that many tasks — for parquet that means enough row groups
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
-    if files and len(files) < target and all(
-        f.endswith(".parquet") for f in files
+    # that many tasks — for a bare parquet scan that means enough row
+    # groups (post-shuffle plans are already spread; see _is_scan_shaped)
+    if (
+        files
+        and len(files) < target
+        and all(f.endswith(".parquet") for f in files)
+        and _is_scan_shaped(df)
     ):
         import pyarrow.parquet as _pq
 
         row_groups = 0
         for f in files:
-            local = f[len("file:"):] if f.startswith("file:") else f
             try:
-                row_groups += _pq.ParquetFile(local).metadata.num_row_groups
+                row_groups += _pq.ParquetFile(
+                    _local_path(f)
+                ).metadata.num_row_groups
             except Exception:  # remote/unreadable footer: trust the splits
                 return df
             if row_groups >= target:

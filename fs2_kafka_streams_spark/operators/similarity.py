@@ -114,15 +114,23 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    spread: bool = True,
 ) -> DataFrame:
     """Brute-force top-k neighbors per query vector (broadcast the queries).
 
     The scan side streams once; per row only k candidates per query survive
     the rank filter. This is the O(n·q) baseline ANN — correct by
     construction, used to validate the LSH tier.
+
+    ``spread=False`` skips the corpus width guard — for callers that
+    invoke this per micro-batch over an unchanging corpus (the streaming
+    ANN) and have already spread it once, so the probe's driver-side
+    RPCs don't repeat per trigger.
     """
     q = with_quantized(queries, vec_col, id_col, "q_")
-    e = with_quantized(_spread(embeddings), vec_col, id_col, "n_")
+    e = with_quantized(
+        _spread(embeddings) if spread else embeddings, vec_col, id_col, "n_"
+    )
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))

@@ -355,8 +355,15 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
                 f"{spool}/epoch={epoch_id}"
             )
 
+    # spread the (unchanging) corpus ONCE outside the trigger loop — the
+    # width probe's driver-side RPCs and the repartition decision must not
+    # repeat per micro-batch
+    from fs2_kafka_streams_spark.operators.dedup import _spread
+
+    corpus = _spread(corpus)
+
     def score_batch(bdf, epoch_id: int) -> None:
-        sink(cosine_topk(corpus, bdf, k=k), epoch_id)
+        sink(cosine_topk(corpus, bdf, k=k, spread=False), epoch_id)
 
     checkpoint = tempfile.mkdtemp(prefix="ckpt_ann_stream_")
     try:

@@ -446,10 +446,14 @@ def main() -> None:
 
         spark = get_spark()
         sections = []
+        # rows (batch) BEFORE streaming: streaming leaves session residue
+        # (state-store maintenance threads, GC pressure) that measurably
+        # inflates batch timings run after it — same ordering discipline
+        # as bench.py
+        if args.rows:
+            sections.append(run_rows_section)
         if args.streaming:
             sections.append(run_streaming_section)
-        if args.rows:  # both flags run both sections, streaming first
-            sections.append(run_rows_section)
         for section in sections:
             rows = section(spark, args.out, scales)
             hdr = list(rows[0])

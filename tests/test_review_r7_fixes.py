@@ -73,6 +73,8 @@ def test_spread_sees_through_split_inflated_single_row_group(spark, tmp_path):
     assert pq.ParquetFile(one_rg).metadata.num_row_groups == 1
 
     target = spark.sparkContext.defaultParallelism
+    if target < 2:
+        pytest.skip("width guard is meaningless on a 1-core session")
     # shrink maxPartitionBytes so the planner slices the file into at
     # least `target` splits — the condition that used to fool the probe
     size = __import__("os").path.getsize(one_rg)
@@ -93,6 +95,12 @@ def test_spread_sees_through_split_inflated_single_row_group(spark, tmp_path):
         assert _spread(dfm) is dfm, (
             "a genuinely multi-row-group scan of sufficient width must "
             "stay shuffle-free"
+        )
+        # post-shuffle plans are already spread: the row-group demotion
+        # must NOT override caller-set parallelism with a second shuffle
+        wide = df1.repartition(2 * target)
+        assert _spread(wide) is wide, (
+            "an explicitly repartitioned input must pass through untouched"
         )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
