@@ -139,17 +139,22 @@ def connected_components(
         changed = (
             new_full.filter(F.col("lbl") != F.col("_old")).limit(1).count()
         )
+        # round 0 releases the genuinely persisted seed; on later rounds
+        # lab is localCheckpoint-backed, where unpersist is a no-op by
+        # design — those blocks are GC-reclaimed with the DataFrame
+        # (ContextCleaner), as are the edge blocks
         lab.unpersist()
         lab = new_full.drop("_old")
         if changed == 0:
             LAST_ROUNDS = _round + 1
             break
     else:
+        LAST_ROUNDS = max_rounds  # don't leave a stale count from a
+        # previous successful call on the diagnostic path
         raise RuntimeError(
             f"connected_components: no convergence in {max_rounds} rounds"
         )
 
-    edges.unpersist()
     return lab.select("id", F.col("lbl").alias("component"))
 
 
@@ -171,6 +176,16 @@ def dedup_keep_best(
     """
     from pyspark.sql import Window as W
 
+    clash = {"component", "_rn"} & set(corpus.columns)
+    if clash or id_col == "component":
+        # a corpus already carrying a 'component' column (e.g. re-deduping
+        # an already-clustered corpus) would make the label join ambiguous
+        # at the first downstream reference — fail at the boundary
+        raise ValueError(
+            f"dedup_keep_best reserves column name(s) "
+            f"{sorted(clash or {'component'})}; rename or drop them on "
+            "the corpus first"
+        )
     comp = connected_components(pairs, id_a, id_b)
     labeled = corpus.join(
         comp.withColumnRenamed("id", id_col), id_col, "left"

@@ -66,10 +66,29 @@ def apply_changes(
     (``streaming/stateful.py``); filter ``~tombstone_col`` for the
     live view.
     """
+    reserved = {"_dead", "_s_dead", "_d_present"} | {
+        f"_d_{c}" for c in list(value_cols) + [order_col]
+    }
+    clash = reserved & (
+        set(key_cols) | set(value_cols) | {order_col, tombstone_col}
+    )
+    if clash:
+        # an input column named like the merge's internal slots would be
+        # silently overwritten (snapshot=None path) or fail later with
+        # AMBIGUOUS_REFERENCE — reject at the boundary with the names
+        # (same convention as scd.changelog_history)
+        raise ValueError(
+            f"apply_changes reserves column name(s) {sorted(clash)}; "
+            "rename the conflicting input column(s)"
+        )
     keep = list(value_cols) + [order_col]
     if tombstone_col is not None:
         keep = keep + [tombstone_col]
-    delta = latest_by_key(changes, key_cols, [order_col], keep)
+    # order_col is documented unique per key (the >= merge boundary relies
+    # on it), so the aggregation can skip the value-struct tiebreak state
+    delta = latest_by_key(
+        changes, key_cols, [order_col], keep, unique_order=True
+    )
     if tombstone_col is None:
         delta = delta.withColumn("_dead", F.lit(False))
     else:

@@ -95,6 +95,17 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side is replicated)")
+    clash = {"_salt", "_salts", "_hot"} & (
+        set(big.columns) | set(small.columns)
+    )
+    if clash:
+        # a real payload column with one of the internal names would be
+        # silently overwritten and then dropped from the result — fail at
+        # the boundary with the names (scd.changelog_history convention)
+        raise ValueError(
+            f"salted_join reserves column name(s) {sorted(clash)}; rename "
+            "the conflicting input column(s)"
+        )
 
     def _hashable(dtype) -> bool:
         # Spark forbids hash/xxhash64 over MapType (HASH_MAP_TYPE), at any

@@ -46,6 +46,15 @@ class MaterializedTable:
             if value_cols is not None
             else [c for c in changelog.columns if c not in key_cols]
         )
+        if tombstone_col is not None and tombstone_col not in self.value_cols:
+            # the snapshot filter below reads the tombstone column from the
+            # aggregated output; an explicit value_cols that omits it would
+            # otherwise surface later as UNRESOLVED_COLUMN far from here
+            raise ValueError(
+                f"tombstone_col {tombstone_col!r} must be included in "
+                f"value_cols (got {self.value_cols}) — the latest-write "
+                "tombstone test reads it from the aggregated snapshot"
+            )
         self._changelog = changelog
         self._tombstone_col = tombstone_col
         # unique_order: caller's promise that order_cols never ties per key
@@ -95,10 +104,18 @@ class MaterializedTable:
             return None
         return {c: d[c] for c in self.value_cols}
 
-    def get_all(self, keys: Sequence[Any | tuple]) -> DataFrame:
+    def get_all(
+        self, keys: Sequence[Any | tuple], marker: bool = False
+    ) -> DataFrame:
         """Multi-get (A11): preserves requested keys, missing → NULL row —
         exactly the reference's ``Map[K, Option[V]]`` contract
         (``streams/Table.scala:61-62``).
+
+        ``marker=True`` adds a boolean ``_found`` column so callers can
+        distinguish a MISSING key from a present key whose latest write
+        genuinely carries all-NULL values (Some(null row) vs None — the
+        same distinction :meth:`get` makes; with the default output alone
+        the two are indistinguishable).
 
         Scale path: the key prune is applied to the CHANGELOG, below the
         latest-by-key aggregation (latest-of-a-key-subset == subset-of-
@@ -109,7 +126,7 @@ class MaterializedTable:
         which prunes before the aggregation shuffle. Never broadcasts or
         fully aggregates the table itself.
         """
-        return self._get_all(keys)
+        return self._get_all(keys, marker=marker)
 
     def _get_all(
         self, keys: Sequence[Any | tuple], marker: bool = False
@@ -125,13 +142,25 @@ class MaterializedTable:
             for c in self.key_cols
         )
         keys_df = spark.createDataFrame(rows, schema_fields)
+        # NULL-safe throughout: a NULL-keyed changelog row (an un-keyed
+        # record folded into the table) is visible in scan(), so point
+        # reads must be able to reach it too — plain isin/equi-joins drop
+        # every NULL comparison and would make such a key permanently
+        # unreachable while scan() still shows it.
         if len(self.key_cols) == 1:
-            pruned_log = self._changelog.filter(
-                F.col(self.key_cols[0]).isin([r[0] for r in rows])
-            )
+            kc = F.col(self.key_cols[0])
+            non_null = [r[0] for r in rows if r[0] is not None]
+            pred = kc.isin(non_null) if non_null else F.lit(False)
+            if len(non_null) < len(rows):  # a NULL key was requested
+                pred = pred | kc.isNull()
+            pruned_log = self._changelog.filter(pred)
         else:
+            semi_cond = None
+            for k in self.key_cols:
+                c = self._changelog[k].eqNullSafe(keys_df[k])
+                semi_cond = c if semi_cond is None else semi_cond & c
             pruned_log = self._changelog.join(
-                F.broadcast(keys_df), on=self.key_cols, how="left_semi"
+                F.broadcast(keys_df), on=semi_cond, how="left_semi"
             )
         matched = latest_by_key(
             pruned_log, self.key_cols, self.order_cols, self.value_cols,
@@ -141,13 +170,20 @@ class MaterializedTable:
             matched = matched.filter(F.col(self._tombstone_col).isNotNull())
         if marker:
             matched = matched.withColumn("_found", F.lit(True))
-        out = keys_df.join(
-            F.broadcast(matched), on=self.key_cols, how="left"
+        kdf, m = keys_df.alias("_k"), matched.alias("_m")
+        cond = None
+        for k in self.key_cols:
+            c = F.col(f"_k.{k}").eqNullSafe(F.col(f"_m.{k}"))
+            cond = c if cond is None else cond & c
+        out = kdf.join(F.broadcast(m), on=cond, how="left").select(
+            *[F.col(f"_k.{k}").alias(k) for k in self.key_cols],
+            *[F.col(f"_m.{c}").alias(c) for c in self.value_cols],
+            *(
+                [F.coalesce(F.col("_m._found"), F.lit(False)).alias("_found")]
+                if marker
+                else []
+            ),
         )
-        if marker:
-            out = out.withColumn(
-                "_found", F.coalesce("_found", F.lit(False))
-            )
         return out
 
     def last_committed_offset(self) -> Any:
@@ -162,5 +198,20 @@ def join_with(
 ) -> DataFrame:
     """Stream–table enrichment join (A14, ``ReadOnlyTableSpec.scala:77-79``):
     each stream row gains the table's current value for its key; misses stay
-    as NULLs (Option[V] = None)."""
+    as NULLs (Option[V] = None).
+
+    Shared non-key column names are rejected at the boundary: the join
+    would otherwise succeed with two identically-named output columns and
+    fail with AMBIGUOUS_REFERENCE only at the first downstream reference,
+    far from the cause. Rename or trim ``value_cols`` on the table side.
+    """
+    overlap = (
+        set(stream.columns) & set(table.scan().columns)
+    ) - set(table.key_cols)
+    if overlap:
+        raise ValueError(
+            f"join_with: column(s) {sorted(overlap)} exist on both the "
+            "stream and the table's value set — rename them or exclude "
+            "them via the table's value_cols"
+        )
     return stream.join(table.scan(), on=table.key_cols, how=how)

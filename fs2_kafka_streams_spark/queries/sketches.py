@@ -134,10 +134,11 @@ def q69_bitmap_distinct(spark, sf_dir):
     """
     e = Catalog(spark, sf_dir).events.select(
         "event_type",
-        "user_id",
         F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
         F.expr("bitmap_bit_position(user_id)").alias("pos"),
-        (F.col("event_id") % 8).alias("shard"),
+        # pmod, not %: a negative id would shard negatively (q64's idiom);
+        # harmless on this fixture but the trap is free to remove
+        F.pmod(F.col("event_id"), F.lit(8)).alias("shard"),
     )
     direct = (
         e.groupBy("event_type", "bucket")

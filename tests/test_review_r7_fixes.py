@@ -106,6 +106,72 @@ def test_spread_sees_through_split_inflated_single_row_group(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
+def test_table_api_boundary_contracts(spark):
+    """The cold-file review pins (round 7): get_all's Option[V] marker,
+    NULL-key reachability parity between scan() and point reads, the
+    tombstone/value_cols validation, join_with's overlap rejection, and
+    the reserved-name guards on salted_join / dedup_keep_best /
+    apply_changes."""
+    import pytest as _pytest
+
+    from fs2_kafka_streams_spark.operators.clusters import dedup_keep_best
+    from fs2_kafka_streams_spark.operators.incremental import apply_changes
+    from fs2_kafka_streams_spark.operators.joins import salted_join
+    from fs2_kafka_streams_spark.operators.table import (
+        MaterializedTable,
+        join_with,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, "a"),
+            (1, 2, None),   # key 1's LATEST value is genuinely NULL
+            (None, 3, "n"),  # an un-keyed record
+        ],
+        "k int, off int, v string",
+    )
+    t = MaterializedTable(log, ["k"], ["off"], value_cols=["v"])
+
+    # marker distinguishes Some(null) from None
+    got = {
+        r["k"]: (r["v"], r["_found"])
+        for r in t.get_all([1, 2], marker=True).collect()
+    }
+    assert got[1] == (None, True), "all-NULL latest value is Some(null)"
+    assert got[2] == (None, False), "missing key is None"
+    # default output schema unchanged (q18's oracle contract)
+    assert t.get_all([1, 2]).columns == ["k", "v"]
+
+    # a NULL key visible in scan() is reachable through get_all too
+    assert {r["k"] for r in t.scan().collect()} == {1, None}
+    nk = {r["k"]: r["_found"] for r in t.get_all([None, 2], marker=True).collect()}
+    assert nk[None] is True and nk[2] is False
+
+    # explicit value_cols omitting the tombstone column fails at the API
+    with _pytest.raises(ValueError, match="tombstone_col"):
+        MaterializedTable(
+            log, ["k"], ["off"], value_cols=[], tombstone_col="v"
+        )
+
+    # join_with rejects non-key column overlap at the boundary
+    stream = spark.createDataFrame([(1, "x")], "k int, v string")
+    with _pytest.raises(ValueError, match="join_with"):
+        join_with(stream, t)
+
+    # reserved-name guards fail loudly instead of silently clobbering
+    big = spark.createDataFrame([(1, 0)], "k int, _salt int")
+    small = spark.createDataFrame([(1,)], "k int")
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(big, small, "k")
+    corpus = spark.createDataFrame([(1, "t", 5)], "doc_id long, text string, component int")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="component"):
+        dedup_keep_best(corpus, pairs, "doc_id")
+    ch = spark.createDataFrame([(1, 1, False)], "k int, off int, _dead boolean")
+    with _pytest.raises(ValueError, match="_dead"):
+        apply_changes(None, ch, ["k"], "off", ["_dead"], tombstone_col=None)
+
+
 def test_minhash_disk_persist_parity(spark):
     from fs2_kafka_streams_spark.catalog import Catalog
     from fs2_kafka_streams_spark.operators.dedup import minhash_lsh_pairs
