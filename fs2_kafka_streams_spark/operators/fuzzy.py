@@ -56,13 +56,19 @@ def fuzzy_pairs(
         F.length(text_col).alias("_len"),
     )
     if max_block_size is not None:
-        b = (
-            b.withColumn(
-                "_bs", F.count(F.lit(1)).over(Window.partitionBy("_blk"))
-            )
+        # groupBy + left_semi, NOT a window count: a window partitioned by
+        # the blocking key funnels the entire degenerate block onto ONE
+        # task just to compute the count that drops it — the exact hot key
+        # the guard exists to defuse. The aggregate partial-combines
+        # map-side and never concentrates the block (same shape as the
+        # LSH tiers' max_bucket_size guard in similarity.py/dedup.py).
+        small_blocks = (
+            b.groupBy("_blk")
+            .agg(F.count(F.lit(1)).alias("_bs"))
             .filter(F.col("_bs") <= max_block_size)
-            .drop("_bs")
+            .select("_blk")
         )
+        b = b.join(small_blocks, "_blk", "left_semi")
     left = b.select(
         F.col("_blk"),
         F.col("_id").alias("id_a"),

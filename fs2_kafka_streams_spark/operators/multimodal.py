@@ -91,6 +91,8 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+#: resize_images' output schema (out_w/out_h are attached as JVM-side
+#: literals after the Python map — see the function body)
 RESIZED_SCHEMA = (
     "media_id long, kind string, width int, height int, "
     "out_w int, out_h int, payload binary"
@@ -122,14 +124,30 @@ def resize_images(media: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFra
                     "kind": pdf["kind"],
                     "width": pdf["width"],
                     "height": pdf["height"],
-                    "out_w": out_w,
-                    "out_h": out_h,
                     "payload": pdf["payload"].map(fake_resize),
                 }
             )
 
-    return media.filter(F.col("kind") == "image").mapInPandas(
-        run, schema=RESIZED_SCHEMA
+    return (
+        media.filter(F.col("kind") == "image")
+        .mapInPandas(
+            run,
+            schema=(
+                "media_id long, kind string, width int, height int, "
+                "payload binary"
+            ),
+        )
+        # out_w/out_h attach JVM-side AFTER the map, as foldable literals
+        # (the docstring's contract) — a metadata-only projection then
+        # prunes the payload column out of the map's Arrow OUTPUT instead
+        # of serializing resized bytes back just to read two constants.
+        # (The Python stage itself still runs for row delivery — only an
+        # operator that skips resize_images entirely avoids the hop.)
+        .select(
+            "media_id", "kind", "width", "height",
+            F.lit(out_w).alias("out_w"), F.lit(out_h).alias("out_h"),
+            "payload",
+        )
     )
 
 
@@ -137,6 +155,11 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: explode sample timestamps from
     metadata only — no payload decode until a downstream operator needs the
     actual frame (metadata pruning before decode)."""
+    if every_ms <= 0:
+        # a zero step would fail per-task deep in the sequence expression
+        # ("sequence step must not be zero"); validate at the boundary
+        # like chunk_documents' stride guard
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     return (
         media.filter(F.col("kind") == "video")
         # NULL or zero duration → NO frames: greatest() skips NULLs, so an

@@ -99,6 +99,11 @@ def hash_split(
     # float rounding can leave bucket == SPLIT_BUCKETS-1 unassigned for a
     # hair; fold it into the last split
     expr = expr.otherwise(list(fractions)[-1])
+    # a NULL id has no hash: its split is NULL (the caller decides),
+    # consistent with stratified_sample which drops NULL-id rows — the
+    # otherwise() above would otherwise route every NULL id into the LAST
+    # declared split, silently contaminating the eval/test set
+    expr = F.when(F.col(id_col).isNull(), F.lit(None)).otherwise(expr)
     return df.withColumn(split_col, expr)
 
 
@@ -247,6 +252,15 @@ def pack_sequences(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["_tokens"].isna().any():
+            # a NULL count reaches pandas as NaN (long→float64 promotion)
+            # and int(NaN) would abort the whole job with an opaque
+            # ValueError — name the offending id instead
+            bad = pdf.loc[pdf["_tokens"].isna(), "_id"].iloc[0]
+            raise ValueError(
+                f"pack_sequences: NULL token count for id {bad!r} — "
+                "filter or impute the count upstream"
+            )
         pdf = pdf.sort_values(
             ["_tokens", "_id"], ascending=[False, True]
         ).reset_index(drop=True)
@@ -331,13 +345,21 @@ def temperature_sample(
         source_col,
         F.least(
             F.lit(1.0),
-            F.lit(frac)
-            * F.col("_n_total").cast("double")
-            * F.col("_isqrt").cast("double")
-            / (
-                F.col("_sum_sqrt").cast("double")
-                * F.col("_n_docs").cast("double")
-            ),
+            # guard the zero-mass case (all weights zero/NULL): under the
+            # session's ANSI mode the bare division would abort the job
+            # with DIVIDE_BY_ZERO; a weightless source samples NOTHING
+            # (p_sel = 0), which also keeps non-ANSI from silently
+            # resolving least(1.0, NULL) to "keep everything"
+            F.when(
+                (F.col("_sum_sqrt") > 0) & (F.col("_n_docs") > 0),
+                F.lit(frac)
+                * F.col("_n_total").cast("double")
+                * F.col("_isqrt").cast("double")
+                / (
+                    F.col("_sum_sqrt").cast("double")
+                    * F.col("_n_docs").cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
         ).alias("p_sel"),
     )
     bucket = seeded_bucket(id_col, seed, SPLIT_BUCKETS)
@@ -387,9 +409,13 @@ def chunk_documents(
             f"stride must be in (0, chunk_size={chunk_size}], got {stride}"
         )
     tok = tokens(text_col)
-    starts = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.size(F.col("_t")), F.lit(1))),
-        lambda i: (i - 1) % stride == 0,
+    # stepped sequence, not sequence+filter: the filtered form built an
+    # n_tokens-element array per document before keeping ~n/stride entries
+    # — 24× the needed intermediate array memory on the scan path at the
+    # default stride (DuckDB's generate_series takes the same step, so the
+    # oracle mirror is unchanged)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("_t")), F.lit(1)), F.lit(stride)
     )
     chunk = F.slice(F.col("_t"), F.col("_s"), chunk_size)
     return (

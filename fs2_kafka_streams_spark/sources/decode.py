@@ -87,6 +87,18 @@ class CsvFormat:
     sep: str = ","
 
     def decode(self, value: Column) -> tuple[Column, Column]:
+        from pyspark.sql.types import StructType
+
+        if "_corrupt" in {
+            f.name for f in StructType.fromDDL(self.schema).fields
+        }:
+            # same reservation as JsonFormat: the corrupt-record channel
+            # appends this field; a user field would collide with an
+            # opaque AMBIGUOUS_REFERENCE at decode time
+            raise ValueError(
+                "CsvFormat reserves the field name '_corrupt' for its "
+                "corrupt-record channel; rename the schema field"
+            )
         s = value.cast("string")
         decoded = F.from_csv(
             s,
@@ -103,6 +115,12 @@ class CsvFormat:
             # AND NULL error, passing clean_view as a phantom row
             s.isNull(),
             F.lit("malformed csv: <null payload>"),
+        ).when(
+            # an EMPTY payload decodes to an all-NULL struct with NULL
+            # _corrupt — the other phantom-clean-row hole (zero-byte
+            # tombstones, truncated writes)
+            F.length(s) == 0,
+            F.lit("malformed csv: <empty payload>"),
         ).when(
             decoded.getField("_corrupt").isNotNull(),
             F.concat(F.lit("malformed csv: "), F.substring(s, 1, 64)),
@@ -138,6 +156,14 @@ class BinaryFormat:
         # would otherwise split inside the type and desync the UDF's
         # pandas columns from the declared struct
         field_names = [f.name for f in StructType.fromDDL(self.schema).fields]
+        if "_err" in field_names:
+            # same reservation as JsonFormat/_corrupt: the in-band error
+            # channel appends this field; a user field would produce a
+            # duplicate struct field and an opaque ambiguous reference
+            raise ValueError(
+                "BinaryFormat reserves the field name '_err' for its "
+                "in-band error channel; rename the schema field"
+            )
         user_fn = self.fn
 
         def _decode(s):
@@ -288,9 +314,13 @@ class DecodeRegistry:
         # Rows from a topic with no registered decoder are dead letters, not
         # silently "decoded to NULL": without this otherwise() they'd carry
         # NULL decoded AND NULL decode_error and pass clean_view's filter.
+        # coalesce the topic: concat with a NULL topic would return NULL,
+        # turning an unroutable row into a phantom CLEAN row — the exact
+        # hole this otherwise() exists to close
         err_expr = err_expr.otherwise(
             F.concat(
-                F.lit("no decoder registered for topic: "), F.col(topic_col)
+                F.lit("no decoder registered for topic: "),
+                F.coalesce(F.col(topic_col), F.lit("<null topic>")),
             )
         )
         meta = [c for c in METADATA_COLS if c in records.columns]

@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from fs2_kafka_streams_spark.streaming import conf as sconf
 from tests.conftest import SF_SMOKE
@@ -170,6 +171,83 @@ def test_table_api_boundary_contracts(spark):
     ch = spark.createDataFrame([(1, 1, False)], "k int, off int, _dead boolean")
     with _pytest.raises(ValueError, match="_dead"):
         apply_changes(None, ch, ["k"], "off", ["_dead"], tombstone_col=None)
+
+
+def test_decode_and_pipeline_boundary_contracts(spark):
+    """Second cold-file review pins: phantom-clean-row holes in the decode
+    layer (NULL topic, empty CSV payload), reserved-field parity across
+    formats, and the NULL/zero-input contracts of the pipeline operators."""
+    import pytest as _pytest
+
+    from fs2_kafka_streams_spark.operators.multimodal import frame_sample
+    from fs2_kafka_streams_spark.operators.pipeline import (
+        hash_split,
+        pack_sequences,
+        temperature_sample,
+    )
+    from fs2_kafka_streams_spark.sources.decode import (
+        BinaryFormat,
+        CsvFormat,
+        DecodeRegistry,
+        JsonFormat,
+        clean_view,
+    )
+
+    # NULL topic / empty CSV payload must dead-letter, never pass clean
+    recs = spark.createDataFrame(
+        [
+            (None, bytearray(b'{"a":2}')),   # NULL topic: unroutable
+            ("t_csv", bytearray(b"")),       # empty payload: phantom row
+            ("t_csv", bytearray(b"7,x")),    # genuinely clean
+        ],
+        "topic string, value binary",
+    )
+    reg = (
+        DecodeRegistry()
+        .register("t_json", JsonFormat("a int"))
+        .register("t_csv", CsvFormat("a int, b string"))
+    )
+    out = reg.decode(recs)
+    errs = {
+        (r["topic"], r["decode_error"] is not None) for r in out.collect()
+    }
+    assert (None, True) in errs and ("t_csv", True) in errs
+    assert clean_view(out).count() == 1
+
+    # reserved-field parity across all three formats
+    with _pytest.raises(ValueError, match="_corrupt"):
+        CsvFormat("x int, _corrupt string").decode(F.lit(b"1"))
+    with _pytest.raises(ValueError, match="_err"):
+        BinaryFormat("x int, _err string", lambda b: {}).decode(F.lit(b"1"))
+
+    # hash_split: NULL ids get a NULL split, never the last declared one
+    ids = spark.createDataFrame([(1,), (None,)], "doc_id int")
+    split = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ids, "doc_id", {"train": 0.9, "test": 0.1}).collect()
+    }
+    assert split[None] is None and split[1] is not None
+
+    # pack_sequences: a NULL token count names the offending id
+    docs = spark.createDataFrame(
+        [(1, 5), (2, None)], "doc_id long, n_tok long"
+    )
+    with _pytest.raises(Exception, match="NULL token count"):
+        pack_sequences(docs, "doc_id", "n_tok", budget=10).collect()
+
+    # temperature_sample: all-zero weights sample NOTHING (no ANSI
+    # DIVIDE_BY_ZERO abort, no silent keep-everything)
+    zero = spark.createDataFrame(
+        [(1, "s1", 0.0), (2, "s1", 0.0)], "doc_id long, source string, w double"
+    )
+    assert temperature_sample(zero, "w").count() == 0
+
+    # frame_sample: zero step fails at the boundary, not per-task
+    media = spark.createDataFrame(
+        [(1, "video", 5000)], "media_id long, kind string, duration_ms long"
+    )
+    with _pytest.raises(ValueError, match="every_ms"):
+        frame_sample(media, every_ms=0)
 
 
 def test_minhash_disk_persist_parity(spark):
