@@ -77,6 +77,24 @@ def _local_path(uri: str) -> str:
     return unquote(uri)
 
 
+#: Logical-plan node-name PREFIXES that imply the rows have already been
+#: (or will be) spread by a shuffle. Prefix-matched against the node name
+#: parsed from each tree line, NOT substring-matched against the whole
+#: plan text — a column alias or file path containing "Join"/"Union2024"
+#: must not disable the demotion, and Except/Intersect/CoGroup/Expand are
+#: shuffle introducers the old token list missed.
+_SHUFFLE_NODE_PREFIXES = (
+    "Repartition", "Join", "Aggregate", "Sort", "Window",
+    "Deduplicate", "Distinct", "Union", "Except", "Intersect",
+    "CoGroup", "Expand", "FlatMapGroups", "MapGroups", "ApplyInPandas",
+)
+
+#: One tree line of ``analyzed().toString()``: optional indentation made of
+#: spaces and the tree-drawing glyphs ``:``, ``+``, ``-``, ``|``, then the
+#: node class name (unresolved nodes carry a leading apostrophe).
+_PLAN_NODE_RE = re.compile(r"^[\s:+\-|]*'?([A-Za-z][A-Za-z0-9]*)")
+
+
 def _is_scan_shaped(df: DataFrame) -> bool:
     """True when the plan is a bare scan pipeline (project/filter/generate
     over a relation) — the only shape where parquet rows are still pinned
@@ -89,13 +107,11 @@ def _is_scan_shaped(df: DataFrame) -> bool:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return False
-    return not any(
-        tok in plan
-        for tok in (
-            "Repartition", "Join", "Aggregate", "Sort", "Window",
-            "Deduplicate", "Distinct", "Union",
-        )
-    )
+    for line in plan.splitlines():
+        m = _PLAN_NODE_RE.match(line)
+        if m and m.group(1).startswith(_SHUFFLE_NODE_PREFIXES):
+            return False
+    return True
 
 
 def _spread(df: DataFrame) -> DataFrame:

@@ -43,8 +43,21 @@ def apply_changes(
     value_cols: Sequence[str],
     tombstone_col: str | None = None,
     keep_tombstones: bool = False,
+    unique_order: bool = True,
 ) -> DataFrame:
     """Merge ``changes`` onto ``snapshot`` with last-write-wins per key.
+
+    PRECONDITION (default ``unique_order=True``): ``order_col`` is UNIQUE
+    per key within a change batch — a changelog position (Kafka offset,
+    LSN), which is what the reference folds (``Table.scala:52-56``). The
+    ``>=`` merge boundary below relies on this for idempotent re-apply,
+    and the within-batch aggregation skips the value tiebreak. If your
+    batches may carry ties (e.g. same-timestamp updates from different
+    producers), pass ``unique_order=False``: the within-batch winner is
+    then deterministic (greatest value tuple breaks the tie) instead of
+    whichever row the aggregation happened to see last — but note the
+    snapshot-vs-delta boundary still resolves an exact order tie in the
+    delta's favor.
 
     ``snapshot`` columns: ``key_cols + value_cols + [order_col]`` (as
     produced by a previous ``apply_changes`` — pass ``None`` to fold a
@@ -84,10 +97,11 @@ def apply_changes(
     keep = list(value_cols) + [order_col]
     if tombstone_col is not None:
         keep = keep + [tombstone_col]
-    # order_col is documented unique per key (the >= merge boundary relies
-    # on it), so the aggregation can skip the value-struct tiebreak state
+    # with the documented unique-order precondition the aggregation skips
+    # the value-struct tiebreak state; unique_order=False restores the
+    # deterministic greatest-value tiebreak for tie-capable batches
     delta = latest_by_key(
-        changes, key_cols, [order_col], keep, unique_order=True
+        changes, key_cols, [order_col], keep, unique_order=unique_order
     )
     if tombstone_col is None:
         delta = delta.withColumn("_dead", F.lit(False))

@@ -46,6 +46,17 @@ class MaterializedTable:
             if value_cols is not None
             else [c for c in changelog.columns if c not in key_cols]
         )
+        if "_found" in set(self.key_cols) | set(self.value_cols):
+            # get()/get_all(marker=True) emit a boolean "_found" presence
+            # marker; a payload column with that name would collide
+            # (duplicate/ambiguous output column) — reject at the boundary,
+            # matching the reserved-name convention of salted_join /
+            # apply_changes / changelog_history
+            raise ValueError(
+                "MaterializedTable reserves column name '_found' (the "
+                "get/get_all presence marker); rename the conflicting "
+                "input column"
+            )
         if tombstone_col is not None and tombstone_col not in self.value_cols:
             # the snapshot filter below reads the tombstone column from the
             # aggregated output; an explicit value_cols that omits it would

@@ -78,9 +78,6 @@ PIN_SEQ = 0
 def pinned_conf(spark: SparkSession, confs: dict[str, str]):
     global PIN_SEQ
     old: dict[str, str | None] = {}
-    PIN_TRACE.append(dict(confs))
-    PIN_SEQ += 1
-    del PIN_TRACE[:-_PIN_TRACE_MAX]
     try:
         # set inside the try: if a later key raises (static conf, bad
         # value), the finally still restores the keys already pinned —
@@ -91,6 +88,13 @@ def pinned_conf(spark: SparkSession, confs: dict[str, str]):
             except Exception:
                 old[k] = None
             spark.conf.set(k, v)
+        # record AFTER every set succeeded: the trace is the bench
+        # artifact's proof of which confs were LIVE during an entry — a
+        # set that raised (static conf, bad value) must not be recorded
+        # as pinned
+        PIN_TRACE.append(dict(confs))
+        PIN_SEQ += 1
+        del PIN_TRACE[:-_PIN_TRACE_MAX]
         yield
     finally:
         for k, v in old.items():

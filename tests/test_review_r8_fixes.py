@@ -1,0 +1,94 @@
+"""Pins for the round-8 review fixes (ADVICE.md r7 + cold-file campaign).
+
+Each test pins one execution-confirmed fix:
+
+- ``apply_changes`` regained a deterministic within-batch tiebreak via
+  ``unique_order=False`` for change batches that may tie on (key, order)
+  — the r7 change to ``unique_order=True`` made such batches
+  nondeterministic with only a comment stating the precondition.
+- ``pinned_conf`` records a scope in ``PIN_TRACE`` only after every
+  ``spark.conf.set`` succeeded — a static-conf failure used to leave the
+  bench artifact claiming confs were live that never applied.
+- ``_is_scan_shaped`` parses node names from plan tree lines instead of
+  substring-matching the whole plan text — a file path or alias
+  containing "Join"/"Union" silently disabled the row-group demotion,
+  and Except/Intersect passed as scan-shaped.
+- ``MaterializedTable`` rejects a payload column named ``_found`` (the
+  get/get_all presence-marker name) at construction.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fs2_kafka_streams_spark.operators.dedup import _is_scan_shaped
+from fs2_kafka_streams_spark.operators.incremental import apply_changes
+from fs2_kafka_streams_spark.operators.table import MaterializedTable
+from fs2_kafka_streams_spark.streaming import conf as sconf
+
+
+def test_apply_changes_tied_order_deterministic_with_flag(spark):
+    """Two same-key rows with the SAME order value but different payloads:
+    unique_order=False must pick the greatest value tuple (deterministic
+    across runs/partitionings), not an arbitrary survivor."""
+    rows = [
+        ("k1", 10, "aaa"),
+        ("k1", 10, "zzz"),  # tie on order; greatest value wins
+        ("k2", 5, "only"),
+    ]
+    for n_parts in (1, 7):
+        changes = spark.createDataFrame(
+            rows, "k string, pos long, v string"
+        ).repartition(n_parts)
+        out = apply_changes(
+            None, changes, ["k"], "pos", ["v"], unique_order=False
+        ).collect()
+        got = {r["k"]: r["v"] for r in out}
+        assert got == {"k1": "zzz", "k2": "only"}
+
+
+def test_pinned_conf_failed_set_not_recorded_as_live(spark):
+    """A scope whose set raises (static conf) must NOT append to PIN_TRACE
+    — the trace is the bench artifact's proof of which confs were LIVE —
+    and must still restore the keys it did set before failing."""
+    key = "spark.sql.shuffle.partitions"
+    base = spark.conf.get(key)
+    seq_before = sconf.PIN_SEQ
+    trace_tail_before = list(sconf.PIN_TRACE[-1:])
+    with pytest.raises(Exception):
+        # valid key first (gets set), then a static conf that raises
+        with sconf.pinned_conf(
+            spark,
+            {key: "3", "spark.sql.warehouse.dir": "/tmp/nope"},
+        ):
+            pass  # pragma: no cover - never reached
+    assert sconf.PIN_SEQ == seq_before, "failed scope recorded as live"
+    assert list(sconf.PIN_TRACE[-1:]) == trace_tail_before
+    assert spark.conf.get(key) == base, "partially-set key not restored"
+
+
+def test_is_scan_shaped_ignores_join_in_paths_and_aliases(spark, tmp_path):
+    """A directory named like a shuffle node and an alias named like one
+    must not disable the demotion; Except/Intersect must disable it."""
+    d = tmp_path / "Union_Join_2024"
+    d.mkdir()
+    pd.DataFrame({"a": [1, 2, 3]}).to_parquet(d / "x.parquet", index=False)
+    scan = spark.read.parquet(str(d)).select(
+        F.col("a").alias("JoinSortWindow")
+    )
+    assert _is_scan_shaped(scan), (
+        "path/alias substring disabled the row-group demotion"
+    )
+    assert not _is_scan_shaped(scan.exceptAll(scan))
+    assert not _is_scan_shaped(scan.intersect(scan))
+    assert not _is_scan_shaped(scan.groupBy("JoinSortWindow").count())
+
+
+def test_materialized_table_rejects_found_column(spark):
+    df = spark.createDataFrame(
+        [("k", 1, True)], "k string, pos long, _found boolean"
+    )
+    with pytest.raises(ValueError, match="_found"):
+        MaterializedTable(df, ["k"], ["pos"], value_cols=["_found", "pos"])
