@@ -1,0 +1,48 @@
+"""Monotone time-bucket expression shared by the skew-bounded operators.
+
+The bucketed as-of join (``operators/asof_join.py``) and the SCD2
+salt-window-stitch (``operators/scd.py``) both split a per-key window sort
+into per-(key, bucket) sorts; this is their one bucket function, so their
+bucket boundaries (and the tests' expectations) can never drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+
+def time_bucket_expr(dtype, spec: str | int | float, col: str) -> Column:
+    """``floor(col / width)`` as a Column, for a timestamp column with a
+    duration-string ``spec`` ("1 hour") or a numeric column with a numeric
+    width. Monotone in the column value — all the bucketed operators need;
+    absolute bucket alignment is irrelevant to their correctness.
+
+    Timestamps go through ``timestampdiff`` against an NTZ epoch literal:
+    ``unix_micros`` and numeric casts reject TIMESTAMP_NTZ, while
+    ``timestampdiff`` accepts both flavors (and DATE) and is
+    timezone-independent for NTZ.
+    """
+    if isinstance(spec, str):
+        if not isinstance(dtype, (TimestampType, TimestampNTZType)):
+            raise ValueError(
+                "string time_bucket needs a timestamp time column; pass a "
+                f"numeric width for {dtype.simpleString()}"
+            )
+        from fs2_kafka_streams_spark.streaming.conf import duration_us
+
+        width = duration_us(spec)
+        return F.floor(
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"timestamp_ntz'1970-01-01 00:00:00', {col})"
+            )
+            / F.lit(width)
+        )
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        raise ValueError(
+            "numeric time_bucket needs a numeric time column; pass a "
+            "duration string for timestamps"
+        )
+    return F.floor(F.col(col) / F.lit(spec))

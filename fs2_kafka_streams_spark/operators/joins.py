@@ -58,6 +58,44 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
 
 
+def deterministic_salt(
+    df: DataFrame, salt: int, op_name: str = "deterministic_salt"
+):
+    """A Column scattering each row of ``df`` to one of ``salt`` sub-keys,
+    as a DETERMINISTIC function of the row: ``pmod(xxhash64(<hashable
+    columns>), salt)``. Task/stage retries after a shuffle-fetch failure
+    recompute the same salt, so no row is lost or duplicated —
+    ``spark_partition_id``/``monotonically_increasing_id`` salts are
+    nondeterministic across recomputation, the classic
+    nondeterministic-repartition hazard, exactly in the at-scale regime
+    the salting operators target.
+
+    Map-typed columns are skipped (Spark forbids hash/xxhash64 over
+    MapType at any nesting depth); the salt only needs to vary per row,
+    and the remaining columns still provide that — worst case the residual
+    skew degrades to duplicates-modulo-the-hashable-columns, same order as
+    the per-duplicate bound. Raises when NO column is hashable.
+    """
+    def _hashable(dtype) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dtype, MapType):
+            return False
+        if isinstance(dtype, ArrayType):
+            return _hashable(dtype.elementType)
+        if isinstance(dtype, StructType):
+            return all(_hashable(f.dataType) for f in dtype.fields)
+        return True
+
+    salt_cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+    if not salt_cols:
+        raise ValueError(
+            f"{op_name}: every column is map-typed; xxhash64 cannot "
+            "derive a deterministic salt — add a hashable column"
+        )
+    return F.pmod(F.xxhash64(*salt_cols), F.lit(salt)).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -107,32 +145,9 @@ def salted_join(
             "the conflicting input column(s)"
         )
 
-    def _hashable(dtype) -> bool:
-        # Spark forbids hash/xxhash64 over MapType (HASH_MAP_TYPE), at any
-        # nesting depth — skip such columns; the salt only needs to vary
-        # per row, and the remaining columns still provide that (worst
-        # case the residual-skew bound degrades to duplicates-modulo-the-
-        # hashable-columns, same order as the documented duplicate bound).
-        from pyspark.sql.types import ArrayType, MapType, StructType
-
-        if isinstance(dtype, MapType):
-            return False
-        if isinstance(dtype, ArrayType):
-            return _hashable(dtype.elementType)
-        if isinstance(dtype, StructType):
-            return all(_hashable(f.dataType) for f in dtype.fields)
-        return True
-
-    salt_cols = [f.name for f in big.schema.fields if _hashable(f.dataType)]
-    if not salt_cols:
-        raise ValueError(
-            "salted_join: every big-side column is map-typed; xxhash64 "
-            "cannot derive a deterministic salt — add a hashable column"
-        )
+    salt_expr = deterministic_salt(big, salt, op_name="salted_join")
     if hot_threshold is None:
-        big_s = big.withColumn(
-            "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt)).cast("int")
-        )
+        big_s = big.withColumn("_salt", salt_expr)
         small_s = small.withColumn(
             "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
         )
@@ -155,10 +170,7 @@ def salted_join(
         big.join(F.broadcast(hot), on=key, how="left")
         .withColumn(
             "_salt",
-            F.when(
-                F.col("_hot").isNotNull(),
-                F.pmod(F.xxhash64(*salt_cols), F.lit(salt)),
-            )
+            F.when(F.col("_hot").isNotNull(), salt_expr)
             .otherwise(F.lit(0))
             .cast("int"),
         )

@@ -39,6 +39,7 @@ def changelog_history(
     order_col: str,
     value_cols: Sequence[str] | None = None,
     tombstone_col: str | None = None,
+    order_bucket: str | int | float | None = None,
 ) -> DataFrame:
     """SCD2 history of a keyed changelog.
 
@@ -50,6 +51,18 @@ def changelog_history(
     ``order_col`` must be unique per key (Kafka offsets are; for event
     time, disambiguate upstream, e.g. a (ts, id)-derived column) —
     otherwise ``lead`` over tied rows is nondeterministic.
+
+    ``order_bucket`` selects the SKEW-BOUNDED salt-window-stitch plan: a
+    duration string ("1 hour") for a timestamp ``order_col``, a numeric
+    width for a numeric one. The default plan sorts each key's entire
+    changelog in ONE window partition — unsplittable under a hot key. The
+    stitched plan windows per (key, time-bucket) — time-contiguous
+    slices, so ``lead`` within a slice is already the true next write for
+    every row except the slice's LAST, whose ``valid_to`` is stitched
+    from a second, tiny window over the O(keys × buckets) per-slice
+    first-write summary (the next non-empty slice's first order value —
+    tombstone or not, exactly what ``lead`` would have seen). Equality
+    with the unbucketed plan is pinned in tests/test_scd_history.py.
     """
     if value_cols is None:
         reserved = set(key_cols) | {order_col, tombstone_col}
@@ -65,20 +78,78 @@ def changelog_history(
             f"conflicting input column(s) {sorted(clash)} or exclude them "
             "via value_cols"
         )
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
-    out = df.select(
-        *[F.col(k) for k in key_cols],
-        *[F.col(c) for c in value_cols],
-        F.col(order_col).alias("valid_from"),
-        F.lead(order_col).over(w).alias("valid_to"),
-        (
-            # coalesce NULL→False: a nullable flag set only on tombstones
-            # must not drop its live rows (filter(~NULL) removes the row);
-            # same convention as incremental.apply_changes
-            F.coalesce(F.col(tombstone_col).cast("boolean"), F.lit(False))
-            if tombstone_col is not None
-            else F.lit(False)
-        ).alias("_dead"),
+    dead = (
+        # coalesce NULL→False: a nullable flag set only on tombstones
+        # must not drop its live rows (filter(~NULL) removes the row);
+        # same convention as incremental.apply_changes
+        F.coalesce(F.col(tombstone_col).cast("boolean"), F.lit(False))
+        if tombstone_col is not None
+        else F.lit(False)
+    ).alias("_dead")
+
+    if order_bucket is None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+        out = df.select(
+            *[F.col(k) for k in key_cols],
+            *[F.col(c) for c in value_cols],
+            F.col(order_col).alias("valid_from"),
+            F.lead(order_col).over(w).alias("valid_to"),
+            dead,
+        )
+        return (
+            out.filter(~F.col("_dead"))
+            .drop("_dead")
+            .withColumn("is_current", F.col("valid_to").isNull())
+        )
+
+    # ---- salt-window-stitch (skew-bounded) plan ---------------------------
+    from fs2_kafka_streams_spark.functions.buckets import time_bucket_expr
+
+    if "_b" in value_cols or "_b" in key_cols:
+        raise ValueError(
+            "changelog_history reserves column name '_b' in the bucketed "
+            "plan; rename the conflicting input column"
+        )
+    bucket = time_bucket_expr(
+        df.schema[order_col].dataType, order_bucket, order_col
+    )
+    keys = [F.col(k) for k in key_cols]
+    sliced = df.select(
+        *keys, *[F.col(c) for c in value_cols],
+        F.col(order_col), dead, bucket.alias("_b"),
+    )
+    # within a time-contiguous slice, lead() is already correct for all
+    # but the slice's last row
+    w_slice = Window.partitionBy(*key_cols, "_b").orderBy(
+        F.col(order_col).asc()
+    )
+    local = sliced.withColumn("_vt_local", F.lead(order_col).over(w_slice))
+    # stitch: per (key, slice) the FIRST write (min order — tombstones
+    # included, since lead() would see them too); the slice's last row
+    # closes at the next non-empty slice's first write
+    firsts = sliced.groupBy(*key_cols, "_b").agg(
+        F.min(order_col).alias("_first")
+    )
+    w_stitch = Window.partitionBy(*key_cols).orderBy(F.col("_b").asc())
+    nexts = firsts.select(
+        *keys, "_b", F.lead("_first").over(w_stitch).alias("_next_first")
+    )
+    # NULL-SAFE stitch join: the window path groups NULL keys (and a NULL
+    # order's NULL bucket) into partitions like any other value — a plain
+    # equi-join would silently drop their history rows
+    loc, nx = local.alias("_L"), nexts.alias("_N")
+    cond = None
+    for k in list(key_cols) + ["_b"]:
+        c = F.col(f"_L.{k}").eqNullSafe(F.col(f"_N.{k}"))
+        cond = c if cond is None else cond & c
+    out = loc.join(nx, on=cond, how="left").select(
+        *[F.col(f"_L.{k}").alias(k) for k in key_cols],
+        *[F.col(f"_L.{c}").alias(c) for c in value_cols],
+        F.col(f"_L.{order_col}").alias("valid_from"),
+        F.coalesce(F.col("_L._vt_local"), F.col("_N._next_first")).alias(
+            "valid_to"
+        ),
+        F.col("_L._dead").alias("_dead"),
     )
     return (
         out.filter(~F.col("_dead"))

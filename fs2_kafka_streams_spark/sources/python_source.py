@@ -409,6 +409,20 @@ class _StreamReader(DataSourceStreamReader):
         # externally recovered offset (client/RecordStream.scala:194-219,
         # streams/Table.scala:64-95 — restart from the table's own
         # committed offset, not the broker's).
+        # A19 REVOCATION: a topic deleted from the broker (or a pattern no
+        # longer matched because its topic is gone) mid-query. Kafka's
+        # source treats deleted partitions as DATA LOSS — by default the
+        # query fails ("partitions are gone ... some data may have been
+        # missed"); failOnDataLoss=false logs and continues, the revoked
+        # partition's stream ending cleanly at its last served offset.
+        # Mirror that option shape. The reference's consumer handles the
+        # same event as Rebalance.Revoke (client/commands.scala:29-35),
+        # completing the revoked partition's stream at EOF
+        # (client/RecordStream.scala:71-108) with committed state intact.
+        fodl = options.get("failondataloss", options.get("failOnDataLoss"))
+        self.fail_on_data_loss = (
+            str(fodl).strip().lower() != "false" if fodl is not None else True
+        )
         raw = options.get("startingoffsets", options.get("startingOffsets"))
         self.starting: dict | str | None = None
         # Kafka accepts the named positions case-insensitively
@@ -547,6 +561,24 @@ class _StreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         paths = self._topic_paths()
+        # revocation check: a topic we hold committed offsets for (start)
+        # that the broker no longer has (absent from both the current
+        # subscription resolution AND the batch's end map) was deleted
+        # mid-query / between restarts
+        revoked = [
+            t for t in start
+            if t not in end and t not in paths
+        ]
+        if revoked and self.fail_on_data_loss:
+            raise RuntimeError(
+                f"topic(s) {sorted(revoked)} with committed offsets "
+                f"{ {t: start[t] for t in sorted(revoked)} } are gone — "
+                "some data may have been missed. The topic was deleted "
+                "(or republished under a non-matching name) mid-query; "
+                "set failOnDataLoss=false to end the revoked partitions' "
+                "streams cleanly at their last served offsets instead "
+                "(committed results are unaffected either way)"
+            )
         out = []
         for topic, pmap in end.items():
             spmap = start.get(topic, {})
@@ -668,8 +700,16 @@ def read_wire_stream(
     grow_to: int = 0,
     grow_at: int = 0,
     starting_offsets: dict | str | None = None,
+    fail_on_data_loss: bool | None = None,
 ):
     """Micro-batch stream of the wire records.
+
+    ``fail_on_data_loss`` (default True, Kafka's own option shape): a
+    subscribed topic DELETED mid-query (rebalance REVOKE,
+    ``client/commands.scala:29-35``) fails the query loudly; False ends
+    the revoked partitions' streams cleanly at their last served offsets
+    (EOF-completion, ``client/RecordStream.scala:71-108``) while other
+    topics continue exactly-once.
 
     ``batch_rows=0`` serves the whole log in one catch-up batch (always
     restart-safe); ``batch_rows>0`` simulates a live topic publishing that
@@ -715,6 +755,8 @@ def read_wire_stream(
         rd = rd.option("grow_to", str(grow_to)).option("grow_at", str(grow_at))
     if cursor_file:
         rd = rd.option("cursor_file", cursor_file)
+    if fail_on_data_loss is not None:
+        rd = rd.option("failOnDataLoss", str(bool(fail_on_data_loss)).lower())
     if starting_offsets is not None:
         if isinstance(starting_offsets, str):
             rd = rd.option("startingOffsets", starting_offsets)

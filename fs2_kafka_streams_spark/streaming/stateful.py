@@ -502,10 +502,22 @@ def _read_upsert_log(
     ).parquet(sink_dir)
 
 
-def _log_head(log: DataFrame, dead_col: str | None = None) -> DataFrame:
+def _log_head(
+    log: DataFrame,
+    dead_col: str | None = None,
+    order_cols: tuple[str, ...] = ("_epoch", "ts", "event_id"),
+) -> DataFrame:
     """Latest row per key from the append log; with ``dead_col``, keys
     whose head is a tombstone drop out — exactly a compacted topic's read
-    view (tombstoned keys vanish once the tombstone is the head)."""
+    view (tombstoned keys vanish once the tombstone is the head).
+
+    ``order_cols``: the single-state folds emit MONOTONE rows per key, so
+    commit order (``_epoch`` first) is also data order. The SALTED fold's
+    per-(key, salt) partials are monotone only within a salt — a later
+    epoch may carry an older row from a different salt — so it orders by
+    the data itself, ``("ts", "event_id")``, which is what makes the
+    log-head aggregation the fold's associative second level.
+    """
     from pyspark.sql import functions as F
 
     from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
@@ -516,11 +528,13 @@ def _log_head(log: DataFrame, dead_col: str | None = None) -> DataFrame:
     head = latest_by_key(
         log,
         key_cols=["user_id"],
-        order_cols=["_epoch", "ts", "event_id"],
+        order_cols=list(order_cols),
         value_cols=value_cols,
         # (_epoch, ts, event_id) is unique per key per append; an
         # at-least-once duplicate append ties only against an IDENTICAL
-        # row, so dropping the value tie-break stays deterministic.
+        # row, so dropping the value tie-break stays deterministic. The
+        # salted ordering (ts, event_id) ties only when a salt state
+        # re-emits its unchanged best row — also identical content.
         unique_order=True,
     )
     if dead_col is not None:
@@ -632,6 +646,7 @@ def _run_upsert_sink(
     spark: SparkSession, updates: DataFrame, checkpoint: str | None = None,
     sink_dir: str | None = None, row_schema: str = _OUTPUT_SCHEMA,
     dead_col: str | None = None,
+    head_order: tuple[str, ...] = ("_epoch", "ts", "event_id"),
 ) -> DataFrame:
     """Drive the update stream to completion; materialize the view through a
     KEYED PARQUET UPSERT SINK (the Spark-native analogue of a compacted
@@ -726,7 +741,9 @@ def _run_upsert_sink(
             shutil.rmtree(checkpoint, ignore_errors=True)
 
     return _log_head(
-        _read_upsert_log(spark, sink_dir, row_schema), dead_col=dead_col
+        _read_upsert_log(spark, sink_dir, row_schema),
+        dead_col=dead_col,
+        order_cols=head_order,
     )
 
 
@@ -756,6 +773,92 @@ def latest_by_key_streaming(
     )
     return _run_upsert_sink(
         spark, updates, checkpoint=checkpoint, sink_dir=sink_dir
+    )
+
+
+def latest_by_key_streaming_salted(
+    spark: SparkSession,
+    replay_path: str,
+    salt: int = 8,
+    hot_keys: list | None = None,
+    checkpoint: str | None = None,
+    sink_dir: str | None = None,
+    files_per_trigger: int = 2,
+) -> DataFrame:
+    """Hot-key-salted changelog→table materialization: the two-level fold
+    SCALE.md "Skew axis" prescribes, as a real operator.
+
+    The single-state fold (:func:`latest_by_key_streaming`) funnels EVERY
+    row of a key through one state group per trigger — on a Zipf-tail
+    corpus the hot key's group is the whole trigger's critical path (one
+    Arrow round-trip carrying 95% of the batch, measured in SCALE.md).
+    Here each row scatters to one of ``salt`` sub-groups by a
+    DETERMINISTIC row hash (``operators/joins.py::deterministic_salt`` on
+    ``(event_id, ts)``; never ``spark_partition_id`` — retry-safe), the
+    stateful level folds per ``(user_id, _salt)`` so the hot key's work
+    spreads over ``salt`` parallel groups, and the upsert sink's log-head
+    aggregation IS the second, tiny merge level: at most ``salt`` partial
+    rows per key, merged by ``max_by`` on ``(ts, event_id)`` — the fold
+    is associative and commutative, so salted ≡ unsalted ≡ batch
+    (equivalence-tested on hot40/hot95 corpora in
+    tests/test_salted_fold.py).
+
+    Why the merge lives in the sink and not a second in-query stateful
+    operator: Structured Streaming does not compose two update-mode
+    stateful operators in one query, and the sink's read-back aggregation
+    already runs per view materialization — O(keys·salt) rows, shuffle
+    O(keys). The log head orders by the DATA ``(ts, event_id)`` rather
+    than commit epoch: per-salt partials are monotone only within their
+    salt, so a later epoch may legitimately carry an older row from a
+    colder salt (see :func:`_log_head`).
+
+    ``hot_keys`` — SALT ONLY THESE KEYS (the known hot tenants /
+    celebrity users; the production pattern, since a changelog's hot keys
+    are stable and observable): everything else keeps ``_salt = 0``, so
+    the state-group count stays ≈ O(keys) + salt × |hot_keys|. This
+    matters, measured: full-row salting multiplies the PER-GROUP Arrow
+    round-trip overhead across every cold key each trigger — at 6M
+    events / hot95 the full-salt fold was 2.6× SLOWER per trigger (p50
+    2.3 s → 5.9 s) than unsalted because 1,500 key groups became 12,000,
+    while hot-only salting spreads the one hot group without touching the
+    cold 1,499 (numbers in SCALE.md "Skew axis"). ``None`` salts every
+    row — only sensible when most keys are hot or the key domain is tiny.
+    Pick ``salt`` ≈ the per-executor core count the hot key should fan
+    out to.
+
+    ``replay_path``: a directory of parquet changelog files (events
+    schema), e.g. from ``streaming/replay.py::replay_dir`` or a test's
+    hot-key corpus. Reference anchor: the 4-hot-user fixture shape of
+    ``ReadOnlyTableSpec.scala:41-54`` scaled to a skewed domain.
+    """
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(replay_path)
+    )
+    # (event_id, ts) is the changelog position — unique per row, cheap to
+    # hash, and NOT the grouping key (salting by a key-correlated value
+    # would put the whole hot key back in one sub-group)
+    row_salt = F.pmod(F.xxhash64("event_id", "ts"), F.lit(salt)).cast("int")
+    if hot_keys is not None:
+        row_salt = (
+            F.when(F.col("user_id").isin(list(hot_keys)), row_salt)
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+    src = src.withColumn("_salt", row_salt)
+    updates = src.groupBy("user_id", "_salt").applyInPandasWithState(
+        _latest_update,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_upsert_sink(
+        spark, updates, checkpoint=checkpoint, sink_dir=sink_dir,
+        head_order=("ts", "event_id"),
     )
 
 

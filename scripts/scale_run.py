@@ -345,6 +345,57 @@ def run_streaming_section(spark, out: str, scales: list[int]) -> list[dict]:
         }
         rows.append(row)
         print("STREAM_ROW", json.dumps(row), flush=True)
+
+    # axis 3b: the SALTED two-level fold on hot corpora — the mitigation
+    # SCALE.md prescribed and r8 made an operator
+    # (streaming/stateful.py::latest_by_key_streaming_salted). Same
+    # stateful level as that operator (fold per (user_id, _salt), salt=8,
+    # deterministic row hash); the sink-side merge level is a per-view
+    # O(keys·salt) aggregation not part of the per-trigger path, so the
+    # per-trigger max here is the number the salting must flatten. hot95
+    # is where the unsalted funnel becomes a real stall (one state group
+    # carries 95% of every batch).
+    from pyspark.sql import functions as F
+
+    def _salted_builder(hot_keys):
+        def build(src):
+            row_salt = F.pmod(
+                F.xxhash64("event_id", "ts"), F.lit(8)
+            ).cast("int")
+            if hot_keys is not None:
+                row_salt = (
+                    F.when(F.col("user_id").isin(list(hot_keys)), row_salt)
+                    .otherwise(F.lit(0))
+                    .cast("int")
+                )
+            salted = src.withColumn("_salt", row_salt)
+            return salted.groupBy("user_id", "_salt").applyInPandasWithState(
+                stateful._latest_update,
+                outputStructType=stateful._OUTPUT_SCHEMA,
+                stateStructType=stateful._STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+
+        return build
+
+    for hot in (0.4, 0.95):
+        replay = _events_replay(out, n_ev, BASE_KEYS, n_files, hot_frac=hot)
+        # gen_events plants the hot key on user_id 0
+        variants = [
+            ("latest_salted", _salted_builder(None)),
+            ("latest_salted_hotonly", _salted_builder([0])),
+        ]
+        if hot != 0.4:  # axis 3 already measured unsalted hot40
+            variants.insert(0, ("latest", latest_updates))
+        for tag, builder in variants:
+            m = drive(builder, replay, f"{tag}_hot{int(hot * 100)}")
+            row = {
+                "op": f"{tag}_hot{int(hot * 100)}", "scale": scales[-1],
+                "events": n_ev, "keys": BASE_KEYS, **m,
+            }
+            rows.append(row)
+            print("STREAM_ROW", json.dumps(row), flush=True)
     return rows
 
 
@@ -364,11 +415,18 @@ def run_rows_section(spark, out: str, scales: list[int]) -> list[dict]:
         plan = df._jdf.queryExecution().executedPlan().toString()
         return plan.count("Exchange")
 
-    def measure(events):
+    def measure(events, n_ev: int, bucketed: bool = False):
         # SCD2: full version history of the changelog keyed by user.
         # Timed region = plan build + noop write (the bench methodology);
-        # row counts run after, untimed.
-        hist = changelog_history(events, ["user_id"], "event_id")
+        # row counts run after, untimed. bucketed=True runs the r8
+        # skew-bounded variants (order_bucket/time_bucket): per-(key,
+        # time-bucket) window sorts + stitch/carry instead of one per-key
+        # sort. Width chosen for ~2000 buckets over the corpus (event_id
+        # is dense 1..n; ts advances ~1 ms/event -> "1 hour" ≈ 3.6M ms).
+        hist = changelog_history(
+            events, ["user_id"], "event_id",
+            order_bucket=max(1, n_ev // 2000) if bucketed else None,
+        )
         t0 = time.time()
         hist.write.format("noop").mode("overwrite").save()
         t_hist = time.time() - t0
@@ -381,6 +439,7 @@ def run_rows_section(spark, out: str, scales: list[int]) -> list[dict]:
         joined = asof_join(
             events, right, "ts", "ts", ["user_id"], ["user_id"],
             right_values=["value"],
+            time_bucket="1 hour" if bucketed else None,
         )
         t0 = time.time()
         joined.write.format("noop").mode("overwrite").save()
@@ -394,7 +453,9 @@ def run_rows_section(spark, out: str, scales: list[int]) -> list[dict]:
         events = spark.read.parquet(
             os.path.join(_events_dir(out, n_ev, BASE_KEYS), "events.parquet")
         )
-        n_hist, t_hist, ex_hist, n_asof, t_asof, ex_asof = measure(events)
+        n_hist, t_hist, ex_hist, n_asof, t_asof, ex_asof = measure(
+            events, n_ev
+        )
         row = {
             "corpus": "uniform", "scale": s, "events": n_ev,
             "scd2_rows": n_hist, "scd2_s": round(t_hist, 1),
@@ -405,23 +466,28 @@ def run_rows_section(spark, out: str, scales: list[int]) -> list[dict]:
         rows.append(row)
         print("ROWS_ROW", json.dumps(row), flush=True)
     # hot-key corpus at the largest scale: the per-key window sort is the
-    # one place a hot key cannot be split — measure the cost honestly
+    # one place a hot key cannot be split — measure the cost honestly,
+    # then measure the r8 BUCKETED variants on the same corpus (the
+    # mitigation: per-(key, bucket) sorts bounded by bucket width)
     n_ev = BASE_EVENTS * scales[-1]
     events = spark.read.parquet(
         os.path.join(
             _events_dir(out, n_ev, BASE_KEYS, hot_frac=0.4), "events.parquet"
         )
     )
-    n_hist, t_hist, ex_hist, n_asof, t_asof, ex_asof = measure(events)
-    row = {
-        "corpus": "hot40", "scale": scales[-1], "events": n_ev,
-        "scd2_rows": n_hist, "scd2_s": round(t_hist, 1),
-        "scd2_exchanges": ex_hist,
-        "asof_rows": n_asof, "asof_s": round(t_asof, 1),
-        "asof_exchanges": ex_asof,
-    }
-    rows.append(row)
-    print("ROWS_ROW", json.dumps(row), flush=True)
+    for corpus, bucketed in (("hot40", False), ("hot40_bucketed", True)):
+        n_hist, t_hist, ex_hist, n_asof, t_asof, ex_asof = measure(
+            events, n_ev, bucketed=bucketed
+        )
+        row = {
+            "corpus": corpus, "scale": scales[-1], "events": n_ev,
+            "scd2_rows": n_hist, "scd2_s": round(t_hist, 1),
+            "scd2_exchanges": ex_hist,
+            "asof_rows": n_asof, "asof_s": round(t_asof, 1),
+            "asof_exchanges": ex_asof,
+        }
+        rows.append(row)
+        print("ROWS_ROW", json.dumps(row), flush=True)
     return rows
 
 

@@ -123,3 +123,67 @@ def test_history_matches_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---- salt-window-stitch (order_bucket) equality ---------------------------
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_bucketed_history_matches_default_small(spark):
+    """Every interval boundary crosses or sits inside some bucket for at
+    least one of these widths, including the tombstone closing b's
+    interval from a different bucket."""
+    ev = _changelog(spark)
+    base = changelog_history(
+        ev, ["key"], "off", ["val"], tombstone_col="dead"
+    )
+    for width in (1, 2, 5, 100):
+        got = changelog_history(
+            ev, ["key"], "off", ["val"], tombstone_col="dead",
+            order_bucket=width,
+        )
+        assert _rows(got) == _rows(base), width
+
+
+def test_bucketed_history_matches_default_hot_corpus(spark):
+    """Hot-key corpus (the skew case the stitch exists for) + NULL key +
+    empty buckets between a key's writes."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    keys = np.where(rng.random(n) < 0.6, 7, rng.integers(100, 150, n))
+    offs = rng.permutation(np.arange(1, n + 1)) * 3  # gaps -> empty buckets
+    dead = rng.random(n) < 0.05
+    rows = [
+        (int(k) if i % 500 else None, int(o), f"v{o}", bool(d))
+        for i, (k, o, d) in enumerate(zip(keys, offs, dead))
+    ]
+    ev = spark.createDataFrame(
+        rows, "key long, off long, val string, dead boolean"
+    )
+    base = changelog_history(ev, ["key"], "off", ["val"], tombstone_col="dead")
+    got = changelog_history(
+        ev, ["key"], "off", ["val"], tombstone_col="dead", order_bucket=50
+    )
+    assert _rows(got) == _rows(base)
+
+
+def test_bucketed_history_timestamp_order(spark):
+    """Duration-string buckets on a timestamp order column, q53's shape:
+    events at sf0.001 with a (ts, event_id)-derived unique order."""
+    from fs2_kafka_streams_spark.catalog import Catalog
+
+    ev = Catalog(spark, SF_SMOKE).events.select(
+        "user_id", "ts", "event_type", "value"
+    )
+    base = changelog_history(ev, ["user_id"], "ts", ["event_type", "value"])
+    got = changelog_history(
+        ev, ["user_id"], "ts", ["event_type", "value"],
+        order_bucket="6 hours",
+    )
+    assert _rows(got) == _rows(base)

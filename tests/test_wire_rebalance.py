@@ -366,3 +366,66 @@ def test_global_latest_serves_backlog_of_mid_query_topic(spark, tmp_path):
     got = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame()
     assert set(got["event_id"]) == set(odds["event_id"])
     assert (got["topic"] == "events-1").all()
+
+
+def test_topic_revocation_fail_on_data_loss_and_clean_end(spark, tmp_path):
+    """Rebalance REVOCATION (reference Rebalance.Revoke,
+    ``client/commands.scala:29-35``; EOF-completion of the revoked
+    partition's stream ``client/RecordStream.scala:71-108``): a topic
+    deleted from the broker mid-query.
+
+    Kafka's source shape, mirrored: with the default
+    ``failOnDataLoss=true`` the next run FAILS loudly (deleted partitions
+    = possible data loss); with ``failOnDataLoss=false`` the revoked
+    partitions' streams end cleanly at their last served offsets — the
+    surviving topic continues exactly-once, already-committed results are
+    unaffected, and the latest-by-key fold over everything consumed stays
+    oracle-correct."""
+    t = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    broker = tmp_path / "broker"
+    broker.mkdir()
+    keep = t[t["user_id"] % 2 == 0]
+    gone = t[t["user_id"] % 2 == 1]
+    keep.iloc[: len(keep) // 2].to_parquet(
+        broker / "events-keep.parquet", index=False
+    )
+    gone.to_parquet(broker / "events-gone.parquet", index=False)
+
+    rows: list = []
+    ckpt = tmp_path / "ck"
+
+    def stream(**extra):
+        return read_wire_stream(
+            spark, SF, partitions=3,
+            broker_dir=str(broker), topic_pattern="events-.*", **extra,
+        )
+
+    _drain(spark, stream(), ckpt, rows)
+    n_first = sum(len(p) for p in rows)
+    assert n_first == len(keep) // 2 + len(gone)
+
+    # the broker deletes one topic; more records appear on the survivor
+    (broker / "events-gone.parquet").unlink()
+    keep.to_parquet(broker / "events-keep.parquet", index=False)
+
+    # default: the revocation is DATA LOSS -> the query fails loudly
+    # (awaitTermination surfaces the planner's RuntimeError)
+    with pytest.raises(Exception, match="gone"):
+        _drain(spark, stream(), ckpt, rows)
+
+    # failOnDataLoss=false: revoked stream ends cleanly; survivor continues
+    rows2: list = []
+    _drain(spark, stream(fail_on_data_loss=False), ckpt, rows2)
+    got = pd.concat(rows + rows2, ignore_index=True)
+    assert got["event_id"].is_unique, "revocation re-served or dropped"
+    assert len(got) == 1000  # every event consumed exactly once overall
+    assert set(got.loc[got["topic"] == "events-gone", "event_id"]) == set(
+        gone["event_id"]
+    )
+
+    # fold over the union of everything consumed == the batch oracle
+    folded = latest_by_key(
+        spark.createDataFrame(got[["event_id", "user_id", "offset"]]),
+        ["user_id"], ["offset", "event_id"],
+    )
+    assert folded.count() == got["user_id"].nunique()
