@@ -95,6 +95,12 @@ def lang_id(tok: Column) -> Column:
 
     A real pipeline would plug a fastText-style model in as a pandas UDF;
     the heuristic keeps the operator oracle-checkable.
+
+    NULL tokens (a NULL document) → NULL prediction. Without the guard the
+    argmax structs carry NULL hit counts and the comparison silently falls
+    through to the tie priority — Spark would emit 'en' while the SQL
+    oracle's CASE falls through its ELSE to 'zh' (r8 cold review,
+    execution-confirmed latent hash divergence).
     """
     scored = F.array(
         *[
@@ -106,7 +112,7 @@ def lang_id(tok: Column) -> Column:
             for i, lang in enumerate(STOPWORDS)
         ]
     )
-    return F.array_max(scored)["lang"]
+    return F.when(tok.isNotNull(), F.array_max(scored)["lang"])
 
 
 def quality_score(text_col: str | Column) -> Column:

@@ -526,7 +526,11 @@ _HITS = {
     )
     SELECT doc_id, lang,
            CAST(len(t) AS INTEGER) AS n_tokens,
-           CASE WHEN h_en >= greatest(h_es, h_de, h_fr, h_zh) THEN 'en'
+           -- t IS NULL guard first: NULL text → NULL prediction. Without
+           -- it every hit count is NULL, the WHENs all fail, and the ELSE
+           -- emits 'zh' while Spark's lang_id returns NULL (r8 review).
+           CASE WHEN t IS NULL THEN NULL
+                WHEN h_en >= greatest(h_es, h_de, h_fr, h_zh) THEN 'en'
                 WHEN h_es >= greatest(h_de, h_fr, h_zh) THEN 'es'
                 WHEN h_de >= greatest(h_fr, h_zh) THEN 'de'
                 WHEN h_fr >= h_zh THEN 'fr'
@@ -537,11 +541,14 @@ _HITS = {
                     - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
                     AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
              AS quality,
-           list_reduce(
+           -- NULL guard: DuckDB's list_prepend(0, NULL) yields [0], so an
+           -- unguarded fold maps NULL text to fingerprint 0 while Spark's
+           -- F.aggregate(NULL, ...) is NULL (r8 review, latent divergence)
+           CASE WHEN t IS NULL THEN NULL ELSE list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                list_transform(t, x ->
                  ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647)),
-             (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fingerprint
+             (acc, x) -> (acc * 1000003 + x) % 2147483647) END AS fingerprint
     FROM scored
     """,
     tags=("llm", "text"),

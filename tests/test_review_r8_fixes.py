@@ -92,3 +92,55 @@ def test_materialized_table_rejects_found_column(spark):
     )
     with pytest.raises(ValueError, match="_found"):
         MaterializedTable(df, ["k"], ["pos"], value_cols=["_found", "pos"])
+
+
+def test_lang_id_and_fingerprint_null_text(spark):
+    """r8 cold review (operators/text.py + the q43b oracle): on NULL text
+    Spark's lang_id used to emit 'en' (NULL hit counts fall through the
+    argmax to the tie priority) while the DuckDB oracle's CASE fell
+    through its ELSE to 'zh', and the oracle's list_prepend(0, NULL)
+    folded NULL text to fingerprint 0 while Spark returned NULL. Both
+    sides now agree: NULL text → NULL lang_pred, NULL fingerprint — and
+    the full q43b column family hash-matches its oracle on a corpus that
+    CONTAINS a NULL-text document."""
+    import duckdb
+
+    from fs2_kafka_streams_spark.operators.text import analyze
+    from fs2_kafka_streams_spark.queries import load_all
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["en", "en", "es", "en"],
+            "text": [
+                "the cat and the dog is here",
+                None,
+                "el que la de y",
+                "",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["fingerprint"])
+        for r in analyze(df, "text").collect()
+    }
+    assert got[2] == (None, None), "NULL text must yield NULL metrics"
+    assert got[1][0] == "en" and got[3][0] == "es"
+    assert got[4] == ("en", 0)  # empty text: defined, zero fingerprint
+
+    # full q43b oracle agreement on the NULL-bearing corpus
+    spec = load_all()["q43b_text_analysis"]
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        tuple(str(v) for v in row)
+        for row in con.sql(spec.oracle).fetchall()
+    )
+    cols = ["doc_id", "lang", "n_tokens", "lang_pred", "quality", "fingerprint"]
+    spark_rows = sorted(
+        tuple(str(r[c]) for c in cols)
+        for r in analyze(df, "text").select(*cols).collect()
+    )
+    # column order matches the oracle's SELECT list
+    assert spark_rows == want
