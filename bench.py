@@ -28,8 +28,10 @@ the session posture, and whether the streaming warm-up engaged — so the
 driver-run number of record carries its own measurement-conditions proof.
 
 Round 8 adds PER-ENTRY noise certification: a 10×-cheaper calibration tick
-runs between every entry (``calib_trace``), and entries bracketed by a hot
-tick (>1.6× the run's quietest tick) are flagged ``noisy`` in the artifact
+runs between every entry (``calib_trace``), entries bracketed by a hot
+tick (>1.6× the run's MEDIAN tick — in-run spikes/ramps) are flagged
+``noisy``, and a run-level ``host_loaded`` flag (both 200M probes above
+the SCALE.md quiet band) marks totals measured under uniform external load
 — r7's mid-run host-load ramp inflated batch entries invisibly; now the
 inflation is attributable per entry. The summary line also carries the
 streaming-family subtotal (``stream_sec``) so the r7 streaming win
@@ -48,6 +50,47 @@ from statistics import median as _median
 _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+
+#: Quiet-host wall-time band for the 200M-row calibrate() probe, measured
+#: in SCALE.md "Bench noise floor" (5 back-to-back quiet-window runs read
+#: 0.23-0.27 s). The driver machine is fixed for every round, so the band
+#: is a stable absolute reference: a run whose bracketing probes BOTH sit
+#: well above it was measured under external host load end-to-end — the
+#: case per-entry (run-relative) flags structurally cannot see.
+HOST_QUIET_BAND_200M = (0.23, 0.27)
+
+
+def noise_flags(
+    names: list[str], calib_trace: list[float]
+) -> tuple[dict[str, list[float]], float]:
+    """Per-entry noise flags from the inter-entry calibration ticks.
+
+    Entry i is bracketed by ``calib_trace[i]`` (just before) and
+    ``calib_trace[i+1]`` (just after); a bracketing tick reading hot marks
+    the entry ``noisy`` — its timing was taken while the host was busy, so
+    a cross-round reader attributes an apparent regression to the host,
+    not the code. "Hot" is measured against the run's MEDIAN tick (>1.6×
+    and >50 ms over it): the median is the run's typical host throughput,
+    so the flag isolates in-run spikes/ramps (r7's q44b case — reps rising
+    5.9→10.9 s while the run-bracketing probes still read quiet-ish). The
+    r8 lesson is why it is NOT the minimum tick: one lucky-fast tick under
+    a uniformly loaded host dragged a min-based floor low enough to flag
+    56/83 entries, destroying the flag's discrimination; uniform load is
+    the run-level ``host_loaded`` flag's job, not this one's.
+
+    Returns ``(noisy, median_tick)``.
+    """
+    mid = _median(calib_trace)
+
+    def _hot(t: float) -> bool:
+        return t > max(1.6 * mid, mid + 0.05)
+
+    noisy: dict[str, list[float]] = {}
+    for i, name in enumerate(names):
+        before, after = calib_trace[i], calib_trace[i + 1]
+        if _hot(before) or _hot(after):
+            noisy[name] = [before, after]
+    return noisy, mid
 
 
 def main() -> None:
@@ -175,9 +218,33 @@ def main() -> None:
         ).selectExpr("bit_xor(h)").collect()
         return round(time.perf_counter() - t0, 4)
 
+    def io_calib() -> float:
+        """Small-file write+fsync latency in ms/op (50 × 4 KB): the axis
+        the CPU probe cannot see. Streaming entries are dominated by
+        per-micro-batch checkpoint commits — many small fsyncs — so a
+        streaming-family swing with quiet CPU probes is attributable to
+        host IO iff this probe moved (r8 observation: streaming family
+        66→78 s across two runs whose CPU probes both read quiet)."""
+        import tempfile as _tf
+
+        d = _tf.mkdtemp(prefix="bench_io_calib_")
+        t0 = time.perf_counter()
+        for i in range(50):
+            p = os.path.join(d, f"f{i}")
+            fd = os.open(p, os.O_CREAT | os.O_WRONLY)
+            os.write(fd, b"x" * 4096)
+            os.fsync(fd)
+            os.close(fd)
+        dt = (time.perf_counter() - t0) / 50 * 1000
+        import shutil as _sh
+
+        _sh.rmtree(d, ignore_errors=True)
+        return round(dt, 3)
+
     calibrate()  # untimed: absorb the probe's own one-time codegen JIT
     calib_tick()  # same for the tick's plan shape
     calib_before = calibrate()
+    io_before = io_calib()
 
     # Measure real Structured Streaming entries LAST: their micro-batch
     # machinery leaves session residue (RocksDB state-store maintenance,
@@ -272,23 +339,21 @@ def main() -> None:
         calib_trace.append(calib_tick())
 
     calib_after = calibrate()
+    io_after = io_calib()
 
-    # Per-entry noise certification: an entry whose bracketing ticks read
-    # hot relative to the run's own quietest tick was measured under host
-    # load — its timing is recorded but FLAGGED, so a cross-round reader
-    # (or the judge) can attribute an apparent regression to the host
-    # instead of the code. Thresholds: >1.6× the run's quiet floor AND
-    # >50 ms absolute over it (the second clause keeps timer jitter from
-    # flagging everything when the whole run is fast and quiet).
+    noisy, calib_median = noise_flags(
+        [name for name, _spec in ordered], calib_trace
+    )
     quiet = min(calib_trace)
-    def _hot(t: float) -> bool:
-        return t > max(1.6 * quiet, quiet + 0.05)
-
-    noisy: dict[str, list[float]] = {}
-    for i, (name, _spec) in enumerate(ordered):
-        before, after = calib_trace[i], calib_trace[i + 1]
-        if _hot(before) or _hot(after):
-            noisy[name] = [before, after]
+    # run-LEVEL load flag: per-entry flags are relative to the run's own
+    # median, so a UNIFORMLY loaded run (external co-tenant pinning the
+    # host for the whole window — the r8 observation: every tick 0.10-0.15
+    # vs the 0.23-0.27 s 200M quiet band scaled) flags nothing per-entry;
+    # the bracketing 200M probes against the SCALE.md-measured quiet band
+    # catch that case and mark the whole TOTAL as host-inflated.
+    host_loaded = (
+        min(calib_before, calib_after) > HOST_QUIET_BAND_200M[1] * 1.3
+    )
     stream_family_sec = round(
         sum(t for n, t in timings.items() if n in stream_names), 3
     )
@@ -310,11 +375,20 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "calib_sec": [calib_before, calib_after],
+        # small-file write+fsync latency (ms/op) bracketing the run: the
+        # IO axis streaming checkpoints depend on and the CPU probe misses
+        "io_calib_ms": [io_before, io_after],
         # cheap per-entry host-throughput probe: calib_trace[i] ran just
         # before entry i (trace[i+1] just after); entries bracketed by a
         # hot tick are listed in `noisy` with their [before, after] ticks
         "calib_trace": calib_trace,
         "calib_quiet": quiet,
+        "calib_median": calib_median,
+        # run-level: both 200M probes above 1.3× the SCALE.md quiet band →
+        # the WHOLE run (and its total) was measured under external host
+        # load; per-entry flags only see spikes relative to the run itself
+        "host_loaded": host_loaded,
+        "host_quiet_band_200m": list(HOST_QUIET_BAND_200M),
         "noisy": noisy,
         "stream_family_sec": stream_family_sec,
         # value = sum of per-entry numbers; entries slower than the
@@ -367,6 +441,8 @@ def main() -> None:
                 "policy": f"median-of-{RERUN_REPS} over {RERUN_THRESHOLD_SEC}s",
                 "warm": warm_ok["stateful"] and warm_ok["join"],
                 "noisy_n": len(noisy),
+                "host_loaded": host_loaded,
+                "io_ms": [io_before, io_after],
                 "stream_sec": stream_family_sec,
                 "queries": slowest,
             },

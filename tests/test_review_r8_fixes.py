@@ -144,3 +144,25 @@ def test_lang_id_and_fingerprint_null_text(spark):
     )
     # column order matches the oracle's SELECT list
     assert spark_rows == want
+
+
+def test_bench_noise_flags_median_based():
+    """r8 bench fix: the per-entry noise flag compares ticks to the run's
+    MEDIAN, not its minimum — under a uniformly loaded host one lucky-fast
+    tick used to drag a min-based floor low enough to flag 56/83 entries
+    (zero discrimination). Uniform load is the run-level host_loaded
+    flag's job; the per-entry flag isolates in-run spikes."""
+    import bench
+
+    names = [f"q{i}" for i in range(5)]
+    # uniformly-loaded run with one outlier-fast tick: flags NOTHING
+    noisy, mid = bench.noise_flags(names, [0.12, 0.075, 0.13, 0.11, 0.14, 0.12])
+    assert noisy == {}
+    assert mid == 0.12
+    # an in-run spike flags exactly the two entries it brackets
+    noisy, _ = bench.noise_flags(names, [0.12, 0.11, 0.50, 0.11, 0.12, 0.13])
+    assert sorted(noisy) == ["q1", "q2"]
+    assert noisy["q1"] == [0.11, 0.50]
+    # quiet fast run: absolute 50 ms guard keeps timer jitter unflagged
+    noisy, _ = bench.noise_flags(names, [0.02, 0.03, 0.04, 0.02, 0.05, 0.03])
+    assert noisy == {}
