@@ -40,20 +40,24 @@ STREAM_PERF_CONF = {
 
 
 def duration_us(s: str) -> int:
-    """Parse an interval string ("2 hours", "10 minutes", "1 minute",
-    "30 seconds") into microseconds — the one parser for every gap /
-    retention / delay knob in the streaming package (four hand-rolled
+    """Parse an interval string ("3 days", "2 hours", "10 minutes",
+    "1 minute", "30 seconds") into microseconds — the one parser for every
+    gap / retention / delay knob in the streaming package (four hand-rolled
     copies had already drifted: some supported hours, none accepted
-    singular units)."""
+    singular units). Days (fixed 24 h — these are NTZ wall-clock
+    durations, no DST) were added for the DATE-column time_bucket plans,
+    where sub-day widths make every bucket a single day anyway."""
     m = re.fullmatch(
-        r"\s*(\d+)\s+(hour|minute|second)s?\s*", s, flags=re.IGNORECASE
+        r"\s*(\d+)\s+(day|hour|minute|second)s?\s*", s, flags=re.IGNORECASE
     )
     if not m:
         raise ValueError(
             f"unparseable duration {s!r}: expected '<n> "
-            "hours|minutes|seconds'"
+            "days|hours|minutes|seconds'"
         )
-    mult = {"hour": 3600, "minute": 60, "second": 1}[m.group(2).lower()]
+    mult = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}[
+        m.group(2).lower()
+    ]
     return int(m.group(1)) * mult * 1_000_000
 
 

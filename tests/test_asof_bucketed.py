@@ -147,3 +147,56 @@ def test_bucket_kind_mismatch_raises(spark):
         asof_join(
             tleft, tright, "t", "rt", ["k"], ["k"], ["v"], time_bucket=10
         )
+
+
+def test_date_time_columns_bucketed(spark):
+    """DATE time columns (r8: time_bucket_expr accepts DateType — a date
+    reads as its midnight in timestampdiff, so DATE and timestamp sides
+    bucket on the same scale): date-date and mixed ntz-date both equal
+    the unbucketed path, including a pre-epoch date (negative micros,
+    floor keeps bucketing monotone)."""
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame(
+        [(1, "2024-03-05"), (1, "2024-03-20"), (2, "1969-12-30"),
+         (2, "1970-01-02")],
+        "k long, t string",
+    ).select("k", F.col("t").cast("date").alias("t"))
+    right = spark.createDataFrame(
+        [(1, "2024-03-10", "a"), (2, "1969-12-29", "pre")],
+        "k long, rt string, v string",
+    ).select("k", F.col("rt").cast("date").alias("rt"), "v")
+    kwargs = dict(
+        left_time="t", right_time="rt", left_by=["k"], right_by=["k"],
+        right_values=["v"],
+    )
+    base = asof_join(left, right, **kwargs)
+    for bucket in ("12 hours", "3 days", "720 hours"):
+        got = asof_join(left, right, time_bucket=bucket, **kwargs)
+        assert _sorted_rows(got) == _sorted_rows(base), bucket
+
+    # mixed: timestamp_ntz probes against DATE right times
+    tleft = spark.createDataFrame(
+        [(1, "2024-03-05 01:30:00"), (1, "2024-03-20 23:00:00")],
+        "k long, t string",
+    ).select("k", F.col("t").cast("timestamp_ntz").alias("t"))
+    base_m = asof_join(tleft, right, **kwargs)
+    got_m = asof_join(tleft, right, time_bucket="7 hours", **kwargs)
+    assert _sorted_rows(got_m) == _sorted_rows(base_m)
+
+
+def test_date_order_scd_bucketed(spark):
+    import pyspark.sql.functions as F
+
+    from fs2_kafka_streams_spark.operators.scd import changelog_history
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01", "a", False), (1, "2024-02-15", "b", False),
+         (1, "2024-03-01", None, True), (2, "2024-01-20", "x", False)],
+        "k long, d string, val string, dead boolean",
+    ).select("k", F.col("d").cast("date").alias("d"), "val", "dead")
+    base = changelog_history(ev, ["k"], "d", ["val"], tombstone_col="dead")
+    got = changelog_history(
+        ev, ["k"], "d", ["val"], tombstone_col="dead", order_bucket="10 days"
+    )
+    assert _sorted_rows(got) == _sorted_rows(base)
