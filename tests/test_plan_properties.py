@@ -283,3 +283,39 @@ def test_registrywide_no_accidental_nested_loops(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             bad.append((name, "BroadcastNestedLoopJoin"))
     assert not bad, bad
+
+
+def test_bucketed_scd_and_asof_plan_shapes(spark):
+    """r8 bucketed variants: the skew-bounded plans must stay equi-join/
+    window shaped — no CartesianProduct anywhere, the per-(key, bucket)
+    window actually partitioned by the bucket, and the extra exchanges
+    bounded by the documented counts (SCALE.md O(rows): scd2 ≤5, asof ≤4
+    at 6M rows — a few more may appear at smoke scale from AQE, so the
+    assert uses a loose ceiling; the point is O(1) exchanges, not a
+    re-shuffle per bucket)."""
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.operators.asof_join import asof_join
+    from fs2_kafka_streams_spark.operators.scd import changelog_history
+
+    c = Catalog(spark, SF_SMOKE)
+    ev = c.events.select("user_id", "ts", "event_type", "value")
+    hist = changelog_history(
+        ev, ["user_id"], "ts", ["event_type", "value"], order_bucket="6 hours"
+    )
+    plan = _plan(hist)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 7
+    assert "_b" in plan  # window/stitch keyed by the bucket
+
+    right = c.orders.select("o_custkey", "o_orderdate", "o_totalprice")
+    joined = asof_join(
+        c.events.select("event_id", "user_id", "ts"), right,
+        "ts", "o_orderdate", ["user_id"], ["o_custkey"],
+        right_values=["o_totalprice"], time_bucket="24 hours",
+    )
+    plan = _plan(joined)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 7
+    assert "_b" in plan
