@@ -190,3 +190,102 @@ def test_pattern_query_survives_topic_appearance(spark, tmp_path):
                 last_view.loc[uid, "event_id"],
                 last_view.loc[uid, "ts_us"],
             ) == (eid, ts_us)
+
+
+def test_stateful_fold_survives_topic_revocation(spark, tmp_path):
+    """Rebalance REVOKE composed with the stateful fold (the counterpart
+    of the appearance test above; reference ``client/commands.scala:29-35``
+    + EOF-completion ``client/RecordStream.scala:71-108``): a topic is
+    DELETED between runs sharing one checkpoint. With
+    ``failOnDataLoss=false`` the revoked partitions' streams end cleanly
+    at their last served offsets, the survivor continues exactly-once
+    (new records only — nothing committed is re-served), and the
+    latest-by-key fold over everything consumed still equals the batch
+    oracle over (all of the revoked topic's data + all survivor data)."""
+    import pandas as pd
+
+    from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
+    from fs2_kafka_streams_spark.sources.python_source import (
+        decode_wire,
+        read_wire_stream,
+    )
+    from fs2_kafka_streams_spark.streaming.conf import (
+        STREAM_PERF_CONF,
+        pinned_conf,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    t = pq.read_table(f"{SF_SMOKE}/events.parquet").to_pandas()
+    broker = tmp_path / "broker"
+    broker.mkdir()
+    keep = t[t["user_id"] % 2 == 0]
+    gone = t[t["user_id"] % 2 == 1]
+    keep.iloc[: len(keep) // 2].to_parquet(
+        broker / "events-keep.parquet", index=False
+    )
+    gone.to_parquet(broker / "events-gone.parquet", index=False)
+
+    ckpt = str(tmp_path / "ck")
+    updates: dict[int, "pd.DataFrame"] = {}
+
+    def run_once(**extra):
+        wire = read_wire_stream(
+            spark, SF_SMOKE, partitions=3,
+            broker_dir=str(broker), topic_pattern="events-.*", **extra,
+        )
+        src = decode_wire(wire).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        upd = src.groupBy("user_id").applyInPandasWithState(
+            stateful._latest_update,
+            outputStructType=stateful._OUTPUT_SCHEMA,
+            stateStructType=stateful._STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        with pinned_conf(spark, dict(STREAM_PERF_CONF)):
+            q = (
+                upd.writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda bdf, bid: updates.__setitem__(bid, bdf.toPandas())
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    run_once()
+    n_run1 = len(updates)
+    assert n_run1 > 0
+
+    # the broker revokes one topic; the survivor gains records
+    (broker / "events-gone.parquet").unlink()
+    keep.to_parquet(broker / "events-keep.parquet", index=False)
+
+    # default posture on the SAME checkpoint: fails loudly (data loss)
+    with pytest.raises(Exception, match="gone"):
+        run_once()
+    # clean continuation: revoked stream EOFs, survivor continues
+    run_once(fail_on_data_loss=False)
+    assert len(updates) > n_run1, "survivor's new records never delivered"
+
+    all_updates = pd.concat(updates.values(), ignore_index=True)
+    got = latest_by_key(
+        spark.createDataFrame(
+            all_updates.assign(ts=all_updates["ts"].astype("datetime64[us]")),
+            schema=stateful._OUTPUT_SCHEMA,
+        ),
+        ["user_id"], ["ts", "event_id"],
+    )
+    oracle_pdf = pd.concat([keep, gone], ignore_index=True)
+    oracle = latest_by_key(
+        spark.createDataFrame(oracle_pdf, schema=stateful.EVENTS_SCHEMA)
+        .select(*got.columns),
+        ["user_id"], ["ts", "event_id"],
+    )
+    g = sorted(map(tuple, got.toPandas().astype(str).itertuples(index=False)))
+    w = sorted(
+        map(tuple, oracle.toPandas().astype(str).itertuples(index=False))
+    )
+    assert g == w
