@@ -67,15 +67,31 @@ def _payloads(rng: random.Random) -> list[bytes | None]:
 
 TOPICS = ["tj", "tc", "tb", "unregistered", None]
 
+#: record {a: long, b: string} — "\x02\x02x" is (a=1, b="x") in avro binary
+_AVRO_SCHEMA = (
+    '{"type":"record","name":"r","fields":'
+    '[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+)
+
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_decode_partition_invariant(spark, seed):
+    from fs2_kafka_streams_spark.sources.decode import (
+        AvroFormat,
+        has_avro_datasource,
+    )
+
+    # the 4th format is environment-gated: spark-avro is an external
+    # package absent in this container; wherever it IS present, the fuzz
+    # covers it too (valid avro bytes land among the payload classes)
+    avro = has_avro_datasource(spark)
+    topics = TOPICS + (["ta"] if avro else [])
     rng = random.Random(seed)
     rows = []
     off = 0
     for _ in range(400):
-        p = rng.choice(_payloads(rng))
-        t = rng.choice(TOPICS)
+        p = rng.choice(_payloads(rng) + ([b"\x02\x02x"] if avro else []))
+        t = rng.choice(topics)
         rows.append((t, 0, off, p))
         off += 1
     records = spark.createDataFrame(
@@ -87,6 +103,8 @@ def test_decode_partition_invariant(spark, seed):
         .register("tc", CsvFormat(SCHEMA))
         .register("tb", BinaryFormat(SCHEMA, _bin_fn))
     )
+    if avro:
+        reg = reg.register("ta", AvroFormat(_AVRO_SCHEMA))
     decoded = reg.decode(records)
     clean = clean_view(decoded)
     dlq = dead_letters(decoded)
@@ -105,5 +123,5 @@ def test_decode_partition_invariant(spark, seed):
     by_off = {r[2]: (r[0], r[3]) for r in rows}
     for o in clean_offsets:
         t, p = by_off[o]
-        assert t in ("tj", "tc", "tb"), f"clean row from topic {t!r}"
+        assert t in ("tj", "tc", "tb", "ta"), f"clean row from topic {t!r}"
         assert p is not None, "NULL payload decoded clean"
