@@ -282,3 +282,88 @@ def test_duration_us_shapes():
     ):
         with _pytest.raises(ValueError):
             duration_us(bad)
+
+
+@SET
+@given(rows=changelogs, salt=st.sampled_from([1, 2, 5]))
+def test_salted_fold_equals_unsalted(spark, rows, salt):
+    """r8 salted two-level fold: latest_by_key_salted ≡ latest_by_key for
+    ANY changelog and salt count — the associativity claim the streaming
+    operator's correctness rests on, beyond the fixed hot-corpus tests."""
+    from fs2_kafka_streams_spark.operators.latest_by_key import (
+        latest_by_key,
+        latest_by_key_salted,
+    )
+
+    df = spark.createDataFrame(rows, "k long, off long, v long")
+    base = latest_by_key(df, ["k"], ["off"], ["off", "v"])
+    got = latest_by_key_salted(df, ["k"], ["off"], ["off", "v"], salt=salt)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    hot = latest_by_key_salted(
+        df, ["k"], ["off"], ["off", "v"], salt=salt, hot_keys=[0, 3]
+    )
+    assert sorted(map(tuple, hot.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+
+@SET
+@given(rows=changelogs, width=st.sampled_from([1, 3, 7, 50]))
+def test_bucketed_history_equals_default_any_width(spark, rows, width):
+    """r8 salt-window-stitch: changelog_history(order_bucket=w) ≡ the
+    default plan for ANY changelog and bucket width — every interval
+    boundary either sits inside a slice (lead sees it) or crosses slices
+    (the stitch supplies it); width must be semantics-free."""
+    from fs2_kafka_streams_spark.operators.scd import changelog_history
+
+    df = spark.createDataFrame(rows, "k long, off long, v long")
+    base = changelog_history(df, ["k"], "off", ["v"])
+    got = changelog_history(df, ["k"], "off", ["v"], order_bucket=width)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+
+#: as-of inputs: left probes (key, t) and right rows (key, t, payload) on a
+#: small shared domain so matches, misses, ties and carry-ins all occur
+_asof_inputs = st.tuples(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 60)
+        ),
+        min_size=1, max_size=25,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 60), st.integers(-9, 9)
+        ),
+        min_size=0, max_size=25,
+    ),
+)
+
+
+@SET
+@given(inputs=_asof_inputs, width=st.sampled_from([1, 4, 13, 100]))
+def test_bucketed_asof_equals_default_any_width(spark, inputs, width):
+    """r8 bucketed as-of: time_bucket=w ≡ the default plan for ANY input
+    (duplicate right times exercise the tie rule through the carry-in
+    path; sparse rights exercise multi-bucket carry)."""
+    from fs2_kafka_streams_spark.operators.asof_join import asof_join
+
+    lrows, rrows = inputs
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        "pid long, k long, t long",
+    )
+    right = spark.createDataFrame(rrows, "k long, rt long, v long")
+    kwargs = dict(
+        left_time="t", right_time="rt", left_by=["k"], right_by=["k"],
+        right_values=["rt", "v"],
+    )
+    base = asof_join(left, right, **kwargs)
+    got = asof_join(left, right, time_bucket=width, **kwargs)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, base.collect())
+    )
