@@ -614,6 +614,10 @@ def compact_upsert_log(
         compacted = compacted.withColumn(
             "_bucket", F.pmod(F.xxhash64("user_id"), F.lit(SINK_BUCKETS))
         )
+        # same task-per-bucket co-location as the append path: a compaction
+        # whose OUTPUT re-fragments into tasks × buckets files would undo
+        # the very thing it runs for
+        compacted = compacted.repartition(SINK_BUCKETS, F.col("_bucket"))
         compacted.write.mode("overwrite").partitionBy("_bucket").parquet(tmp_dir)
         os.rename(sink_dir, old_dir)
         os.rename(tmp_dir, sink_dir)
@@ -714,6 +718,16 @@ def _run_upsert_sink(
                     "_bucket",
                     F.pmod(F.xxhash64("user_id"), F.lit(SINK_BUCKETS)),
                 )
+                # co-locate each bucket in one task before the partitioned
+                # write: without this, partitionBy fans every input task
+                # out across all buckets — tasks × buckets files PER EPOCH
+                # (measured: 256 files for a 1,500-row view at sf0.1, 16×
+                # the bucket count). At 100 TB that is the classic
+                # small-files failure: metadata pressure on the store and
+                # O(files) footer reads for every log-head view. One
+                # narrow exchange of O(batch) update rows per epoch buys
+                # ≤ SINK_BUCKETS files instead.
+                .repartition(SINK_BUCKETS, F.col("_bucket"))
                 .write.mode("append")
                 .partitionBy("_bucket")
                 .parquet(sink_dir)

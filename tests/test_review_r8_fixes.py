@@ -166,3 +166,31 @@ def test_bench_noise_flags_median_based():
     # quiet fast run: absolute 50 ms guard keeps timer jitter unflagged
     noisy, _ = bench.noise_flags(names, [0.02, 0.03, 0.04, 0.02, 0.05, 0.03])
     assert noisy == {}
+
+
+def test_upsert_sink_files_bounded_by_buckets(spark, tmp_path):
+    """r8: the upsert sink repartitions each epoch's updates onto their
+    bucket before the partitioned append — without it partitionBy fanned
+    every input task across all buckets (measured 256 files for a
+    1,500-row view at sf0.1: tasks x buckets x epochs), the classic
+    small-files failure a 100 TB compacted log cannot afford. Bound:
+    <= SINK_BUCKETS files per epoch."""
+    import glob
+
+    from fs2_kafka_streams_spark.streaming import stateful
+    from tests.conftest import SF_SMOKE
+
+    sink = str(tmp_path / "sink")
+    view = stateful.latest_by_key_streaming(spark, SF_SMOKE, sink_dir=sink)
+    n = view.count()
+    assert n > 0
+    files = glob.glob(f"{sink}/**/*.parquet", recursive=True)
+    # epoch is a column, not a partition dir — bound on total files:
+    # buckets x (number of committed epochs); read epochs from the log
+    n_epochs = (
+        stateful._read_upsert_log(spark, sink)
+        .select("_epoch").distinct().count()
+    )
+    assert len(files) <= stateful.SINK_BUCKETS * n_epochs, (
+        f"{len(files)} files for {n_epochs} epochs"
+    )
