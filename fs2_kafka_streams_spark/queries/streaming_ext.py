@@ -350,8 +350,14 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
 
         def sink(result_df, epoch_id: int) -> None:
             # idempotent per-batch overwrite — re-run of an uncommitted
-            # batch lands in the same directory
-            result_df.write.mode("overwrite").parquet(
+            # batch lands in the same directory. repartition(1), not
+            # coalesce: an epoch's top-k is a few hundred rows, but
+            # coalesce would collapse INTO the final top-k merge stage
+            # and serialize it; the explicit exchange ships only the
+            # tiny result and keeps the spool at one file per epoch
+            # instead of one per task (the sink small-files rule,
+            # streaming/stateful.py::_run_upsert_sink)
+            result_df.repartition(1).write.mode("overwrite").parquet(
                 f"{spool}/epoch={epoch_id}"
             )
 
