@@ -50,7 +50,12 @@ def changelog_history(
 
     ``order_col`` must be unique per key (Kafka offsets are; for event
     time, disambiguate upstream, e.g. a (ts, id)-derived column) —
-    otherwise ``lead`` over tied rows is nondeterministic.
+    otherwise ``lead`` over tied rows is nondeterministic. NULL orders
+    COUNT toward that uniqueness: at most one NULL-order row per key
+    (NULLs tie in the sort like any duplicate, and in the bucketed plan
+    a tied-NULL ``lead`` result is additionally indistinguishable from
+    end-of-slice, so the two plans may break the tie differently —
+    probed in tests/test_scd_history.py).
 
     ``order_bucket`` selects the SKEW-BOUNDED salt-window-stitch plan: a
     duration string ("1 hour") for a timestamp ``order_col``, a numeric

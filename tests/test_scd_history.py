@@ -187,3 +187,26 @@ def test_bucketed_history_timestamp_order(spark):
         order_bucket="6 hours",
     )
     assert _rows(got) == _rows(base)
+
+
+def test_bucketed_history_null_orders_within_contract(spark):
+    """NULL order values (r8 probe): a NULL-order row sorts first for its
+    key in BOTH plans — in the bucketed plan it lands alone in the NULL
+    bucket and the stitch hands it the first real write, exactly what
+    lead() sees in the default plan. The uniqueness contract extends to
+    NULLs (at most one NULL-order row per key): with duplicate NULLs the
+    default plan's lead over tied rows is already nondeterministic, and
+    the bucketed plan may additionally conflate a tied-NULL lead with
+    end-of-slice — documented, not supported."""
+    rows = [
+        (1, None, "n1", False), (1, 5, "a", False), (1, 9, None, True),
+        (2, None, "z", False), (None, 3, "nk", False), (3, None, "o", True),
+    ]
+    ev = spark.createDataFrame(rows, "key long, off long, val string, dead boolean")
+    base = changelog_history(ev, ["key"], "off", ["val"], tombstone_col="dead")
+    for width in (1, 4, 100):
+        got = changelog_history(
+            ev, ["key"], "off", ["val"], tombstone_col="dead",
+            order_bucket=width,
+        )
+        assert _rows(got) == _rows(base), width
