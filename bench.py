@@ -218,8 +218,8 @@ def main() -> None:
         ).selectExpr("bit_xor(h)").collect()
         return round(time.perf_counter() - t0, 4)
 
-    def io_calib() -> float:
-        """Small-file write+fsync latency in ms/op (50 × 4 KB): the axis
+    def io_calib(n_files: int = 50) -> float:
+        """Small-file write+fsync latency in ms/op (n × 4 KB): the axis
         the CPU probe cannot see. Streaming entries are dominated by
         per-micro-batch checkpoint commits — many small fsyncs — so a
         streaming-family swing with quiet CPU probes is attributable to
@@ -229,17 +229,24 @@ def main() -> None:
 
         d = _tf.mkdtemp(prefix="bench_io_calib_")
         t0 = time.perf_counter()
-        for i in range(50):
+        for i in range(n_files):
             p = os.path.join(d, f"f{i}")
             fd = os.open(p, os.O_CREAT | os.O_WRONLY)
             os.write(fd, b"x" * 4096)
             os.fsync(fd)
             os.close(fd)
-        dt = (time.perf_counter() - t0) / 50 * 1000
+        dt = (time.perf_counter() - t0) / n_files * 1000
         import shutil as _sh
 
         _sh.rmtree(d, ignore_errors=True)
         return round(dt, 3)
+
+    def io_tick() -> float:
+        """5×-cheaper per-entry sibling of ``io_calib`` (10 files, ~10 ms):
+        fsync latency is burstier than CPU throughput, so the per-entry IO
+        trace is what attributes ONE inflated streaming entry (vs the
+        run-bracketing probes, which only see the ends)."""
+        return io_calib(n_files=10)
 
     calibrate()  # untimed: absorb the probe's own one-time codegen JIT
     calib_tick()  # same for the tick's plan shape
@@ -311,6 +318,7 @@ def main() -> None:
     pinned_map: dict[str, dict[str, str]] = {}
     stream_names: set[str] = set()
     calib_trace: list[float] = [calib_tick()]
+    io_trace: list[float] = [io_tick()]
     warmed_streaming = False
     for name, spec in ordered:
         if "streaming" in spec.tags:
@@ -337,13 +345,14 @@ def main() -> None:
         if pinned:
             pinned_map[name] = pinned
         calib_trace.append(calib_tick())
+        io_trace.append(io_tick())
 
     calib_after = calibrate()
     io_after = io_calib()
 
-    noisy, calib_median = noise_flags(
-        [name for name, _spec in ordered], calib_trace
-    )
+    names = [name for name, _spec in ordered]
+    noisy, calib_median = noise_flags(names, calib_trace)
+    noisy_io, io_median = noise_flags(names, io_trace)
     quiet = min(calib_trace)
     # run-LEVEL load flag: per-entry flags are relative to the run's own
     # median, so a UNIFORMLY loaded run (external co-tenant pinning the
@@ -378,6 +387,12 @@ def main() -> None:
         # small-file write+fsync latency (ms/op) bracketing the run: the
         # IO axis streaming checkpoints depend on and the CPU probe misses
         "io_calib_ms": [io_before, io_after],
+        # per-entry IO ticks (ms/op) + median-relative flags, same scheme
+        # as the CPU trace — fsync latency is bursty, so these attribute
+        # a single inflated streaming entry
+        "io_trace_ms": io_trace,
+        "io_median_ms": io_median,
+        "noisy_io": noisy_io,
         # cheap per-entry host-throughput probe: calib_trace[i] ran just
         # before entry i (trace[i+1] just after); entries bracketed by a
         # hot tick are listed in `noisy` with their [before, after] ticks
@@ -441,6 +456,7 @@ def main() -> None:
                 "policy": f"median-of-{RERUN_REPS} over {RERUN_THRESHOLD_SEC}s",
                 "warm": warm_ok["stateful"] and warm_ok["join"],
                 "noisy_n": len(noisy),
+                "noisy_io_n": len(noisy_io),
                 "host_loaded": host_loaded,
                 "io_ms": [io_before, io_after],
                 "stream_sec": stream_family_sec,
