@@ -127,6 +127,23 @@ def apply_changes(
     if snapshot is None:
         return finish(delta)
 
+    # boundary validation (same convention as the reserved-name check):
+    # a snapshot missing its order/value columns — e.g. a raw dimension
+    # table instead of a previous apply_changes output — used to surface
+    # as a cryptic UNRESOLVED_COLUMN deep inside the merge projection
+    missing = [
+        c
+        for c in list(key_cols) + list(value_cols) + [order_col]
+        if c not in snapshot.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"apply_changes snapshot is missing column(s) {missing}: the "
+            "snapshot must carry key_cols + value_cols + [order_col] (the "
+            "shape a previous apply_changes produced); fold from scratch "
+            "with snapshot=None instead"
+        )
+
     if tombstone_col is not None and tombstone_col in snapshot.columns:
         # honor a marker-bearing snapshot in EVERY mode: feeding a
         # keep_tombstones=True output back with the default mode must not

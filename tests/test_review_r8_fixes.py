@@ -194,3 +194,22 @@ def test_upsert_sink_files_bounded_by_buckets(spark, tmp_path):
     assert len(files) <= stateful.SINK_BUCKETS * n_epochs, (
         f"{len(files)} files for {n_epochs} epochs"
     )
+
+
+def test_apply_changes_snapshot_missing_columns_loud(spark):
+    """r8 probe: a snapshot without the order column (a raw dimension
+    table instead of a previous apply_changes output) used to die with a
+    cryptic UNRESOLVED_COLUMN inside the merge projection; the boundary
+    now names the missing columns."""
+    base = spark.createDataFrame([("a", "old")], "k string, v string")
+    changes = spark.createDataFrame(
+        [("a", 5, "new")], "k string, pos long, v string"
+    )
+    with pytest.raises(ValueError, match="missing column.*pos"):
+        apply_changes(base, changes, ["k"], "pos", ["v"])
+    # the valid shape still merges
+    ok_base = spark.createDataFrame(
+        [("a", "old", 1)], "k string, v string, pos long"
+    )
+    out = apply_changes(ok_base, changes, ["k"], "pos", ["v"]).collect()
+    assert [(r["k"], r["v"], r["pos"]) for r in out] == [("a", "new", 5)]
