@@ -61,7 +61,7 @@ HOST_QUIET_BAND_200M = (0.23, 0.27)
 
 
 def noise_flags(
-    names: list[str], calib_trace: list[float]
+    names: list[str], calib_trace: list[float], abs_floor: float = 0.05
 ) -> tuple[dict[str, list[float]], float]:
     """Per-entry noise flags from the inter-entry calibration ticks.
 
@@ -78,12 +78,18 @@ def noise_flags(
     56/83 entries, destroying the flag's discrimination; uniform load is
     the run-level ``host_loaded`` flag's job, not this one's.
 
+    ``abs_floor`` is the absolute-jitter guard in the TRACE'S OWN UNIT:
+    0.05 s for the CPU tick trace (seconds), but the IO trace is in
+    ms/op, where 0.05 would let sub-millisecond fsync jitter flag
+    entries — callers pass a floor scaled to their unit (r9, per the
+    round-8 advisory).
+
     Returns ``(noisy, median_tick)``.
     """
     mid = _median(calib_trace)
 
     def _hot(t: float) -> bool:
-        return t > max(1.6 * mid, mid + 0.05)
+        return t > max(1.6 * mid, mid + abs_floor)
 
     noisy: dict[str, list[float]] = {}
     for i, name in enumerate(names):
@@ -91,6 +97,26 @@ def noise_flags(
         if _hot(before) or _hot(after):
             noisy[name] = [before, after]
     return noisy, mid
+
+
+def flag_names(
+    flags: dict[str, list[float]], mid: float, cap: int = 12
+) -> list[str]:
+    """Flagged-entry NAMES for the driver-visible summary line, hottest
+    bracket first so the size cap drops the least-inflated entries. r8's
+    summary carried only ``noisy_n``/``noisy_io_n`` counts, leaving
+    "WHICH entries were measured hot" answerable only from the local
+    artifact — the names must ride the summary JSON (the driver keeps
+    only a 2 KB stdout tail, hence the cap + ``+N`` overflow marker)."""
+    ranked = sorted(
+        flags.items(),
+        key=lambda kv: max(kv[1]) / mid if mid else 0.0,
+        reverse=True,
+    )
+    names = [n for n, _ in ranked[:cap]]
+    if len(ranked) > cap:
+        names.append(f"+{len(ranked) - cap}")
+    return names
 
 
 def main() -> None:
@@ -352,7 +378,10 @@ def main() -> None:
 
     names = [name for name, _spec in ordered]
     noisy, calib_median = noise_flags(names, calib_trace)
-    noisy_io, io_median = noise_flags(names, io_trace)
+    # IO trace is in ms/op (CPU trace is in seconds): pass an absolute
+    # floor scaled to the unit, else sub-millisecond fsync jitter over a
+    # fast median spuriously flags entries (r8 advisory)
+    noisy_io, io_median = noise_flags(names, io_trace, abs_floor=0.25)
     quiet = min(calib_trace)
     # run-LEVEL load flag: per-entry flags are relative to the run's own
     # median, so a UNIFORMLY loaded run (external co-tenant pinning the
@@ -439,9 +468,10 @@ def main() -> None:
     (Path(_REPO) / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
 
     slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
     )
-    # Compact summary as the LAST stdout line, < ~1.5 KB: the driver keeps
+
+    # Compact summary as the LAST stdout line, < ~2 KB: the driver keeps
     # only a 2000-char stdout tail (round-1 full map got truncated to
     # "parsed": null).
     print(
@@ -457,6 +487,12 @@ def main() -> None:
                 "warm": warm_ok["stateful"] and warm_ok["join"],
                 "noisy_n": len(noisy),
                 "noisy_io_n": len(noisy_io),
+                # flagged-entry NAMES (hottest first, capped), so the
+                # driver artifact answers "which entries were hot"
+                # without the local BENCH_FULL.json
+                "noisy_names": flag_names(noisy, calib_median),
+                "noisy_io_names": flag_names(noisy_io, io_median),
+                "io_med_ms": io_median,
                 "host_loaded": host_loaded,
                 "io_ms": [io_before, io_after],
                 "stream_sec": stream_family_sec,

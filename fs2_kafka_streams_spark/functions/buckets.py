@@ -37,10 +37,15 @@ def time_bucket_expr(dtype, spec: str | int | float, col: str) -> Column:
         from fs2_kafka_streams_spark.streaming.conf import duration_us
 
         width = duration_us(spec)
+        # backtick-quote the user's column name (escaping embedded
+        # backticks) — callers pass arbitrary names (spaces, dots,
+        # reserved words) and an unquoted interpolation would misparse
+        # or misbind as a struct-field reference
+        quoted = "`" + col.replace("`", "``") + "`"
         return F.floor(
             F.expr(
                 "timestampdiff(MICROSECOND, "
-                f"timestamp_ntz'1970-01-01 00:00:00', {col})"
+                f"timestamp_ntz'1970-01-01 00:00:00', {quoted})"
             )
             / F.lit(width)
         )

@@ -110,10 +110,13 @@ def changelog_history(
     # ---- salt-window-stitch (skew-bounded) plan ---------------------------
     from fs2_kafka_streams_spark.functions.buckets import time_bucket_expr
 
-    if "_b" in value_cols or "_b" in key_cols:
+    reserved = {"_b", "_vt_local"}
+    clash_b = reserved & (set(value_cols) | set(key_cols))
+    if clash_b:
         raise ValueError(
-            "changelog_history reserves column name '_b' in the bucketed "
-            "plan; rename the conflicting input column"
+            "changelog_history reserves column name(s) "
+            f"{sorted(reserved)} in the bucketed plan; rename the "
+            f"conflicting input column(s) {sorted(clash_b)}"
         )
     bucket = time_bucket_expr(
         df.schema[order_col].dataType, order_bucket, order_col

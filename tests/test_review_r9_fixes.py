@@ -1,0 +1,157 @@
+"""Pins for round-9 review fixes.
+
+Covers (a) the three round-8 advisory items (scd reserved name, bucket
+expression quoting, bench IO-noise floor) and (b) findings from the r9
+cold-file review campaign (queries/windows.py, catalog.py,
+streaming/watermark.py, streaming/replay.py, and the DuckDB oracle halves
+of queries/relational.py / queries/merged.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# r8 advisory #1 — scd.py bucketed plan reserves '_vt_local' too
+# ---------------------------------------------------------------------------
+
+
+def test_scd_bucketed_reserves_vt_local(spark):
+    """The bucketed plan's withColumn('_vt_local', ...) silently REPLACED a
+    user column of that name (lead() values emitted in place of the user's
+    data) instead of raising like '_b' did. Now both reserved names raise
+    at the API boundary."""
+    from fs2_kafka_streams_spark.operators.scd import changelog_history
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 2],
+                "ord": [10.0, 20.0, 15.0],
+                "_vt_local": ["a", "b", "c"],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="_vt_local"):
+        changelog_history(
+            df, ["k"], "ord", value_cols=["_vt_local"], order_bucket=10
+        )
+    # the unbucketed plan never materializes '_vt_local' and keeps working
+    out = changelog_history(df, ["k"], "ord", value_cols=["_vt_local"])
+    assert out.count() == 3
+    assert "_vt_local" in out.columns
+
+
+# ---------------------------------------------------------------------------
+# r8 advisory #2 — buckets.py quotes the column name in the expr text
+# ---------------------------------------------------------------------------
+
+
+def test_time_bucket_non_identifier_column(spark):
+    """time_bucket_expr interpolated the raw column name into SQL text; a
+    name with a space/dot/hyphen broke parsing or misbound as a
+    struct-field reference. Backtick-quoted now — the bucketed SCD2 plan
+    works on a changelog whose order column is named 'event time'."""
+    from pyspark.sql import functions as F
+
+    from fs2_kafka_streams_spark.functions.buckets import time_bucket_expr
+    from fs2_kafka_streams_spark.operators.scd import changelog_history
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "event time": pd.to_datetime(
+                [100, 4000, 8000, 200], unit="s"
+            ).astype("datetime64[us]"),
+            "v": ["a", "b", "c", "d"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    expr = time_bucket_expr(
+        df.schema["event time"].dataType, "1 hour", "event time"
+    )
+    got = [
+        r["b"]
+        for r in df.select(expr.alias("b"))
+        .orderBy(F.col("`event time`"))
+        .collect()
+    ]
+    assert got == [0, 0, 1, 2]
+
+    plain = changelog_history(df, ["k"], "event time").orderBy(
+        "k", "valid_from"
+    )
+    bucketed = changelog_history(
+        df, ["k"], "event time", order_bucket="1 hour"
+    ).orderBy("k", "valid_from")
+    assert [tuple(r) for r in plain.collect()] == [
+        tuple(r) for r in bucketed.collect()
+    ]
+
+
+def test_time_bucket_dotted_column(spark):
+    """A dotted name previously misbound as a struct-field reference."""
+    from fs2_kafka_streams_spark.functions.buckets import time_bucket_expr
+
+    pdf = pd.DataFrame(
+        {
+            "t.s": pd.to_datetime([10, 7200], unit="s").astype(
+                "datetime64[us]"
+            )
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    expr = time_bucket_expr(df.schema["t.s"].dataType, "1 hour", "t.s")
+    assert sorted(r["b"] for r in df.select(expr.alias("b")).collect()) == [
+        0,
+        2,
+    ]
+
+
+# ---------------------------------------------------------------------------
+# r8 advisory #3 — bench noise floor is unit-scaled for the IO trace
+# ---------------------------------------------------------------------------
+
+
+def test_bench_noise_floor_unit_scaled():
+    """noise_flags' absolute jitter floor was 0.05 in the trace's own unit
+    — right for the CPU trace (seconds: 50 ms) but reused for the IO
+    trace (ms/op), where 0.05 ms let sub-millisecond fsync jitter flag
+    entries on a fast-NVMe host. The floor is now a parameter; bench
+    passes 0.25 ms for IO."""
+    import bench
+
+    names = [f"q{i}" for i in range(5)]
+    # fast-disk IO trace (ms/op): 0.07 ms of jitter is NOT host noise
+    fast = [0.05, 0.06, 0.12, 0.05, 0.06, 0.05]
+    noisy_old, _ = bench.noise_flags(names, fast)  # default 0.05 floor
+    assert noisy_old, "sanity: the old floor DID spuriously flag"
+    noisy_new, _ = bench.noise_flags(names, fast, abs_floor=0.25)
+    assert noisy_new == {}
+    # a genuinely hot fsync tick (2.5x median) still flags its bracket
+    hot = [0.6, 0.6, 1.5, 0.6, 0.6, 0.6]
+    noisy_hot, _ = bench.noise_flags(names, hot, abs_floor=0.25)
+    assert sorted(noisy_hot) == ["q1", "q2"]
+
+
+def test_bench_summary_carries_flag_names():
+    """r9: the driver keeps only the stdout tail, so the summary line must
+    answer "WHICH entries were measured hot" — names ride the summary
+    (hottest first, size-capped, '+N' overflow marker), not just
+    counts."""
+    import bench
+
+    flags = {f"q{i:02d}": [0.6, 0.6 + 0.1 * i] for i in range(15)}
+    names = bench.flag_names(flags, mid=0.6, cap=12)
+    assert len(names) == 13 and names[-1] == "+3"
+    assert names[0] == "q14"  # hottest bracket first
+    assert "q02" not in names  # the cap drops the least-inflated
+    # under cap: every name, no marker
+    small = {"a": [0.6, 1.2], "b": [0.9, 0.6]}
+    assert bench.flag_names(small, mid=0.6) == ["a", "b"]
+    # summary construction uses the helper for both axes
+    src = open(bench.__file__).read()
+    assert '"noisy_names": flag_names(noisy' in src
+    assert '"noisy_io_names": flag_names(noisy_io' in src
