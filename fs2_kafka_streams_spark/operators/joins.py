@@ -96,6 +96,77 @@ def deterministic_salt(
     return F.pmod(F.xxhash64(*salt_cols), F.lit(salt)).cast("int")
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    key_col: str,
+    share: float = 0.01,
+    top_n: int = 64,
+) -> list:
+    """The key VALUES carrying more than ``share`` of ``df``'s rows —
+    hottest first, at most ``top_n``, as plain Python values ready for
+    the salted operators' ``hot_keys`` argument.
+
+    The r8 measurement made targeting mandatory (full-domain salting is a
+    2.6× per-trigger REGRESSION; ``hot_keys`` targeting −26% wall on
+    hot95 — SCALE.md "Skew axis"), but the list was manual. This is the
+    detector: ONE map-side-combined count aggregation over ``df`` (each
+    task pre-aggregates per key before the shuffle, so shuffle volume is
+    O(distinct keys), not O(rows)), materialized once via
+    ``localCheckpoint`` so the total-row sum and the share filter both
+    read the O(keys) summary instead of re-scanning ``df``. The returned
+    list is tiny by construction (keys above a ROW-SHARE threshold —
+    at most ``1/share`` of them can exist) and is meant to be inlined as
+    a literal predicate (broadcast-equivalent) on the salting side.
+
+    A NULL key is a real skew candidate (the classic unset-field
+    hot spot) and is returned as ``None``; the salted operators'
+    targeting treats ``None`` as "salt the NULL-key rows"
+    (:func:`hot_key_condition`).
+
+    Production shape: a changelog's hot keys are stable and observable
+    (the reference's 4-hot-user fixture, ``ReadOnlyTableSpec.scala:41-54``
+    — the same users stay hot across the test's whole stream), so detect
+    on yesterday's partition / a sample and reuse the list; re-detect on
+    drift, not per query.
+    """
+    if not 0 < share < 1:
+        raise ValueError(f"share must be in (0, 1), got {share}")
+    counts = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("_n")).collect()[0][0] or 0
+    if total == 0:
+        return []
+    rows = (
+        counts.filter(F.col("_n") > share * total)
+        .orderBy(F.col("_n").desc())
+        .limit(top_n)
+        .collect()
+    )
+    return [r[key_col] for r in rows]
+
+
+def hot_key_condition(key_col, hot_keys) -> "F.Column":
+    """Boolean Column: does this row's ``key_col`` belong to ``hot_keys``?
+
+    The ONE targeting predicate every salted operator shares
+    (:func:`salted_join`, ``operators/latest_by_key.py::
+    latest_by_key_salted``, ``streaming/stateful.py::
+    latest_by_key_streaming_salted``), so their hot/cold split can never
+    drift apart. ``None`` in the list means the NULL key group —
+    ``isin`` alone never matches NULL (SQL ``=`` semantics), which would
+    silently leave the one key :func:`detect_hot_keys` flagged as hot
+    unsalted."""
+    col = F.col(key_col) if isinstance(key_col, str) else key_col
+    vals = [k for k in hot_keys if k is not None]
+    cond = col.isin(vals) if vals else F.lit(False)
+    if any(k is None for k in hot_keys):
+        cond = cond | col.isNull()
+    return cond
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -103,6 +174,7 @@ def salted_join(
     salt: int = 8,
     how: str = "inner",
     hot_threshold: int | None = None,
+    hot_keys=None,
 ) -> DataFrame:
     """Equi-join a skew-heavy big side against a non-broadcastable small
     side by salting: the big side scatters each row to one of ``salt``
@@ -130,9 +202,21 @@ def salted_join(
     design point, broadcast back to both sides), not ×salt across the
     whole table. ``None`` (default) salts everything: simpler, no extra
     pass over the big side, right when the small side is genuinely small.
+
+    ``hot_keys`` is the PRE-DETECTED form of the same targeting (the
+    other salted operators' shape, unified in r9): an explicit key-value
+    list — typically :func:`detect_hot_keys` output, computed once on a
+    stable changelog and reused — salted via the shared
+    :func:`hot_key_condition` literal predicate, skipping the count pass
+    entirely. Mutually exclusive with ``hot_threshold``.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side is replicated)")
+    if hot_threshold is not None and hot_keys is not None:
+        raise ValueError(
+            "pass hot_threshold (detect inline) OR hot_keys (pre-detected "
+            "list), not both"
+        )
     clash = {"_salt", "_salts", "_hot"} & (
         set(big.columns) | set(small.columns)
     )
@@ -146,6 +230,26 @@ def salted_join(
         )
 
     salt_expr = deterministic_salt(big, salt, op_name="salted_join")
+    if hot_keys is not None:
+        # literal hot set: no count pass, no broadcast join — the list is
+        # tiny by detect_hot_keys construction (≤ 1/share keys)
+        cond = hot_key_condition(key, hot_keys)
+        big_s = big.withColumn(
+            "_salt",
+            F.when(cond, salt_expr).otherwise(F.lit(0)).cast("int"),
+        )
+        small_s = (
+            small.withColumn(
+                "_salts",
+                F.when(
+                    cond, F.sequence(F.lit(0), F.lit(salt - 1))
+                ).otherwise(F.array(F.lit(0))),
+            )
+            .withColumn("_salt", F.explode("_salts"))
+            .withColumn("_salt", F.col("_salt").cast("int"))
+            .drop("_salts")
+        )
+        return big_s.join(small_s, on=[key, "_salt"], how=how).drop("_salt")
     if hot_threshold is None:
         big_s = big.withColumn("_salt", salt_expr)
         small_s = small.withColumn(

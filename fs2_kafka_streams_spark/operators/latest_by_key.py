@@ -96,7 +96,10 @@ def latest_by_key_salted(
     twin: full salting is a per-group-overhead regression, SCALE.md
     "Skew axis").
     """
-    from fs2_kafka_streams_spark.operators.joins import deterministic_salt
+    from fs2_kafka_streams_spark.operators.joins import (
+        deterministic_salt,
+        hot_key_condition,
+    )
 
     if value_cols is None:
         value_cols = [c for c in df.columns if c not in key_cols]
@@ -112,8 +115,10 @@ def latest_by_key_salted(
                 "hot_keys targeting requires a single key column; salt "
                 "everything (hot_keys=None) for composite keys"
             )
+        # shared predicate (operators/joins.py): None in the list targets
+        # the NULL-key group, which plain isin() can never match
         salt_expr = (
-            F.when(F.col(key_cols[0]).isin(list(hot_keys)), salt_expr)
+            F.when(hot_key_condition(key_cols[0], hot_keys), salt_expr)
             .otherwise(F.lit(0))
             .cast("int")
         )

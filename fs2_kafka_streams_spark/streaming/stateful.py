@@ -857,8 +857,14 @@ def latest_by_key_streaming_salted(
     # would put the whole hot key back in one sub-group)
     row_salt = F.pmod(F.xxhash64("event_id", "ts"), F.lit(salt)).cast("int")
     if hot_keys is not None:
+        from fs2_kafka_streams_spark.operators.joins import (
+            hot_key_condition,
+        )
+
+        # shared predicate with the batch fold and salted_join (r9): a
+        # None entry targets the NULL-key group isin() cannot match
         row_salt = (
-            F.when(F.col("user_id").isin(list(hot_keys)), row_salt)
+            F.when(hot_key_condition("user_id", hot_keys), row_salt)
             .otherwise(F.lit(0))
             .cast("int")
         )
