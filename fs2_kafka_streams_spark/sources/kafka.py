@@ -135,6 +135,25 @@ def encode_for_kafka(
     (``client/Producer.scala:22-35``); the Kafka sink honors the same via
     the ``partition`` / ``timestamp`` / ``headers`` columns — pass the
     source columns through here to pin them."""
+    out = _encode_exprs(df, value_cols, key_col=key_col, topic=topic)
+    if partition_col is not None:
+        out.append(F.col(partition_col).cast("int").alias("partition"))
+    if timestamp_col is not None:
+        out.append(F.col(timestamp_col).cast("timestamp").alias("timestamp"))
+    if headers_col is not None:
+        out.append(F.col(headers_col).alias("headers"))
+    return df.select(*out)
+
+
+def _encode_exprs(
+    df: DataFrame,
+    value_cols: list[str],
+    key_col: str | None = None,
+    topic: str | None = None,
+) -> list:
+    """The INFALLIBLE producer expressions shared by both encoder forms:
+    value/key/topic never fail per row (to_json and string→binary are
+    total; a binary key passes through byte-for-byte)."""
     out = [F.to_json(F.struct(*value_cols)).cast("binary").alias("value")]
     if key_col is not None:
         # a key that is ALREADY binary passes through untouched: a
@@ -151,13 +170,81 @@ def encode_for_kafka(
         out.append(key.alias("key"))
     if topic is not None:
         out.append(F.lit(topic).alias("topic"))
+    return out
+
+
+def encode_for_kafka_checked(
+    df: DataFrame,
+    value_cols: list[str],
+    key_col: str | None = None,
+    topic: str | None = None,
+    partition_col: str | None = None,
+    timestamp_col: str | None = None,
+    headers_col: str | None = None,
+) -> DataFrame:
+    """:func:`encode_for_kafka` with PER-ROW totality: rows whose producer
+    fields cannot be encoded land in an in-band ``error`` column instead
+    of killing the whole write — the producer-side mirror of the decode
+    tier's ``Result[A]`` (``model/package.scala:16``; the reference's
+    ``KafkaEncoder`` is total only because its input is already typed —
+    here the frame may carry wire-incompatible VALUES, and under ANSI a
+    single out-of-range partition (cast long→int overflow) or
+    un-castable timestamp string would otherwise fail the job at row
+    granularity).
+
+    Output: the sink columns (value/key/topic/partition/timestamp/
+    headers, as applicable) plus ``error`` (NULL = encodable). Filter
+    ``error IS NULL`` for the producible view and its complement for the
+    errors view — every input row appears in exactly one
+    (tests/test_encode_fuzz.py pins the partition invariant). Failed
+    fields are NULL in the error row; route the errors view to a DLQ
+    with the original frame joined back on a row id if the raw values
+    are needed.
+    """
+    out = _encode_exprs(df, value_cols, key_col=key_col, topic=topic)
+    errs: list = []
+    # the fallible producer fields go through try_cast: NULL-out on
+    # failure and record why. A NULL SOURCE value is legal (the broker
+    # assigns the partition / stamps broker time), so only
+    # non-null-in → null-out counts as a failure.
     if partition_col is not None:
-        out.append(F.col(partition_col).cast("int").alias("partition"))
+        p = F.col(partition_col).try_cast("int")
+        errs.append(
+            F.when(
+                F.col(partition_col).isNotNull() & p.isNull(),
+                F.concat(
+                    F.lit("partition: cannot cast to int: "),
+                    F.coalesce(
+                        F.col(partition_col).try_cast("string"),
+                        F.lit("<unprintable>"),
+                    ),
+                ),
+            )
+        )
+        out.append(p.alias("partition"))
     if timestamp_col is not None:
-        out.append(F.col(timestamp_col).cast("timestamp").alias("timestamp"))
+        t = F.col(timestamp_col).try_cast("timestamp")
+        errs.append(
+            F.when(
+                F.col(timestamp_col).isNotNull() & t.isNull(),
+                F.concat(
+                    F.lit("timestamp: cannot cast to timestamp: "),
+                    F.coalesce(
+                        F.col(timestamp_col).try_cast("string"),
+                        F.lit("<unprintable>"),
+                    ),
+                ),
+            )
+        )
+        out.append(t.alias("timestamp"))
     if headers_col is not None:
         out.append(F.col(headers_col).alias("headers"))
-    return df.select(*out)
+    error = (
+        F.coalesce(*errs) if errs else F.lit(None).cast("string")
+    ).alias("error")
+    # one projection over the original frame — a single scan-stage
+    # expression set, no join, no second pass
+    return df.select(*out, error)
 
 
 def write_stream(
