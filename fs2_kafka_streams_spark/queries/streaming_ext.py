@@ -335,7 +335,12 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
     schema = spark.read.parquet(qdir).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        # 2 files/trigger (r9 trigger audit): each query vector is scored
+        # in exactly ONE batch, so the union of per-batch top-k is
+        # batching-insensitive — 2 micro-batches still prove the
+        # per-trigger scoring loop at half the checkpoint-commit and
+        # spool-write fsync volume of 1-file triggers
+        .option("maxFilesPerTrigger", 2)
         .parquet(qdir)
     )
     out_schema = "query_id bigint, neighbor_id bigint, rank int, cos double"
@@ -380,6 +385,9 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
             .start()
         )
         q.awaitTermination()
+        from fs2_kafka_streams_spark.streaming.run import record_run
+
+        record_run("ann_stream", q)
     finally:
         # availableNow ran to completion (or died); nothing resumes from
         # this checkpoint — only the SPOOL must outlive the call (the

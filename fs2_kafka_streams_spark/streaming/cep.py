@@ -407,6 +407,9 @@ def pattern_match_stream_tws(
             .start()
         )
         q.awaitTermination()
+    from fs2_kafka_streams_spark.streaming.run import record_run
+
+    record_run(name, q)
     return spark.table(name)
 
 

@@ -39,8 +39,12 @@ N_FILES = 4
 
 
 def _source_stamp(path: str) -> str:
+    # ns-resolution mtime (r9 cold review): with whole-second stamps a
+    # fixture rewritten within the same second at the same byte size —
+    # exactly what a test regenerating a corpus in place does — would
+    # keep serving the STALE replay cache
     st = os.stat(path)
-    return f"{st.st_size}:{int(st.st_mtime)}"
+    return f"{st.st_size}:{st.st_mtime_ns}"
 
 
 def replay_dir(

@@ -19,6 +19,38 @@ from fs2_kafka_streams_spark.streaming.conf import (
     pinned_conf,
 )
 
+#: Rolling trace of completed streaming runs: ``{"name", "n_triggers"}``
+#: per query, appended by every runner right after ``awaitTermination``.
+#: Same contract as ``conf.PIN_TRACE``: measurement harnesses (bench.py)
+#: snapshot ``RUN_SEQ`` around each timed entry and record how many
+#: micro-batches that entry actually executed — the per-trigger
+#: checkpoint fsync count is the streaming family's dominant IO cost, so
+#: a trigger-count change between rounds must be visible in the artifact,
+#: not inferred (VERDICT r8 #6). Control flow never reads it.
+RUN_TRACE: list[dict] = []
+_RUN_TRACE_MAX = 256
+
+#: Monotonic count of every RUN_TRACE append ever made — snapshot THIS,
+#: not ``len(RUN_TRACE)`` (the rolling trim shifts indices).
+RUN_SEQ = 0
+
+
+def record_run(name: str, query) -> None:
+    """Append a completed query's micro-batch count to :data:`RUN_TRACE`.
+
+    ``lastProgress.batchId`` is 0-based over a fresh checkpoint, so
+    ``+ 1`` is the executed-trigger count; a query that never produced a
+    progress event records 0."""
+    global RUN_SEQ
+    try:
+        lp = query.lastProgress
+        n = int(lp["batchId"]) + 1 if lp else 0
+    except Exception:  # pragma: no cover — tracing must never fail a run
+        n = -1
+    RUN_TRACE.append({"name": name, "n_triggers": n})
+    RUN_SEQ += 1
+    del RUN_TRACE[:-_RUN_TRACE_MAX]
+
 
 def run_to_memory(
     spark: SparkSession,
@@ -62,4 +94,5 @@ def _run(
             .start()
         )
         q.awaitTermination()
+    record_run(name, q)
     return spark.table(name)

@@ -748,6 +748,9 @@ def _run_upsert_sink(
                 .start()
             )
             q.awaitTermination()
+            from fs2_kafka_streams_spark.streaming.run import record_run
+
+            record_run("upsert_sink", q)
     finally:
         if own_ckpt:
             # availableNow ran to completion (or died): nothing resumes

@@ -111,6 +111,119 @@ def test_time_bucket_dotted_column(spark):
 
 
 # ---------------------------------------------------------------------------
+# r9 verdict #7 — bucketed-plan width guardrails
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_width_report_flags_degenerate_widths(spark):
+    """Equality holds for any width, but the cost doesn't: an
+    everything-in-one-bucket width degenerates to the unbucketed sort +
+    stitch overhead, a one-row-per-bucket width explodes the carry join.
+    Both now warn loudly with the fix named."""
+    import warnings
+
+    from fs2_kafka_streams_spark.functions.buckets import (
+        bucket_width_report,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1] * 50 + [2] * 50,
+            "ts": pd.to_datetime(
+                list(range(0, 500_000, 10_000)) * 2, unit="s"
+            ).astype("datetime64[us]"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    healthy = bucket_width_report(
+        df, "ts", "1 day", key_cols=["k"], warn=False
+    )
+    assert healthy["warning"] is None
+    assert healthy["rows"] == 100
+    assert healthy["buckets"] == 6  # 500k s / 86400 s
+    assert healthy["max_group_rows"] < 100
+
+    too_wide = bucket_width_report(
+        df, "ts", "3650 days", key_cols=["k"], warn=False
+    )
+    assert "one bucket" in too_wide["warning"]
+    assert too_wide["buckets"] == 1
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        too_narrow = bucket_width_report(
+            df, "ts", "1 second", key_cols=["k"]
+        )
+    assert "widen" in too_narrow["warning"]
+    assert any("widen" in str(x.message) for x in w)
+
+    # numeric order column goes through the same path
+    ndf = spark.createDataFrame(
+        pd.DataFrame({"k": [1] * 10, "pos": range(10)})
+    )
+    num = bucket_width_report(ndf, "pos", 5, key_cols=["k"], warn=False)
+    assert num["buckets"] == 2 and num["warning"] is None
+    # empty frame: no division by zero, no warning
+    empty = bucket_width_report(
+        ndf.limit(0), "pos", 5, key_cols=["k"], warn=False
+    )
+    assert empty["rows"] == 0 and empty["warning"] is None
+
+
+# ---------------------------------------------------------------------------
+# r9 verdict #6 — executed trigger counts are in-artifact facts
+# ---------------------------------------------------------------------------
+
+
+def test_run_trace_records_trigger_counts(spark, tmp_path):
+    """Every streaming runner appends {name, n_triggers} to
+    streaming/run.py::RUN_TRACE after awaitTermination — bench.py
+    snapshots RUN_SEQ around each entry so a trigger-count change between
+    rounds is visible in the artifact (fsync volume ∝ triggers)."""
+    import numpy as np
+
+    from fs2_kafka_streams_spark.streaming import run as srun
+    from fs2_kafka_streams_spark.streaming.run import run_to_memory
+    from fs2_kafka_streams_spark.streaming.stateful import EVENTS_SCHEMA
+    from tests.conftest import write_replay_files
+
+    frames = []
+    for i in range(4):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "event_id": [i * 2 + 1, i * 2 + 2],
+                    "ts": pd.to_datetime(
+                        [i * 100, i * 100 + 50], unit="s"
+                    ).astype("datetime64[us]"),
+                    "user_id": [1, 2],
+                    "event_type": ["view", "click"],
+                    "value": [1.0, 2.0],
+                    "props": ["{}", "{}"],
+                }
+            )
+        )
+    replay = write_replay_files(tmp_path / "replay", frames)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(replay)
+    )
+    agg = src.groupBy("user_id").count()
+    seq_before = srun.RUN_SEQ
+    out = run_to_memory(spark, agg, "trig_probe", output_mode="complete")
+    assert out.count() == 2
+    assert srun.RUN_SEQ == seq_before + 1
+    rec = srun.RUN_TRACE[-1]
+    assert rec["name"].startswith("trig_probe")
+    assert rec["n_triggers"] == 2  # 4 files / 2 per trigger
+    # bench.py reads the trace the same way PIN_TRACE is read
+    src_txt = open("bench.py").read()
+    assert '"n_triggers": triggers_map' in src_txt
+
+
+# ---------------------------------------------------------------------------
 # r8 advisory #3 — bench noise floor is unit-scaled for the IO trace
 # ---------------------------------------------------------------------------
 
