@@ -172,6 +172,76 @@ def test_bucket_width_report_flags_degenerate_widths(spark):
 
 
 # ---------------------------------------------------------------------------
+# r9 cold-review probes — suspicions raised on read, settled by execution
+# ---------------------------------------------------------------------------
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """queries/windows.py q35 review: the oracle starts a new session on
+    gap STRICTLY greater than the 30-minute gap (a tie merges). Probed:
+    Spark's session_window also merges an event arriving EXACTLY at the
+    previous session's end (touching windows coalesce), so both engines
+    agree at the boundary — pinned so a Spark semantic change surfaces
+    here, not as a driver hash mismatch."""
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            # 0s, exactly +30min, then +60min after that (clearly new)
+            "ts": pd.to_datetime([0, 1800, 5400], unit="s").astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), "n")
+        .orderBy("s")
+        .collect()
+    )
+    assert [r["n"] for r in out] == [2, 1]  # the tie MERGED
+
+
+def test_catalog_nanos_truncation_matches_duckdb_preepoch(spark, tmp_path):
+    """catalog.py review: the nanos→micros conversion uses `div 1000`
+    (truncation toward zero). Probed: DuckDB's TIMESTAMP_NS→TIMESTAMP
+    cast also truncates toward zero (−1500 ns → −1 µs, −999 ns → 0), so
+    the two engines agree even for pre-epoch values the driver data
+    never exercises."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fs2_kafka_streams_spark.catalog import Catalog
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([-1500, -999, 999, 1500], pa.timestamp("ns")),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, str(sf / "events.parquet"))
+    got = {
+        r["event_id"]: r["ts"]
+        for r in Catalog(spark, str(sf)).events.collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.sql(
+            "SELECT event_id, CAST(ts AS TIMESTAMP) FROM "
+            f"read_parquet('{sf}/events.parquet')"
+        ).fetchall()
+    )
+    assert got == want
+    assert got[1].microsecond == 999999  # -1500ns -> -1us, i.e. .999999
+
+
+# ---------------------------------------------------------------------------
 # r9 verdict #6 — executed trigger counts are in-artifact facts
 # ---------------------------------------------------------------------------
 
