@@ -15,6 +15,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
 
+def quoted_col(name: str) -> Column:
+    """``F.col`` over a backtick-quoted column NAME (embedded backticks
+    escaped): callers pass arbitrary names (spaces, dots, reserved words)
+    and a bare ``F.col(name)`` would misparse or misbind a dotted name as
+    a struct-field reference. One helper so every name-taking entry point
+    in the bucketed/salted family quotes the same way."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def time_bucket_expr(dtype, spec: str | int | float, col: str) -> Column:
     """``floor(col / width)`` as a Column, for a timestamp/date column with
     a duration-string ``spec`` ("1 hour") or a numeric column with a
@@ -39,10 +48,8 @@ def time_bucket_expr(dtype, spec: str | int | float, col: str) -> Column:
         from fs2_kafka_streams_spark.streaming.conf import duration_us
 
         width = duration_us(spec)
-        # backtick-quote the user's column name (escaping embedded
-        # backticks) — callers pass arbitrary names (spaces, dots,
-        # reserved words) and an unquoted interpolation would misparse
-        # or misbind as a struct-field reference
+        # backtick-quote the user's column name (see quoted_col) — here
+        # the name is interpolated into a SQL string, so quote inline
         quoted = "`" + col.replace("`", "``") + "`"
         return F.floor(
             F.expr(
@@ -56,7 +63,7 @@ def time_bucket_expr(dtype, spec: str | int | float, col: str) -> Column:
             "numeric time_bucket needs a numeric time column; pass a "
             "duration string for timestamps/dates"
         )
-    return F.floor(F.col(col) / F.lit(spec))
+    return F.floor(quoted_col(col) / F.lit(spec))
 
 
 def bucket_width_report(
@@ -94,7 +101,7 @@ def bucket_width_report(
         df.schema[order_col].dataType, spec, order_col
     )
     groups = df.groupBy(
-        *[F.col(k) for k in key_cols], bucket.alias("_b")
+        *[quoted_col(k) for k in key_cols], bucket.alias("_b")
     ).agg(F.count(F.lit(1)).alias("_n"))
     row = groups.agg(
         F.sum("_n").alias("rows"),

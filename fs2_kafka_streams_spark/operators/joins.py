@@ -111,9 +111,9 @@ def detect_hot_keys(
     hot95 — SCALE.md "Skew axis"), but the list was manual. This is the
     detector: ONE map-side-combined count aggregation over ``df`` (each
     task pre-aggregates per key before the shuffle, so shuffle volume is
-    O(distinct keys), not O(rows)), materialized once via
-    ``localCheckpoint`` so the total-row sum and the share filter both
-    read the O(keys) summary instead of re-scanning ``df``. The returned
+    O(distinct keys), not O(rows)), cached across the two reads (and
+    released before returning) so the total-row sum and the share filter
+    both read the O(keys) summary instead of re-scanning ``df``. The returned
     list is tiny by construction (keys above a ROW-SHARE threshold —
     at most ``1/share`` of them can exist) and is meant to be inlined as
     a literal predicate (broadcast-equivalent) on the salting side.
@@ -131,21 +131,35 @@ def detect_hot_keys(
     """
     if not 0 < share < 1:
         raise ValueError(f"share must be in (0, 1), got {share}")
+    from pyspark.storagelevel import StorageLevel
+
+    from fs2_kafka_streams_spark.functions.buckets import quoted_col
+
+    # persist (NOT localCheckpoint): the CacheManager path is the one a
+    # finally-block unpersist can actually release — unpersist() on a
+    # localCheckpointed frame is a silent no-op, which is exactly the
+    # long-lived-session block-storage leak the r9 advisory flagged
     counts = (
-        df.groupBy(key_col)
+        df.groupBy(quoted_col(key_col).alias(key_col))
         .agg(F.count(F.lit(1)).alias("_n"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    total = counts.agg(F.sum("_n")).collect()[0][0] or 0
-    if total == 0:
-        return []
-    rows = (
-        counts.filter(F.col("_n") > share * total)
-        .orderBy(F.col("_n").desc())
-        .limit(top_n)
-        .collect()
-    )
-    return [r[key_col] for r in rows]
+    try:
+        total = counts.agg(F.sum("_n")).collect()[0][0] or 0
+        if total == 0:
+            return []
+        rows = (
+            counts.filter(F.col("_n") > share * total)
+            .orderBy(F.col("_n").desc())
+            .limit(top_n)
+            .collect()
+        )
+        return [r[key_col] for r in rows]
+    finally:
+        # release the cached blocks once both collects have read them —
+        # repeated detections in a long-lived session must not
+        # accumulate executor block storage
+        counts.unpersist(blocking=True)
 
 
 def hot_key_condition(key_col, hot_keys) -> "F.Column":

@@ -40,13 +40,16 @@ def record_run(name: str, query) -> None:
 
     ``lastProgress.batchId`` is 0-based over a fresh checkpoint, so
     ``+ 1`` is the executed-trigger count; a query that never produced a
-    progress event records 0."""
+    progress event records 0. If reading ``lastProgress`` itself throws,
+    the count is unknowable and records ``None`` (→ ``null`` in
+    BENCH_FULL.json's ``n_triggers`` lists) — never a numeric sentinel a
+    cross-round sum/diff could silently absorb as an executed count."""
     global RUN_SEQ
     try:
         lp = query.lastProgress
         n = int(lp["batchId"]) + 1 if lp else 0
     except Exception:  # pragma: no cover — tracing must never fail a run
-        n = -1
+        n = None
     RUN_TRACE.append({"name": name, "n_triggers": n})
     RUN_SEQ += 1
     del RUN_TRACE[:-_RUN_TRACE_MAX]

@@ -288,8 +288,11 @@ def test_run_trace_records_trigger_counts(spark, tmp_path):
     rec = srun.RUN_TRACE[-1]
     assert rec["name"].startswith("trig_probe")
     assert rec["n_triggers"] == 2  # 4 files / 2 per trigger
-    # bench.py reads the trace the same way PIN_TRACE is read
-    src_txt = open("bench.py").read()
+    # bench.py reads the trace the same way PIN_TRACE is read — resolve
+    # the source via the module, not CWD (pytest may run from anywhere)
+    import bench
+
+    src_txt = open(bench.__file__).read()
     assert '"n_triggers": triggers_map' in src_txt
 
 
