@@ -60,6 +60,22 @@ def _join_oracle(key_cols: list[str], names: list[str]) -> str:
 def _join_build(key_cols: list[str], names: list[str]):
     def build(spark, sf_dir):
         dfs = [_spec(n).build(spark, sf_dir) for n in names]
+        # loud guard (r10 cold review): a non-key column shared by two
+        # variants would survive the USING join TWICE under the same name
+        # on both engines — the driver's sort-columns-by-name hash then
+        # compares ambiguous orderings and any future variant edit could
+        # flip green to red non-obviously. Fail at build time instead.
+        seen: dict[str, str] = {c: names[0] for c in dfs[0].columns}
+        for n, d in zip(names[1:], dfs[1:]):
+            for c in d.columns:
+                if c in key_cols:
+                    continue
+                if c in seen:
+                    raise ValueError(
+                        f"join-merge of {names}: column {c!r} appears in "
+                        f"both {seen[c]!r} and {n!r}; rename one side"
+                    )
+                seen[c] = n
         out = dfs[0]
         for d in dfs[1:]:
             out = out.join(d, key_cols)

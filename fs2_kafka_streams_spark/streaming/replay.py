@@ -77,7 +77,12 @@ def replay_dir(
     src = os.path.join(sf_dir, f"{table}.parquet")
     stamp = _source_stamp(src)
     sf_name = os.path.basename(sf_dir.rstrip("/"))
-    suffix = f"_by_{order_col}" if order_col else ""
+    # id_col is part of the cache identity (r10 cold review): two calls on
+    # the same table with different id columns produce different buckets,
+    # and a key without it would silently serve the first caller's split
+    # to the second
+    suffix = f"_id_{id_col}" if id_col != "event_id" else ""
+    suffix += f"_by_{order_col}" if order_col else ""
     if sentinel_minutes:
         suffix += f"_sent{sentinel_minutes}v2"
     out = os.path.join(cache_root or CACHE_ROOT, f"{sf_name}_{table}_{n_files}{suffix}")
@@ -113,7 +118,18 @@ def replay_dir(
         chunk = (n + n_files - 1) // n_files
         parts = [t.slice(k * chunk, chunk) for k in range(n_files)]
     else:
-        ids = t.column(id_col).to_numpy()
+        id_arrow = t.column(id_col)
+        if id_arrow.null_count:
+            # loud, not lossy (r10 cold review): a NULL id converts to NaN
+            # in numpy, NaN % n matches NO bucket, and the row would
+            # silently vanish from the replay — breaking the multiset
+            # equality the whole harness rests on
+            raise ValueError(
+                f"replay_dir: id column {id_col!r} has "
+                f"{id_arrow.null_count} NULLs; hash-bucket replay needs a "
+                "non-null id (pass order_col=... for a sort-based split)"
+            )
+        ids = id_arrow.to_numpy()
         bucket = ids % n_files
         parts = [t.filter(pa.array(bucket == k)) for k in range(n_files)]
     if sentinel_minutes:

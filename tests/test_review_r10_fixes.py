@@ -108,6 +108,105 @@ def test_record_run_unknown_trigger_count_is_none():
 
 
 # ---------------------------------------------------------------------------
+# r10 cold review — streaming/replay.py
+# ---------------------------------------------------------------------------
+
+
+def _write_parquet(path, frame):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(frame), path)
+    return str(path)
+
+
+def test_replay_null_ids_raise_not_vanish(tmp_path):
+    """A NULL id used to convert to NaN, NaN % n matched no bucket, and
+    the row silently vanished from every replay file — breaking the
+    multiset equality the harness rests on. Must raise loudly instead."""
+    from fs2_kafka_streams_spark.streaming.replay import replay_dir
+
+    frame = pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, None], dtype="Int64"),
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    _write_parquet(tmp_path / "t.parquet", frame)
+    with pytest.raises(ValueError, match="NULL"):
+        replay_dir(
+            str(tmp_path), "t", cache_root=str(tmp_path / "cache")
+        )
+
+
+def test_replay_cache_keyed_on_id_col(tmp_path):
+    """Two replays of the SAME table with DIFFERENT id columns must not
+    share a cache directory — the second caller would silently get the
+    first caller's bucket split."""
+    import pyarrow.parquet as pq
+
+    from fs2_kafka_streams_spark.streaming.replay import replay_dir
+
+    frame = pd.DataFrame(
+        {"a": [0, 1, 2, 3, 4, 5, 6, 7], "b": [0, 0, 0, 0, 1, 1, 1, 1]}
+    )
+    _write_parquet(tmp_path / "t.parquet", frame)
+    cache = str(tmp_path / "cache")
+    d_a = replay_dir(str(tmp_path), "t", id_col="a", cache_root=cache)
+    d_b = replay_dir(str(tmp_path), "t", id_col="b", cache_root=cache)
+    assert d_a != d_b
+    # and the b-split really is keyed on b: bucket 1 holds b % 4 == 1
+    import pathlib
+
+    f1 = sorted(pathlib.Path(d_b).glob("part-*.parquet"))[1]
+    got = pq.read_table(f1).column("b").to_pylist()
+    assert got == [1, 1, 1, 1]
+
+
+# ---------------------------------------------------------------------------
+# r10 cold review — queries/merged.py join-merge adapter
+# ---------------------------------------------------------------------------
+
+
+def test_join_merge_rejects_overlapping_value_columns(spark):
+    """A non-key column shared by two join-merged variants would ride the
+    USING join twice under the same name and make the driver's
+    sort-by-name hash ambiguous — the adapter must fail loudly at build
+    time instead."""
+    from fs2_kafka_streams_spark.queries import REGISTRY
+    from fs2_kafka_streams_spark.queries.merged import _join_build
+
+    # two registered variants that genuinely share a value column name
+    build = _join_build(
+        ["o_custkey", "o_orderkey"],
+        ["q19_window_ranking", "q19_window_ranking"],
+    )
+    assert "q19_window_ranking" in REGISTRY
+    with pytest.raises(ValueError, match="appears in both"):
+        build(spark, "/root/testdata/sf0.001")
+
+
+def test_join_merges_have_disjoint_value_columns(spark):
+    """Every registered join-merge builds clean under the new guard (the
+    current merges all have disjoint value columns)."""
+    from fs2_kafka_streams_spark.queries import REGISTRY
+
+    for name in [
+        "q25_string_hash_functions",
+        "q26_date_math_functions",
+        "q28_conditional_json",
+        "q29_array_hof_agg",
+        "q19_window_ranking_dist",
+        "q20_window_analytic_value",
+        "q16c_pivot_map",
+        "q07_join_multiway_broadcast",
+        "q43b_text_metrics",
+    ]:
+        df = REGISTRY[name].build(spark, "/root/testdata/sf0.001")
+        assert len(set(df.columns)) == len(df.columns), name
+
+
+# ---------------------------------------------------------------------------
 # r9 advisory #4 — no CWD-relative source reads in tests
 # ---------------------------------------------------------------------------
 
