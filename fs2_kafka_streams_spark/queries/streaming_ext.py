@@ -455,11 +455,13 @@ def outer_join_stream(spark, sf_dir):
     """The un-sinked LEFT OUTER stream–stream join of q72 (split out so the
     crash-recovery tests can drive it through their own checkpointed sink).
     Output still contains the -1 sentinel lefts; callers filter them."""
-    # 1 file/trigger: the two sentinel files MUST arrive in separate
-    # triggers — the first advances the watermark, the second's batch
-    # flushes the outer state that advance unlocked. 2 data files keep
-    # cross-batch join state under test at half the per-batch machinery
-    # cost (4 triggers total).
+    # 1 file/trigger, 2 data files + 1 sentinel (r10 trigger cut): the
+    # sentinel batch advances the watermark past every real event and the
+    # engine's final NO-DATA batch flushes the outer state that advance
+    # unlocked (availableNow always runs it — probed 6/6 and pinned in
+    # tests/test_review_r10_fixes.py; r8's second sentinel file was one
+    # whole wasted trigger). 2 data files keep cross-batch join state
+    # under test; 4 triggers total including the no-data flush.
     a = _events_stream(
         spark, sf_dir, files_per_trigger=1, time_ordered=True,
         ts_type="timestamp", sentinel_minutes=60, n_files=2,

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from fs2_kafka_streams_spark.queries import ntz_epoch_seconds
 from fs2_kafka_streams_spark.streaming.replay import replay_dir
 from fs2_kafka_streams_spark.streaming.conf import duration_us
 from fs2_kafka_streams_spark.streaming.run import run_to_memory
@@ -195,8 +196,13 @@ def pattern_match_batch(
             F.col("event_id").alias("trigger_event_id"),
             "base_ts",
             F.col("ts").alias("trigger_ts"),
+            # NTZ-safe epoch arithmetic (r10 cold review): unix_timestamp
+            # interprets NTZ as session-LOCAL wall time, which is
+            # non-linear across a DST transition — a (base, trigger) pair
+            # straddling one would report a lag ±3600 s off the streaming
+            # side's pure-µs integers under a DST session timezone
             (
-                F.unix_timestamp("ts") - F.unix_timestamp("base_ts")
+                ntz_epoch_seconds("ts") - ntz_epoch_seconds("base_ts")
             ).cast("long").alias("lag_seconds"),
         )
     )
@@ -594,8 +600,9 @@ def funnel_match_batch(
             F.col("cv_ts").alias("view_ts"),
             F.col("c_ts").alias("click_ts"),
             F.col("ts").alias("purchase_ts"),
+            # NTZ-safe, like pattern_match_batch's lag_seconds (r10 review)
             (
-                F.unix_timestamp("ts") - F.unix_timestamp("cv_ts")
+                ntz_epoch_seconds("ts") - ntz_epoch_seconds("cv_ts")
             ).cast("long").alias("total_lag_seconds"),
         )
     )

@@ -71,8 +71,9 @@ def replay_dir(
     joins and other watermark-flushed operators only emit their pending
     state when the watermark PASSES the last real event — which a finite
     replay otherwise never does. The sentinel is the deterministic
-    stand-in for "the topic keeps flowing"; consumers filter the -1 ids
-    out of their results.
+    stand-in for "the topic keeps flowing" (the advanced watermark
+    flushes state in the engine's final no-data batch under
+    availableNow); consumers filter the -1 ids out of their results.
     """
     src = os.path.join(sf_dir, f"{table}.parquet")
     stamp = _source_stamp(src)
@@ -84,7 +85,7 @@ def replay_dir(
     suffix = f"_id_{id_col}" if id_col != "event_id" else ""
     suffix += f"_by_{order_col}" if order_col else ""
     if sentinel_minutes:
-        suffix += f"_sent{sentinel_minutes}v2"
+        suffix += f"_sent{sentinel_minutes}v3"
     out = os.path.join(cache_root or CACHE_ROOT, f"{sf_name}_{table}_{n_files}{suffix}")
     marker = os.path.join(out, "_SPARK_GRAFT_READY")
     if os.path.exists(marker):
@@ -135,30 +136,34 @@ def replay_dir(
     if sentinel_minutes:
         import datetime as _dt
 
-        # TWO sentinel files: the first advances the watermark past every
-        # real event; the second gives the engine a further DATA batch in
-        # which that advanced watermark flushes the remaining outer-join /
-        # timeout state (a no-data flush batch is not reliably awaited by
-        # processAllAvailable).
-        for mult in (1, 2):
-            arrays, names = [], []
-            for f in t.schema:
-                if pa.types.is_timestamp(f.type):
-                    mx = pc.max(t.column(f.name)).as_py()
-                    arrays.append(
-                        pa.array(
-                            [mx + _dt.timedelta(minutes=mult * sentinel_minutes)],
-                            f.type,
-                        )
+        # ONE sentinel file advances the watermark past every real event;
+        # the engine's final NO-DATA batch (availableNow runs one before
+        # terminating, `spark.sql.streaming.noDataMicroBatches.enabled`
+        # default) then flushes the remaining outer-join / timeout state.
+        # r8 shipped TWO sentinel files citing processAllAvailable not
+        # awaiting the no-data batch — but every runner uses availableNow
+        # + awaitTermination, where the flush is deterministic (r10 probe:
+        # 6/6 trials complete with 1 sentinel, pinned in
+        # tests/test_review_r10_fixes.py) — so the second sentinel was one
+        # whole wasted trigger of state-store commits per run.
+        arrays, names = [], []
+        for f in t.schema:
+            if pa.types.is_timestamp(f.type):
+                mx = pc.max(t.column(f.name)).as_py()
+                arrays.append(
+                    pa.array(
+                        [mx + _dt.timedelta(minutes=sentinel_minutes)],
+                        f.type,
                     )
-                elif pa.types.is_string(f.type):
-                    arrays.append(pa.array(["__sentinel__"], f.type))
-                elif pa.types.is_floating(f.type):
-                    arrays.append(pa.array([0.0], f.type))
-                else:
-                    arrays.append(pa.array([-1], f.type))
-                names.append(f.name)
-            parts.append(pa.table(arrays, names=names))
+                )
+            elif pa.types.is_string(f.type):
+                arrays.append(pa.array(["__sentinel__"], f.type))
+            elif pa.types.is_floating(f.type):
+                arrays.append(pa.array([0.0], f.type))
+            else:
+                arrays.append(pa.array([-1], f.type))
+            names.append(f.name)
+        parts.append(pa.table(arrays, names=names))
 
     for k, part in enumerate(parts):
         path = os.path.join(out, f"part-{k:04d}.parquet")

@@ -207,6 +207,128 @@ def test_join_merges_have_disjoint_value_columns(spark):
 
 
 # ---------------------------------------------------------------------------
+# r10 cold review — streaming/cep.py batch twins used unix_timestamp
+# ---------------------------------------------------------------------------
+
+
+def test_cep_batch_lag_is_dst_proof(spark):
+    """pattern_match_batch computed lag_seconds via unix_timestamp, which
+    interprets TIMESTAMP_NTZ as session-LOCAL wall time — a (view, click)
+    pair straddling a DST spring-forward under a DST session timezone
+    reported a lag 3600 s short of the streaming side's pure-µs integers
+    and the DuckDB oracle's timezone-free epoch. Pinned on the 2024-03-10
+    America/New_York transition: wall-clock lag is 7200 s."""
+    from fs2_kafka_streams_spark.streaming.cep import pattern_match_batch
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            # 01:30 EST -> 03:30 EDT wall time: 2h wall, 1h instant
+            "ts": pd.to_datetime(
+                ["2024-03-10 01:30:00", "2024-03-10 03:30:00"]
+            ).astype("datetime64[us]"),
+            "user_id": [7, 7],
+            "event_type": ["view", "click"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        out = pattern_match_batch(df, gap="180 minutes").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert len(out) == 1
+    assert out[0]["lag_seconds"] == 7200
+
+
+# ---------------------------------------------------------------------------
+# r10 trigger cut — ONE sentinel + the availableNow no-data batch flush
+# ---------------------------------------------------------------------------
+
+
+def test_single_sentinel_flushes_outer_state(spark, tmp_path):
+    """The replay sentinel is ONE file (r8 shipped two): the sentinel
+    batch advances the watermark past every real event, and availableNow's
+    final no-data micro-batch flushes the pending outer-join state. The
+    emitted multiset must equal the batch LEFT JOIN — matched rows once,
+    unmatched lefts once with NULLs."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from fs2_kafka_streams_spark.streaming.replay import replay_dir
+    from fs2_kafka_streams_spark.streaming.run import run_to_memory
+
+    B = 1577836800  # 2020-01-01 — away from the epoch watermark floor
+    src_pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                [B, B + 60, B + 120, B + 180], unit="s"
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 2, 9],
+            "event_type": ["view", "click", "view", "click"],
+            "value": [1.0, 2.0, 1.0, 2.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(src_pdf), str(tmp_path / "events.parquet")
+    )
+    rd = replay_dir(
+        str(tmp_path), "events", n_files=2, order_col="ts",
+        sentinel_minutes=60, cache_root=str(tmp_path / "cache"),
+    )
+    import pathlib
+
+    files = sorted(pathlib.Path(rd).glob("part-*.parquet"))
+    assert len(files) == 3  # 2 data + ONE sentinel
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def mk():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(rd)
+        )
+
+    a = mk().withWatermark("ts", "10 minutes").alias("a")
+    b = mk().withWatermark("ts", "10 minutes").alias("b")
+    joined = a.join(
+        b,
+        on=[
+            F.col("a.user_id") == F.col("b.user_id"),
+            F.col("a.event_id") < F.col("b.event_id"),
+            F.col("b.ts").between(
+                F.col("a.ts") - F.expr("INTERVAL 5 MINUTES"),
+                F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"),
+            ),
+        ],
+        how="left",
+    ).select(
+        F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b")
+    )
+    out = run_to_memory(
+        spark, joined, "sent_probe",
+        extra_conf={"spark.sql.session.timeZone": "UTC"},
+    )
+    got = sorted(
+        ((r[0], r[1]) for r in out.filter(F.col("id_a") != -1).collect()),
+        key=str,
+    )
+    assert got == sorted([(1, 2), (2, None), (3, None), (4, None)], key=str)
+
+
+# ---------------------------------------------------------------------------
 # r9 advisory #4 — no CWD-relative source reads in tests
 # ---------------------------------------------------------------------------
 
