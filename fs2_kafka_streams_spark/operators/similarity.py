@@ -354,6 +354,8 @@ def band_signatures(
     weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
 
     def _sigs(v):
+        if len(v) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         mat = np.stack(
             [np.asarray(x, dtype=np.float64) for x in v]
         )  # (n, dim)
@@ -462,6 +464,8 @@ def _cell_udf(C, nprobe: int):
     Cm = C
 
     def _cells(v):
+        if len(v) == 0:  # np.stack raises on an empty Arrow batch
+            return pd.Series([], dtype=object)
         X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
         X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         sims = X @ Cm.T  # (n, nlist)

@@ -329,6 +329,34 @@ def test_single_sentinel_flushes_outer_state(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# r10 cold review — similarity UDFs guard empty Arrow batches
+# ---------------------------------------------------------------------------
+
+
+def test_similarity_udfs_survive_empty_input(spark):
+    """band_signatures' and _cell_udf's pandas UDFs called np.stack on the
+    batch unguarded — an empty Arrow batch raises ValueError('need at
+    least one array to stack'). Pinned on an empty frame end-to-end."""
+    import numpy as np
+
+    from fs2_kafka_streams_spark.operators.similarity import (
+        _cell_udf,
+        band_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    got = df.select(
+        band_signatures("embedding", 8, 4, 2).alias("sigs")
+    ).collect()
+    assert got == []
+    C = np.eye(4, 8, dtype=np.float64)
+    got2 = df.select(_cell_udf(C, 2)("embedding").alias("c")).collect()
+    assert got2 == []
+
+
+# ---------------------------------------------------------------------------
 # r9 advisory #4 — no CWD-relative source reads in tests
 # ---------------------------------------------------------------------------
 
