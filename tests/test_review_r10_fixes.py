@@ -356,6 +356,21 @@ def test_similarity_udfs_survive_empty_input(spark):
     assert got2 == []
 
 
+def test_q72_executes_four_triggers(spark):
+    """The outer-join entry runs 2 data triggers + 1 sentinel trigger +
+    the engine's no-data flush batch = 4 total. A fifth trigger means the
+    second sentinel file came back (or the replay shape changed) — each
+    extra trigger is a full round of state-store commits across every
+    join store."""
+    from fs2_kafka_streams_spark.queries import load_all
+    from fs2_kafka_streams_spark.streaming import run as srun
+
+    spec = load_all()["q72_stream_outer_join"]
+    n = spec.build(spark, "/root/testdata/sf0.001").count()
+    assert n > 0
+    assert srun.RUN_TRACE[-1]["n_triggers"] == 4
+
+
 # ---------------------------------------------------------------------------
 # r9 advisory #4 — no CWD-relative source reads in tests
 # ---------------------------------------------------------------------------
