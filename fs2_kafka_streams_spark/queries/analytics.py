@@ -236,7 +236,7 @@ def q53_scd_history(spark, sf_dir):
       SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT prev_type, event_type AS next_type,
            CAST(count(*) AS BIGINT) AS n
@@ -256,8 +256,15 @@ def q55_event_transitions(spark, sf_dir):
     Plan: one shuffle on ``user_id`` + per-key sort for ``lag``, then a
     5×5 aggregate — map-side partials collapse it before the final
     exchange.
+
+    NULL event-time contract (docs/USAGE.md): a row with no event time
+    cannot be placed in a sequence — dropped on BOTH engines. (Without the
+    explicit filter the engines disagree silently: Spark windows sort
+    ascending NULLS FIRST, DuckDB NULLS LAST, so a NULL-ts row lands at
+    opposite ends of the sequence and flips two transition counts —
+    caught by the r10 NULL-corpus sweep.)
     """
-    e = Catalog(spark, sf_dir).events
+    e = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     seq = e.select(
         "user_id",
@@ -334,7 +341,7 @@ CEP_VIEW_CLICK_ORACLE = """
                         IGNORE NULLS) OVER w AS base_ts,
              last_value(CASE WHEN event_type = 'view' THEN event_id END
                         IGNORE NULLS) OVER w AS base_event_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
@@ -454,7 +461,7 @@ def q58_fuzzy_match(spark, sf_dir):
                         IGNORE NULLS) OVER w AS v_ts,
              last_value(CASE WHEN event_type = 'view' THEN event_id END
                         IGNORE NULLS) OVER w AS v_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ), s2 AS (

@@ -282,6 +282,16 @@ def q11_join_range(spark, sf_dir):
            r.o_orderkey, r.o_orderdate, r.o_totalprice
     FROM events e ASOF LEFT JOIN r
       ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    WHERE e.ts IS NOT NULL
+    UNION ALL
+    -- NULL probe times stay UNMATCHED (asof_join's documented contract:
+    -- the ASOF inequality is never true for NULL, so the left row is kept
+    -- with NULL payload). DuckDB's own ASOF instead hands a NULL probe the
+    -- LATEST right row — NULL sorts last in its range search — so the
+    -- oracle spells out the ANSI-consistent semantics the operator uses.
+    SELECT event_id, user_id, ts,
+           CAST(NULL AS BIGINT), CAST(NULL AS DATE), CAST(NULL AS DOUBLE)
+    FROM events WHERE ts IS NULL
     """,
     tags=("join", "asof"),
 )

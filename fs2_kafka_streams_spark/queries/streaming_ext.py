@@ -75,7 +75,7 @@ def q45_stream_table_join(spark, sf_dir):
                        > INTERVAL '30 minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), sessions AS (
       SELECT user_id, ts,
              sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -123,7 +123,7 @@ def q35b_session_window_streaming(spark, sf_dir):
            user_id,
            CAST(count(*) AS BIGINT) AS n,
            cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
-    FROM events GROUP BY 1, 2, 3
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
     """,
     tags=("streaming", "window"),
 )
@@ -410,7 +410,8 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
     oracle="""
     SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
            a.event_type AS type_a, b.event_type AS type_b
-    FROM events a LEFT JOIN events b
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) a
+    LEFT JOIN (SELECT * FROM events WHERE ts IS NOT NULL) b
       ON a.user_id = b.user_id AND a.event_id < b.event_id
      AND b.ts BETWEEN a.ts - INTERVAL '5 minutes'
                   AND a.ts + INTERVAL '5 minutes'

@@ -175,7 +175,7 @@ def q61_histogram(spark, sf_dir):
       SELECT event_type, CAST(ts AS DATE) AS day,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
                AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     stats AS (
       SELECT event_type, day, cents,
@@ -219,7 +219,12 @@ def q62_anomaly(spark, sf_dir):
     independent of event volume, so the per-partition sort is bounded at
     any scale.
     """
-    e = Catalog(spark, sf_dir).events
+    # NULL event-time contract (docs/USAGE.md): an undated observation
+    # has no place in a trailing 7-day baseline — dropped on BOTH engines.
+    # (Without the filter a NULL day lands at opposite ends of the window
+    # order — Spark NULLS FIRST, DuckDB NULLS LAST — shifting every
+    # 7-preceding frame near that end.)
+    e = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
     # decimal(19,0) BEFORE the day-sum so even the aggregation can't wrap
     cents = F.round(F.col("value") * 100).cast("decimal(19,0)")
     daily = e.groupBy(
@@ -268,7 +273,7 @@ def q62_anomaly(spark, sf_dir):
              CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS t,
              lead(CAST(floor(extract(epoch FROM ts)) AS BIGINT))
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     agg AS (
       SELECT user_id,
@@ -300,7 +305,9 @@ def q63_time_weighted_avg(spark, sf_dir):
     Plan: one shuffle on ``user_id`` feeding both the ``lead`` window and
     the aggregation (same key — AQE reuses the exchange), output O(users).
     """
-    e = Catalog(spark, sf_dir).events
+    # NULL event-time contract: an undated sample has no duration to
+    # weight — dropped on BOTH engines (q62's rationale)
+    e = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "user_id",

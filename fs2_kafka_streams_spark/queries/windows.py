@@ -27,13 +27,19 @@ from fs2_kafka_streams_spark.queries import query
            user_id,
            CAST(count(*) AS BIGINT) AS n,
            cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
-    FROM events GROUP BY 1, 2, 3
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
     """,
     tags=("window", "streaming-shape"),
 )
 def q33_tumbling_window(spark, sf_dir):
-    """Count + sum per 5-minute tumbling window per user."""
-    e = Catalog(spark, sf_dir).events
+    """Count + sum per 5-minute tumbling window per user.
+
+    NULL event-time contract (docs/USAGE.md): ``F.window`` generates zero
+    windows for a NULL timestamp, so Spark drops such rows implicitly; the
+    filter makes the drop explicit and the oracle replays it — without it
+    DuckDB's ``time_bucket(NULL)`` emits a NULL-window group Spark never
+    produces (caught by the r10 NULL-corpus sweep)."""
+    e = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
@@ -58,14 +64,16 @@ def q33_tumbling_window(spark, sf_dir):
            event_type,
            CAST(count(*) AS BIGINT) AS n
     FROM events CROSS JOIN two
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     """,
     tags=("window", "streaming-shape"),
 )
 def q34_sliding_window(spark, sf_dir):
     """Count per 10-minute window sliding every 5 — each event lands in
-    exactly two windows (the oracle materializes both membership copies)."""
-    e = Catalog(spark, sf_dir).events
+    exactly two windows (the oracle materializes both membership copies).
+    NULL event-time rows drop on both engines (q33's contract)."""
+    e = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
     return (
         e.groupBy(
             F.window("ts", "10 minutes", "5 minutes").alias("w"),
@@ -90,7 +98,7 @@ def q34_sliding_window(spark, sf_dir):
                        > INTERVAL '30 minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), sessions AS (
       SELECT user_id, ts,
              sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -107,8 +115,9 @@ def q34_sliding_window(spark, sf_dir):
 )
 def q35_session_window(spark, sf_dir):
     """Sessionization with a 30-minute inactivity gap (`session_window`);
-    the oracle is the classic gaps-and-islands formulation."""
-    e = Catalog(spark, sf_dir).events
+    the oracle is the classic gaps-and-islands formulation.
+    NULL event-time rows drop on both engines (q33's contract)."""
+    e = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
     return (
         e.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")

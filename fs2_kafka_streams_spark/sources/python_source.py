@@ -106,15 +106,42 @@ def _publish_order(path: str):
     import pyarrow.parquet as pq
 
     t = pq.read_table(path, columns=["ts", "event_id", "user_id"])
-    ts = t.column("ts")
-    if pa.types.is_timestamp(ts.type) and ts.type.unit == "ns":
-        ts_us = ts.cast("int64").to_numpy() // 1000
-    else:
-        ts_us = ts.cast(pa.timestamp("us")).cast("int64").to_numpy()
+    ts_us = _ts_us_array(t.column("ts"))
     eid = t.column("event_id").to_numpy()
     uid = t.column("user_id").to_numpy()
-    order = np.lexsort((eid, ts_us))
+    # NULL timestamps (Kafka's NoTimestampType, timestamp = -1 on the wire:
+    # a producer may legitimately send none) publish FIRST, deterministically
+    # tie-broken by event_id — fill with int64 min for the ORDER only; the
+    # record itself carries ts_us = NULL through the wire payload.
+    order = np.lexsort((eid, _ts_us_order_key(ts_us)))
     return ts_us, eid, uid, order
+
+
+def _ts_us_array(ts):
+    """Arrow timestamp column → int64 epoch-µs as a NULL-preserving masked
+    pair ``(values, isnull)``. ``to_numpy`` on a null-bearing int cast falls
+    back to float64 + NaN, and ``int(NaN)`` used to crash the read task —
+    a null timestamp must flow through the wire in-band, never crash it."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if pa.types.is_timestamp(ts.type) and ts.type.unit == "ns":
+        ts_i = ts.cast("int64")
+        vals = ts_i.fill_null(0).to_numpy() // 1000
+    else:
+        ts_i = ts.cast(pa.timestamp("us")).cast("int64")
+        vals = ts_i.fill_null(0).to_numpy()
+    isnull = np.asarray(pc.is_null(ts_i).to_numpy(zero_copy_only=False))
+    return vals, isnull
+
+
+def _ts_us_order_key(ts_us):
+    """Publish-order sort key: NULL timestamps sort first (int64 min)."""
+    import numpy as np
+
+    vals, isnull = ts_us
+    return np.where(isnull, np.iinfo(np.int64).min, vals)
 
 
 #: per-process cache of the publish-order partition assignment, shared by
@@ -225,11 +252,7 @@ def _load_partition_batch(
     mine = order[pids == pid]  # row indices, already in publish order
 
     t = pq.read_table(path)
-    ts = t.column("ts")
-    if pa.types.is_timestamp(ts.type) and ts.type.unit == "ns":
-        ts_us_all = ts.cast("int64").to_numpy() // 1000
-    else:
-        ts_us_all = ts.cast(pa.timestamp("us")).cast("int64").to_numpy()
+    ts_vals, ts_null = _ts_us_array(t.column("ts"))
 
     part = t.take(pa.array(mine))
     eid_all = t.column("event_id").to_numpy()
@@ -241,7 +264,9 @@ def _load_partition_batch(
     for i, row_idx in enumerate(mine):
         payload = {
             "event_id": int(eid_all[row_idx]),
-            "ts_us": int(ts_us_all[row_idx]),
+            # NULL in-band (Kafka NoTimestampType): json null → decode_wire
+            # rebuilds a NULL ts — the record round-trips, never crashes
+            "ts_us": None if ts_null[row_idx] else int(ts_vals[row_idx]),
             "user_id": int(uid_all[row_idx]),
             "event_type": etypes[i],
             "value": vals[i],

@@ -134,6 +134,12 @@ def pattern_matches_stream(
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 2)
         .parquet(replay_dir(sf_dir, "events", order_col="ts"))
+        # NULL event-time contract (docs/USAGE.md): a row with no event
+        # time cannot be sequenced — CEP drops it, exactly as Spark's own
+        # event-time operators (window aggregation, stream-stream join)
+        # drop NULL event times. Without this, NaT → int64 µs is the
+        # int64-min sentinel and the fold crashes or mis-sequences.
+        .filter(F.col("ts").isNotNull())
     )
     return src.groupBy("user_id").applyInPandasWithState(
         _pattern_update_fn(base_type, trigger_type, gap_us),
@@ -168,6 +174,8 @@ def pattern_match_batch(
     """Batch twin: for each trigger event, the key's last preceding base
     event in ``(ts, event_id)`` order, kept if within ``gap``. Pure window
     expressions — whole-stage codegen, one shuffle on the key."""
+    # NULL event-time contract — mirror of the streaming side's drop
+    events = events.filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -345,7 +353,9 @@ def pattern_matches_stream_tws(
             .parquet(replay_dir(sf_dir, "events", order_col="ts"))
         )
     src = (
-        source
+        # NULL event-time contract — see pattern_matches_stream (a NULL ts
+        # would also yield a NULL _evt watermark column here)
+        source.filter(F.col("ts").isNotNull())
         .withColumn("_evt", F.col("ts").cast("timestamp"))
         .withColumn("_utc_us", F.unix_micros(F.col("_evt")))
         .withWatermark("_evt", "0 seconds")
@@ -525,6 +535,8 @@ def funnel_matches_stream(
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 2)
         .parquet(replay_dir(sf_dir, "events", order_col="ts"))
+        # NULL event-time contract — see pattern_matches_stream
+        .filter(F.col("ts").isNotNull())
     )
     return src.groupBy("user_id").applyInPandasWithState(
         _funnel_update_fn(stages, gap_us),
@@ -557,6 +569,8 @@ def funnel_match_batch(
 ) -> DataFrame:
     """Batch twin of :func:`funnel_match_stream`: two chained
     last-prior-qualified windows — pure column expressions."""
+    # NULL event-time contract — mirror of the streaming side's drop
+    events = events.filter(F.col("ts").isNotNull())
     base_t, mid_t, fin_t = stages
     w = (
         Window.partitionBy("user_id")

@@ -6,9 +6,15 @@ the fix must be observable behavior, not a comment.
 
 from __future__ import annotations
 
+import os
+import sys
+from pathlib import Path
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parent.parent
 
 
 # ---------------------------------------------------------------------------
@@ -385,3 +391,109 @@ def test_no_cwd_relative_bench_open():
     needle = "open(" + '"bench.py")'  # split so this file never matches
     for p in here.glob("test_*.py"):
         assert needle not in p.read_text(), p.name
+
+
+# ---------------------------------------------------------------------------
+# r10 NULL event-time contract — found by a full-registry sweep on a corpus
+# whose events table carries NULL timestamps
+# ---------------------------------------------------------------------------
+#
+# The sweep found 9 entries silently diverging or crashing when events.ts
+# is NULL: window order (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST)
+# flipped q55's transition counts and q62's rolling frames; q63 counted a
+# NULL-gap row DuckDB filtered; F.window/session_window DROP NULL event
+# times while time_bucket(NULL)/gaps-and-islands kept a NULL group
+# (q33/q33b); the streaming outer join never emits a NULL-event-time left
+# row the batch LEFT JOIN kept (q72); DuckDB's ASOF hands a NULL probe the
+# LATEST right row where asof_join documents unmatched (q12); and the CEP
+# funnel (q59) / wire source (q67) CRASHED converting NaT to int64 µs.
+#
+# Contract now pinned here: event-time operators drop NULL event-time rows
+# on BOTH engines (matching Structured Streaming's own semantics); the
+# as-of join keeps NULL probes unmatched; the wire source carries a NULL
+# timestamp in-band (Kafka NoTimestampType), never crashes.
+
+NULL_TS_ENTRIES = [
+    "q12_join_asof",
+    "q33_time_windows",
+    "q55_event_transitions",
+    "q62_anomaly",
+    "q63_time_weighted_avg",
+    "q71_resample_ohlc",  # robust by design: NULL-day rows form their own group
+    "q67_python_datasource",  # wire NaT crash — now NULL in-band
+    "q59_stream_funnel_match",  # CEP NaT crash — now dropped at the source
+    "q72_stream_outer_join",
+    "q33b_windows_streaming",
+]
+
+
+@pytest.fixture(scope="session")
+def null_ts_sf_dir(tmp_path_factory):
+    """A copy of sf0.001 whose events table carries 8 NULL-ts rows."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sfnull")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "events.parquet":
+            shutil.copy(os.path.join(src, f), d / f)
+    e = pd.read_parquet(os.path.join(src, "events.parquet"))
+    extra = e.head(8).copy()
+    extra["event_id"] = range(
+        int(e["event_id"].max()) + 1, int(e["event_id"].max()) + 9
+    )
+    extra["ts"] = pd.NaT
+    pd.concat([e, extra], ignore_index=True).to_parquet(
+        d / "events.parquet", index=False
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", NULL_TS_ENTRIES)
+def test_null_event_time_contract(spark, null_ts_sf_dir, name):
+    """Every affected entry hash-matches its oracle on the NULL-bearing
+    corpus — the same canonicalize-and-hash the driver gate runs."""
+    import duckdb
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import TABLES, _canon, _hash
+
+    from fs2_kafka_streams_spark.queries import load_all
+
+    spec = load_all()[name]
+    sdf = _canon(spec.build(spark, null_ts_sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{null_ts_sf_dir}/{t}.parquet')"
+        )
+    ddf = _canon(con.sql(spec.oracle).df())
+    assert len(sdf) == len(ddf), (len(sdf), len(ddf))
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _hash(sdf) == _hash(ddf)
+
+
+def test_wire_source_null_timestamp_in_band(spark, null_ts_sf_dir):
+    """A NULL event timestamp round-trips the wire as json null → NULL ts
+    (Kafka's NoTimestampType shape) — the read task must never crash on
+    NaT, and the decoded multiset must equal the source table exactly."""
+    from fs2_kafka_streams_spark.sources.python_source import (
+        decode_wire,
+        read_wire,
+    )
+
+    wire = read_wire(spark, null_ts_sf_dir, table="events", partitions=4)
+    events = decode_wire(wire).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    got = events.toPandas().sort_values("event_id", ignore_index=True)
+    want = (
+        pd.read_parquet(os.path.join(null_ts_sf_dir, "events.parquet"))
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert len(got) == len(want)
+    assert got["ts"].isna().sum() == 8
+    pd.testing.assert_series_equal(
+        got["ts"].astype("datetime64[us]"), want["ts"].astype("datetime64[us]")
+    )
