@@ -198,7 +198,9 @@ def q52_retention_cohort(spark, sf_dir):
     )
     SELECT user_id, event_type, value, valid_from, valid_to,
            (valid_to IS NULL) AS is_current
-    FROM h WHERE event_type <> 'error'
+    -- IS DISTINCT FROM: a NULL event_type is a regular write, not a
+    -- tombstone ('<>' would silently drop its version row)
+    FROM h WHERE event_type IS DISTINCT FROM 'error'
     """,
     tags=("analytics", "scd", "changelog"),
 )
@@ -216,8 +218,10 @@ def q53_scd_history(spark, sf_dir):
     O(rows) by definition of a history.
     """
     e = Catalog(spark, sf_dir).events
+    # eqNullSafe: NULL event_type is NOT a tombstone (== would make the
+    # flag NULL; the oracle's IS DISTINCT FROM spells out the same rule)
     hist = changelog_history(
-        e.withColumn("_tomb", F.col("event_type") == "error"),
+        e.withColumn("_tomb", F.col("event_type").eqNullSafe("error")),
         key_cols=["user_id"],
         order_col="event_id",
         value_cols=["event_type", "value"],
@@ -288,7 +292,7 @@ def q55_event_transitions(spark, sf_dir):
       FROM events
     )
     SELECT user_id, event_type, value, event_id AS last_event_id
-    FROM last WHERE rn = 1 AND event_type <> 'error'
+    FROM last WHERE rn = 1 AND event_type IS DISTINCT FROM 'error'
     """,
     tags=("analytics", "changelog", "incremental", "scale"),
 )
@@ -315,7 +319,8 @@ def q56_incremental_upsert(spark, sf_dir):
     from fs2_kafka_streams_spark.operators.incremental import apply_changes
 
     e = Catalog(spark, sf_dir).events.withColumn(
-        "_tomb", F.col("event_type") == "error"
+        # eqNullSafe — NULL event_type is a write, not a delete (q53's rule)
+        "_tomb", F.col("event_type").eqNullSafe("error")
     )
     # 2/3 checkpoint position; a single-scalar agg, not a data collect.
     split = e.agg((F.max("event_id") * 2 / 3).cast("long")).collect()[0][0]

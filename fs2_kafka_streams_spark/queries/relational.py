@@ -1736,7 +1736,8 @@ def q31b_hash_functions(spark, sf_dir):
     "q30b_map_hof",
     oracle="""
     SELECT event_type, CAST(count(*) * 2 AS BIGINT) AS doubled
-    FROM events GROUP BY event_type HAVING count(*) * 2 > 100
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type HAVING count(*) * 2 > 100
     """,
     tags=("map", "hof"),
 )
@@ -1744,8 +1745,12 @@ def q30b_map_hof(spark, sf_dir):
     """Map higher-order functions: build a status→count map, double the
     values (transform_values), drop small entries (map_filter), explode
     back to rows. The oracle computes the same result relationally — the
-    HOFs are the Spark surface under test."""
-    e = Catalog(spark, sf_dir).events
+    HOFs are the Spark surface under test.
+
+    A NULL status cannot ride the map: Spark maps reject NULL keys by
+    definition ([NULL_MAP_KEY] at runtime, found by the r10 NULL-key
+    sweep) — the exclusion is explicit here and replayed in the oracle."""
+    e = Catalog(spark, sf_dir).events.filter(F.col("event_type").isNotNull())
     counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     as_map = counts.agg(
         F.map_from_entries(

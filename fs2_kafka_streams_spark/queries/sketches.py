@@ -91,7 +91,13 @@ def q64_hll_sketch_merge(spark, sf_dir):
         " = hll_sketch_estimate(hll_union(msk, msk))"
     )
     tol = F.lit(0.05) * F.col("n_exact")
-    return direct.join(merged, "event_type").select(
+    # eqNullSafe: a NULL event_type is a legitimate group — both groupBys
+    # produce it, and a null-unsafe equi-join here silently dropped the
+    # whole group from the output (r10 NULL-key sweep)
+    return direct.join(
+        merged.withColumnRenamed("event_type", "_et"),
+        direct["event_type"].eqNullSafe(F.col("_et")),
+    ).select(
         "event_type",
         "n_exact",
         registers_equal.alias("merge_consistent"),
@@ -154,7 +160,11 @@ def q69_bitmap_distinct(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_merged"))
     )
-    return direct.join(merged, "event_type").select(
+    # eqNullSafe — q64's NULL-group rationale
+    return direct.join(
+        merged.withColumnRenamed("event_type", "_et"),
+        direct["event_type"].eqNullSafe(F.col("_et")),
+    ).select(
         "event_type",
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
         F.col("n_distinct_merged").cast("bigint").alias("n_distinct_merged"),

@@ -410,8 +410,10 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
     oracle="""
     SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
            a.event_type AS type_a, b.event_type AS type_b
-    FROM (SELECT * FROM events WHERE ts IS NOT NULL) a
-    LEFT JOIN (SELECT * FROM events WHERE ts IS NOT NULL) b
+    FROM (SELECT * FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL) a
+    LEFT JOIN (SELECT * FROM events
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL) b
       ON a.user_id = b.user_id AND a.event_id < b.event_id
      AND b.ts BETWEEN a.ts - INTERVAL '5 minutes'
                   AND a.ts + INTERVAL '5 minutes'

@@ -108,7 +108,7 @@ def _publish_order(path: str):
     t = pq.read_table(path, columns=["ts", "event_id", "user_id"])
     ts_us = _ts_us_array(t.column("ts"))
     eid = t.column("event_id").to_numpy()
-    uid = t.column("user_id").to_numpy()
+    uid = _key_array(t.column("user_id"))
     # NULL timestamps (Kafka's NoTimestampType, timestamp = -1 on the wire:
     # a producer may legitimately send none) publish FIRST, deterministically
     # tie-broken by event_id — fill with int64 min for the ORDER only; the
@@ -144,6 +144,20 @@ def _ts_us_order_key(ts_us):
     return np.where(isnull, np.iinfo(np.int64).min, vals)
 
 
+def _key_array(col):
+    """Int64 key column → NULL-preserving ``(values, isnull)`` pair — a
+    NULL record key is ordinary Kafka (the default partitioner round-robins
+    it), so it must never crash or silently vanish (``int(NaN)`` /
+    ``NaN % n`` both did: NaN % n is NaN, which matches NO partition id,
+    so every NULL-key record used to drop out of the topic)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    vals = col.combine_chunks().fill_null(0).to_numpy()
+    isnull = np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False))
+    return vals, isnull
+
+
 #: per-process cache of the publish-order partition assignment, shared by
 #: ALL of a topic's partition read tasks in a worker (the assignment is a
 #: whole-table property; computing it per task would redo the global sort
@@ -172,12 +186,16 @@ def _partition_assignment(
         _ASSIGN_CACHE.move_to_end(key)
         return cached
 
-    _ts, _eid, uid, order = _publish_order(path)
-    uid_sorted = uid[order]
-    pids = uid_sorted % n_parts
+    _ts, eid, uid, order = _publish_order(path)
+    # keyed records partition on the key (Kafka default partitioner);
+    # NULL-key records use event_id % n — the deterministic stand-in for
+    # Kafka's round-robin/sticky null-key assignment
+    uid_vals, uid_null = uid
+    part_key = np.where(uid_null, eid, uid_vals)[order]
+    pids = part_key % n_parts
     if grow_to and grow_to != n_parts:
         pos = np.arange(len(order))
-        pids = np.where(pos < grow_at, pids, uid_sorted % grow_to)
+        pids = np.where(pos < grow_at, pids, part_key % grow_to)
     out = (order, pids.astype("int64"))
     _ASSIGN_CACHE[key] = out
     while len(_ASSIGN_CACHE) > _ASSIGN_CACHE_MAX:
@@ -199,10 +217,12 @@ def _partition_counts(
     if not grow_to or grow_to == n_parts:
         import pyarrow.parquet as pq
 
-        uids = (
-            pq.read_table(path, columns=["user_id"]).column("user_id").to_numpy()
-        )
-        counts = np.bincount(uids % n_parts, minlength=n_parts)
+        t = pq.read_table(path, columns=["user_id", "event_id"])
+        uid_vals, uid_null = _key_array(t.column("user_id"))
+        eid = t.column("event_id").to_numpy()
+        # same NULL-key rule as _partition_assignment (event_id fallback)
+        part_key = np.where(uid_null, eid, uid_vals)
+        counts = np.bincount(part_key % n_parts, minlength=n_parts)
         return {p: int(counts[p]) for p in range(n_parts)}
 
     _order, pids = _partition_assignment(path, n_parts, grow_to, grow_at)
@@ -256,7 +276,7 @@ def _load_partition_batch(
 
     part = t.take(pa.array(mine))
     eid_all = t.column("event_id").to_numpy()
-    uid_all = t.column("user_id").to_numpy()
+    uid_vals, uid_null = _key_array(t.column("user_id"))
     etypes = part.column("event_type").to_pylist()
     vals = part.column("value").to_pylist()
     props_l = part.column("props").to_pylist()
@@ -267,12 +287,19 @@ def _load_partition_batch(
             # NULL in-band (Kafka NoTimestampType): json null → decode_wire
             # rebuilds a NULL ts — the record round-trips, never crashes
             "ts_us": None if ts_null[row_idx] else int(ts_vals[row_idx]),
-            "user_id": int(uid_all[row_idx]),
+            "user_id": (
+                None if uid_null[row_idx] else int(uid_vals[row_idx])
+            ),
             "event_type": etypes[i],
             "value": vals[i],
             "props": props_l[i],
         }
-        keys.append(str(payload["user_id"]).encode())
+        # a NULL user_id is a NULL record KEY — Kafka's unkeyed produce —
+        # carried as a genuinely NULL key cell, not the string "None"
+        keys.append(
+            None if payload["user_id"] is None
+            else str(payload["user_id"]).encode()
+        )
         values.append(json.dumps(payload, separators=(",", ":")).encode())
         ts_col.append(payload["ts_us"])
     n = len(keys)

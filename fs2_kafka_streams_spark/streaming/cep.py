@@ -86,7 +86,10 @@ def _fold_pattern(
         m = pdf[hit]
         match = pd.DataFrame(
             {
-                "user_id": m["user_id"].astype("int64"),
+                # nullable Int64: the NULL grouping key is a legitimate
+                # group (batch PARTITION BY groups NULLs together on both
+                # engines); plain int64 astype crashes on its NaN
+                "user_id": m["user_id"].astype("Int64"),
                 "base_event_id": prior_id[hit].astype("int64"),
                 "trigger_event_id": m["event_id"].astype("int64"),
                 "base_ts": pd.to_datetime(
@@ -502,7 +505,8 @@ def _funnel_update_fn(stages: tuple[str, str, str], gap_us: int):
             m = pdf[hit]
             yield pd.DataFrame(
                 {
-                    "user_id": m["user_id"].astype("int64"),
+                    # nullable Int64 — NULL grouping key, see _fold_pattern
+                    "user_id": m["user_id"].astype("Int64"),
                     "view_event_id": pcv_id[hit].astype("int64"),
                     "click_event_id": pc_id[hit].astype("int64"),
                     "purchase_event_id": m["event_id"].astype("int64"),

@@ -497,3 +497,127 @@ def test_wire_source_null_timestamp_in_band(spark, null_ts_sf_dir):
     pd.testing.assert_series_equal(
         got["ts"].astype("datetime64[us]"), want["ts"].astype("datetime64[us]")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10 NULL-key / NULL-attribute contract — second hostile-corpus sweep axis
+# (NULL user_id = NULL Kafka record key / grouping key; NULL event_type =
+# NULL map key / tombstone comparand; NULL value)
+# ---------------------------------------------------------------------------
+#
+# The sweep found 10 more entries diverging or crashing: a NULL event_type
+# crashed the map HOFs ([NULL_MAP_KEY], q32) and silently became a
+# tombstone in the oracles' `<> 'error'` while Spark's `== 'error'` made
+# the flag NULL (q53/q56); the null-unsafe self-join on event_type dropped
+# the whole NULL group from the sketch entries (q64/q69); NULL user_id
+# crashed the CEP folds (int64 astype on NaN: q57/q57b/q59), silently
+# VANISHED from the wire topic (NaN % n matches no partition: q67), and is
+# never emitted by the streaming outer join (q72).
+#
+# Contract pinned here: NULL grouping keys are legitimate groups
+# (both engines group NULLs together); NULL event_type is a write, not a
+# tombstone (IS DISTINCT FROM / eqNullSafe on both sides); map-keyed
+# operators exclude NULL keys explicitly on both sides; the wire source
+# round-robins NULL-key records deterministically (event_id % n — Kafka's
+# unkeyed produce) and carries a NULL key cell.
+
+NULL_KEY_ENTRIES = [
+    "q32_dlq_map_hof",
+    "q53_scd_history",
+    "q56_incremental_upsert",
+    "q64_hll_sketch_merge",
+    "q69_bitmap_distinct",
+    "q67_python_datasource",
+    "q57_stream_pattern_match",
+    "q59_stream_funnel_match",
+    "q72_stream_outer_join",
+]
+
+
+@pytest.fixture(scope="session")
+def null_key_sf_dir(tmp_path_factory):
+    """A copy of sf0.001 with NULL user_id / event_type / value rows."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sfnullkey")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "events.parquet":
+            shutil.copy(os.path.join(src, f), d / f)
+    e = pd.read_parquet(os.path.join(src, "events.parquet"))
+    mx = int(e["event_id"].max())
+    base_ts = e["ts"].max()
+    rows = []
+    for i in range(4):  # NULL record/grouping key
+        rows.append(dict(
+            event_id=mx + 1 + i, ts=base_ts + pd.Timedelta(minutes=i + 1),
+            user_id=None,
+            event_type=["view", "click", "view", "purchase"][i],
+            value=float(i), props=e["props"].iloc[0],
+        ))
+    for i in range(2):  # NULL event_type (map key / tombstone comparand)
+        rows.append(dict(
+            event_id=mx + 5 + i, ts=base_ts + pd.Timedelta(minutes=10 + i),
+            user_id=int(e["user_id"].iloc[0]), event_type=None,
+            value=1.5, props=e["props"].iloc[1],
+        ))
+    for i in range(2):  # NULL value / props
+        rows.append(dict(
+            event_id=mx + 7 + i, ts=base_ts + pd.Timedelta(minutes=20 + i),
+            user_id=int(e["user_id"].iloc[1]), event_type="view",
+            value=None, props=None,
+        ))
+    extra = pd.DataFrame(rows)
+    extra["user_id"] = extra["user_id"].astype("Int64")
+    e2 = pd.concat([e, extra], ignore_index=True)
+    e2["ts"] = e2["ts"].astype("datetime64[us]")
+    e2.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", NULL_KEY_ENTRIES)
+def test_null_key_contract(spark, null_key_sf_dir, name):
+    """Every affected entry hash-matches its oracle on the NULL-key
+    corpus — same driver-gate canonicalize-and-hash as the ts axis."""
+    import duckdb
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import TABLES, _canon, _hash
+
+    from fs2_kafka_streams_spark.queries import load_all
+
+    spec = load_all()[name]
+    sdf = _canon(spec.build(spark, null_key_sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{null_key_sf_dir}/{t}.parquet')"
+        )
+    ddf = _canon(con.sql(spec.oracle).df())
+    assert len(sdf) == len(ddf), (len(sdf), len(ddf))
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _hash(sdf) == _hash(ddf)
+
+
+def test_wire_source_null_key_round_robin(spark, null_key_sf_dir):
+    """NULL-key records must reach the topic (they used to vanish: NaN % n
+    matches no partition id), carry a genuinely NULL key cell, and decode
+    back with user_id NULL — Kafka's unkeyed produce."""
+    from fs2_kafka_streams_spark.sources.python_source import (
+        decode_wire,
+        read_wire,
+    )
+
+    wire = read_wire(spark, null_key_sf_dir, table="events", partitions=4)
+    wdf = wire.toPandas()
+    assert len(wdf) == 1008, "no record may vanish from the topic"
+    assert wdf["key"].isna().sum() == 4, "NULL keys ride as NULL cells"
+    got = decode_wire(wire).toPandas()
+    assert got["user_id"].isna().sum() == 4
+    # deterministic round-robin stand-in: event_id % n_parts
+    want = pd.read_parquet(os.path.join(null_key_sf_dir, "events.parquet"))
+    nulls = want[want["user_id"].isna()]
+    by_eid = got.set_index("event_id")
+    for eid in nulls["event_id"]:
+        assert int(by_eid.loc[eid, "partition"]) == eid % 4
