@@ -438,6 +438,13 @@ def _train_centroids(
         .limit(IVF_TRAIN_SAMPLE)
         .collect()
     )
+    if not rows:
+        # empty corpus: nothing to train AND nothing to search — the
+        # exact answer is the empty set, so signal "no centroids" rather
+        # than crashing in np.stack (the 0 < n < nlist case below stays a
+        # loud error: a result IS expected there but training is not
+        # meaningful)
+        return None
     X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     if len(X) < nlist:
@@ -498,6 +505,13 @@ def ivf_topk(
     exact tier); recall vs :func:`cosine_topk` is asserted in the suite.
     """
     C = _train_centroids(embeddings, id_col, vec_col, nlist)
+    if C is None:  # empty corpus — exact result is the empty top-k
+        q_idt = queries.schema[id_col].dataType.simpleString()
+        n_idt = embeddings.schema[id_col].dataType.simpleString()
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"query_id {q_idt}, neighbor_id {n_idt}, rank int, cos double",
+        )
     assign_one = _cell_udf(C, 1)
     assign_probe = _cell_udf(C, nprobe)
 

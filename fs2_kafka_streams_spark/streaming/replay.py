@@ -133,6 +133,12 @@ def replay_dir(
         ids = id_arrow.to_numpy()
         bucket = ids % n_files
         parts = [t.filter(pa.array(bucket == k)) for k in range(n_files)]
+    if sentinel_minutes and t.num_rows == 0:
+        # empty topic: there is no real event whose outer/timeout state
+        # needs flushing, and a sentinel timed off max(ts) of zero rows
+        # would be None + timedelta — skip it (the stream still runs its
+        # empty triggers and completes with an empty result)
+        sentinel_minutes = None
     if sentinel_minutes:
         import datetime as _dt
 

@@ -621,3 +621,152 @@ def test_wire_source_null_key_round_robin(spark, null_key_sf_dir):
     by_eid = got.set_index("event_id")
     for eid in nulls["event_id"]:
         assert int(by_eid.loc[eid, "partition"]) == eid % 4
+
+
+# ---------------------------------------------------------------------------
+# r10 hostile-text / hostile-embedding axis — sweep found ZERO divergences
+# (the r7-r9 NULL-text, emptiness and zero-batch guards already cover it);
+# this pin keeps the two most exposed entries green on that corpus
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="session")
+def hostile_docs_sf_dir(tmp_path_factory):
+    """sf0.001 + degenerate documents (empty/whitespace/emoji/RTL/CJK/
+    100k-char/control-chars) and embeddings (zero-norm, 1e-30-norm,
+    exact-negative copy)."""
+    import shutil
+
+    import numpy as np
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sfhostile")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f not in (
+            "documents.parquet", "embeddings.parquet"
+        ):
+            shutil.copy(os.path.join(src, f), d / f)
+    docs = pd.read_parquet(os.path.join(src, "documents.parquet"))
+    mx = int(docs.doc_id.max())
+    texts = [
+        "", "   \t\n  ", "\U0001f99c\U0001f99c \U0001f389",
+        "مرحبا بالعالم",
+        "日本語のテキストです",
+        "a" * 100_000, ("word " * 20_000).strip(),
+        "!!! ??? ... ;;; ---", "\x00null\x01byte",
+    ]
+    extra = pd.DataFrame([
+        dict(doc_id=mx + 1 + i, text=t, lang="en", source="hostile",
+             n_chars=len(t))
+        for i, t in enumerate(texts)
+    ])
+    pd.concat([docs, extra], ignore_index=True).to_parquet(
+        d / "documents.parquet", index=False
+    )
+    emb = pd.read_parquet(os.path.join(src, "embeddings.parquet"))
+    dim = len(emb.embedding.iloc[0])
+    mxv = int(emb.vec_id.max())
+    extra = pd.DataFrame([
+        dict(vec_id=mxv + 1, embedding=np.zeros(dim, dtype=np.float32),
+             label=0),
+        dict(vec_id=mxv + 2, embedding=np.full(dim, 1e-30, dtype=np.float32),
+             label=1),
+        dict(vec_id=mxv + 3,
+             embedding=-np.asarray(emb.embedding.iloc[0], dtype=np.float32),
+             label=2),
+    ])
+    e2 = pd.concat([emb, extra], ignore_index=True)
+    e2["label"] = e2["label"].astype("int32")
+    e2.to_parquet(d / "embeddings.parquet", index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["q43b_text_metrics", "q44c_embedding_neardup"])
+def test_hostile_text_embedding_corpus(spark, hostile_docs_sf_dir, name):
+    import duckdb
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import TABLES, _canon, _hash
+
+    from fs2_kafka_streams_spark.queries import load_all
+
+    spec = load_all()[name]
+    sdf = _canon(spec.build(spark, hostile_docs_sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{hostile_docs_sf_dir}/{t}.parquet')"
+        )
+    ddf = _canon(con.sql(spec.oracle).df())
+    assert len(sdf) == len(ddf) and _hash(sdf) == _hash(ddf)
+
+
+# ---------------------------------------------------------------------------
+# r10 empty-table axis — a full-registry sweep on schema-exact EMPTY events/
+# documents/embeddings found 81/83 entries already correct (0 rows on both
+# engines); the two crashes are pinned here
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(tmp_path_factory):
+    """sf0.001 with events/documents/embeddings sliced to 0 rows,
+    schemas preserved exactly (pyarrow slice, not pandas head —
+    pandas degrades empty object columns to the Arrow null type)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sfempty")
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(src, f)
+        if f in ("events.parquet", "documents.parquet", "embeddings.parquet"):
+            pq.write_table(pq.read_table(p).slice(0, 0), str(d / f))
+        else:
+            shutil.copy(p, d / f)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["q72_stream_outer_join", "q44e_ivf_ann"])
+def test_empty_topic_contract(spark, empty_sf_dir, name):
+    """An empty topic is production-normal. The replay sentinel used to
+    crash timing itself off max(ts) of zero rows (None + timedelta), and
+    the IVF trainer crashed in np.stack on an empty sample — both now
+    yield the exact empty result on both engines."""
+    import duckdb
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import TABLES, _canon, _hash
+
+    from fs2_kafka_streams_spark.queries import load_all
+
+    spec = load_all()[name]
+    sdf = _canon(spec.build(spark, empty_sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{empty_sf_dir}/{t}.parquet')"
+        )
+    ddf = _canon(con.sql(spec.oracle).df())
+    assert len(sdf) == 0 and len(ddf) == 0
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+
+
+def test_ivf_small_corpus_still_loud(spark):
+    """The 0 < n < nlist regime keeps its loud guard — a result is
+    expected there but training is degenerate; only n == 0 returns the
+    exact empty set."""
+    from fs2_kafka_streams_spark.operators.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="need >= nlist"):
+        ivf_topk(emb, emb, k=1, nlist=16).collect()
+    assert ivf_topk(emb.limit(0), emb, k=1, nlist=16).count() == 0
