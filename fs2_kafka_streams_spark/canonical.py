@@ -39,6 +39,28 @@ def dec2(col: str | Column) -> Column:
     return _c(col).cast(DEC2)
 
 
+#: Exact-decimal measure domain bound: |x| below this fits DECIMAL(18,2)
+#: and BIGINT cents with orders of magnitude to spare.
+MEASURE_BOUND = 1e14
+
+
+def measure(col: str | Column, bound: float = MEASURE_BOUND) -> Column:
+    """The measure-domain view of an event metric column: values outside
+    the exact-decimal domain (NaN, ±inf, |x| >= bound) become NULL — the
+    SQL reading of "no usable measurement" — instead of engine-divergent
+    cast behavior (Spark ANSI throws CAST_OVERFLOW, DuckDB throws
+    ConversionException, non-ANSI Spark silently NULLs: three different
+    outcomes for the same row; r10 extreme-numerics sweep).
+
+    ONE portable predicate covers all four hostile classes: ``abs(x) <
+    bound`` is false for NaN on both engines (IEEE comparison semantics;
+    Spark's NaN-greatest ordering agrees), false for ±inf, and false for
+    finite overflow. TPC-H money columns keep the module's documented
+    ≤2-dp precondition and stay on the unguarded fast path."""
+    c = _c(col)
+    return F.when(F.abs(c) < F.lit(bound), c)
+
+
 def dsum(col: str | Column) -> Column:
     """Order-independent sum of a raw 2-dp double column, as double."""
     return F.sum(dec2(col)).cast("double")
@@ -70,6 +92,11 @@ SQL_REVENUE = (
 
 def sql_dec2(expr: str) -> str:
     return f"cast({expr} as decimal(18,2))"
+
+
+def sql_measure(expr: str, bound: str = "1e14") -> str:
+    """Oracle mirror of :func:`measure` (same portable abs-bound)."""
+    return f"(CASE WHEN abs({expr}) < {bound} THEN {expr} END)"
 
 
 def sql_dsum(expr: str) -> str:

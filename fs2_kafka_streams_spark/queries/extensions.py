@@ -287,7 +287,11 @@ def q70_listagg(spark, sf_dir):
 _Q73_SQL = """
     WITH RECURSIVE users AS (
       SELECT user_id AS id,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             -- measure domain guard (canonical.sql_measure): identical
+             -- SQL runs on BOTH engines, and a non-finite value otherwise
+             -- throws differently on each (r10 extreme-numerics sweep)
+             CAST(sum(CAST(round((CASE WHEN abs(value) < 1e14 THEN value END) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
       FROM events GROUP BY 1
     ),
     tree(anc, node) AS (

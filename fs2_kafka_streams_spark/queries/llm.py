@@ -989,6 +989,16 @@ def _profile_oracle() -> str:
             )
         return (f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)")
 
+    # the profile describes the MEASURE VIEW of the metric column:
+    # non-finite/overflow values are NULL measures (canonical.measure),
+    # so min/max/counts run over the same domain on both engines — a raw
+    # min(-inf) cast to DECIMAL throws in DuckDB and formats differently
+    # everywhere else (r10 extreme-numerics sweep)
+    src = (
+        "(SELECT event_id, ts, user_id, event_type, "
+        "(CASE WHEN abs(value) < 1e14 THEN value END) AS value, props "
+        "FROM events)"
+    )
     parts = []
     for c in cols:
         mn, mx = render(c)
@@ -997,7 +1007,7 @@ def _profile_oracle() -> str:
            count({c}) AS n_nonnull,
            count(DISTINCT {c}) AS n_distinct,
            {mn} AS min_value, {mx} AS max_value
-    FROM events""")
+    FROM {src} t""")
     return "\n    UNION ALL".join(parts)
 
 
@@ -1010,9 +1020,14 @@ def q50_table_profile(spark, sf_dir):
     100 TB pipeline runs before trusting a table. One aggregation job;
     the long-format pivot is a row-local explode of the 1-row result
     (see :mod:`operators.profile`)."""
+    from fs2_kafka_streams_spark.canonical import measure
     from fs2_kafka_streams_spark.operators.profile import table_profile
 
-    return table_profile(Catalog(spark, sf_dir).events)
+    # profile the measure view of the metric column (see _profile_oracle)
+    e = Catalog(spark, sf_dir).events.withColumn(
+        "value", measure("value")
+    )
+    return table_profile(e)
 
 
 def _q47_oracle() -> str:

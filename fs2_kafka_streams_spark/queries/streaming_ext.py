@@ -122,7 +122,8 @@ def q35b_session_window_streaming(spark, sf_dir):
              AS window_end,
            user_id,
            CAST(count(*) AS BIGINT) AS n,
-           cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+           cast(sum(cast((CASE WHEN abs(value) < 1e14 THEN value END)
+                    as decimal(18,2))) as double) AS sum_value
     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
     """,
     tags=("streaming", "window"),
@@ -132,12 +133,13 @@ def q33b_tumbling_window_streaming(spark, sf_dir):
     window state accumulates across micro-batches; the final table equals
     the batch q33 exactly). The append-mode + watermark variant with
     late-data drops is q36."""
-    from fs2_kafka_streams_spark.canonical import dsum
+    from fs2_kafka_streams_spark.canonical import dsum, measure
 
     src = _events_stream(spark, sf_dir, files_per_trigger=2)
     agg = (
         src.groupBy(F.window("ts", "5 minutes").alias("w"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum(measure("value")).alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fs2_kafka_streams_spark.canonical import dsum_expr, dec2
+from fs2_kafka_streams_spark.canonical import dsum_expr, dec2, measure
 from fs2_kafka_streams_spark.catalog import Catalog
 from fs2_kafka_streams_spark.queries import ntz_epoch_seconds, query
 
@@ -49,7 +49,8 @@ from fs2_kafka_streams_spark.queries import ntz_epoch_seconds, query
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             CAST(sum(cast((CASE WHEN abs(value) < 1e14 THEN value END)
+                      AS DECIMAL(18,2))) AS DOUBLE) AS rev
       FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -89,7 +90,8 @@ def q60_gapfill(spark, sf_dir):
     e = Catalog(spark, sf_dir).events
     daily = (
         e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(dsum_expr(dec2("value")).alias("rev"))
+        # measure(): non-finite/overflow metrics are NULL on both engines
+        .agg(dsum_expr(dec2(measure("value"))).alias("rev"))
     )
     spine = (
         daily.groupBy("event_type")
@@ -173,7 +175,8 @@ def q61_histogram(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
+             CAST(sum(CAST(round((CASE WHEN abs(value) < 1e14 THEN value END) * 100)
+                           AS BIGINT)) AS HUGEINT)
                AS cents
       FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
@@ -226,7 +229,7 @@ def q62_anomaly(spark, sf_dir):
     # 7-preceding frame near that end.)
     e = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
     # decimal(19,0) BEFORE the day-sum so even the aggregation can't wrap
-    cents = F.round(F.col("value") * 100).cast("decimal(19,0)")
+    cents = F.round(measure("value") * 100).cast("decimal(19,0)")
     daily = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(cents).cast("decimal(38,0)").alias("cents"))
@@ -269,7 +272,8 @@ def q62_anomaly(spark, sf_dir):
     oracle="""
     WITH seq AS (
       SELECT user_id,
-             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(round((CASE WHEN abs(value) < 1e14 THEN value END) * 100) AS BIGINT)
+               AS cents,
              CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS t,
              lead(CAST(floor(extract(epoch FROM ts)) AS BIGINT))
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
@@ -311,7 +315,7 @@ def q63_time_weighted_avg(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "user_id",
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.round(measure("value") * 100).cast("bigint").alias("cents"),
         ntz_epoch_seconds("ts").alias("t"),
         F.lead(ntz_epoch_seconds("ts")).over(w).alias("t_next"),
     )

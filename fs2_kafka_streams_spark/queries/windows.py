@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from fs2_kafka_streams_spark.catalog import Catalog
-from fs2_kafka_streams_spark.canonical import dsum
+from fs2_kafka_streams_spark.canonical import dsum, measure
 from fs2_kafka_streams_spark.queries import query
 
 
@@ -26,7 +26,8 @@ from fs2_kafka_streams_spark.queries import query
              AS window_end,
            user_id,
            CAST(count(*) AS BIGINT) AS n,
-           cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+           cast(sum(cast((CASE WHEN abs(value) < 1e14 THEN value END)
+                    as decimal(18,2))) as double) AS sum_value
     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
     """,
     tags=("window", "streaming-shape"),
@@ -42,7 +43,10 @@ def q33_tumbling_window(spark, sf_dir):
     e = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "5 minutes").alias("w"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        # measure(): non-finite/overflow metric values are NULL measures
+        # on both engines (canonical.py) — r10 extreme-numerics sweep
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum(measure("value")).alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fs2_kafka_streams_spark.canonical import dsum
+from fs2_kafka_streams_spark.canonical import dsum, measure
 from fs2_kafka_streams_spark.streaming.replay import N_FILES, replay_dir
 from fs2_kafka_streams_spark.streaming.stateful import EVENTS_SCHEMA
 
@@ -63,7 +63,8 @@ def _run_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         src.withWatermark("ts", DELAY)
         .groupBy(F.window("ts", "5 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum(measure("value")).alias("sum_value"))
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             F.col("w.end").cast("timestamp_ntz").alias("window_end"),
@@ -104,7 +105,8 @@ SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
        time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'
          AS window_end,
        CAST(count(*) AS BIGINT) AS n,
-       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+       cast(sum(cast((CASE WHEN abs(value) < 1e14 THEN value END)
+                as decimal(18,2))) as double) AS sum_value
 FROM kept, final_wm
 GROUP BY 1, 2, fw
 HAVING window_end <= fw

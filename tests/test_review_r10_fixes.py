@@ -770,3 +770,106 @@ def test_ivf_small_corpus_still_loud(spark):
     with pytest.raises(ValueError, match="need >= nlist"):
         ivf_topk(emb, emb, k=1, nlist=16).collect()
     assert ivf_topk(emb.limit(0), emb, k=1, nlist=16).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r10 extreme-numerics axis — NaN / ±inf / ±1e308 / 1e-320 in events.value
+# ---------------------------------------------------------------------------
+#
+# The sweep found 8 entries crashing, each differently: Spark ANSI threw
+# CAST_OVERFLOW (q63/q73), DuckDB threw ConversionException (q50/q62),
+# and the decimal(18,2) oracle casts threw where Spark's would NULL
+# (q33/q33b/q36/q60). Contract: metric values outside the exact-decimal
+# measure domain (non-finite or |x| >= 1e14) are NULL measures on both
+# engines — one portable predicate, canonical.measure / sql_measure.
+# TPC-H money columns keep the documented ≤2-dp precondition.
+
+NAN_VALUE_ENTRIES = [
+    "q33_time_windows",
+    "q36_watermark_late_drop",
+    "q50_table_profile",
+    "q60_gapfill",
+    "q62_anomaly",
+    "q63_time_weighted_avg",
+    "q73_recursive_cte",
+]
+
+
+@pytest.fixture(scope="session")
+def nan_value_sf_dir(tmp_path_factory):
+    """sf0.001 with NaN / +inf / -inf / ±1e308 / 1e-320 value rows."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sfnan")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "events.parquet":
+            shutil.copy(os.path.join(src, f), d / f)
+    e = pd.read_parquet(os.path.join(src, "events.parquet"))
+    mx = int(e.event_id.max())
+    base_ts = e.ts.max()
+    vals = [float("nan"), float("inf"), float("-inf"), 1e308, -1e308, 1e-320]
+    extra = pd.DataFrame([
+        dict(event_id=mx + 1 + i, ts=base_ts + pd.Timedelta(minutes=i + 1),
+             user_id=int(e.user_id.iloc[i]), event_type="view",
+             value=v, props=e.props.iloc[0])
+        for i, v in enumerate(vals)
+    ])
+    e2 = pd.concat([e, extra], ignore_index=True)
+    e2["ts"] = e2["ts"].astype("datetime64[us]")
+    e2.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", NAN_VALUE_ENTRIES)
+def test_measure_domain_contract(spark, nan_value_sf_dir, name):
+    import duckdb
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import TABLES, _canon, _hash
+
+    from fs2_kafka_streams_spark.queries import load_all
+
+    spec = load_all()[name]
+    sdf = _canon(spec.build(spark, nan_value_sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{nan_value_sf_dir}/{t}.parquet')"
+        )
+    ddf = _canon(con.sql(spec.oracle).df())
+    assert len(sdf) == len(ddf), (len(sdf), len(ddf))
+    assert _hash(sdf) == _hash(ddf)
+
+
+def test_measure_predicate_classes(spark):
+    """The single abs-bound predicate must NULL exactly the four hostile
+    classes and pass everything finite below the bound — on BOTH engines
+    (NaN comparison semantics differ between engines in general; this is
+    the case they agree on)."""
+    import duckdb
+
+    from fs2_kafka_streams_spark.canonical import measure, sql_measure
+
+    vals = [1.0, -2.5, 0.0, 1e-320, float("nan"), float("inf"),
+            float("-inf"), 1e308, -1e308, 9.99e13, 1e14]
+    pdf = pd.DataFrame({"value": vals})
+    got = [
+        r[0]
+        for r in spark.createDataFrame(pdf)
+        .select(measure("value"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [r[0] for r in con.sql(
+        f"SELECT {sql_measure('value')} FROM t"
+    ).fetchall()]
+
+    def norm(x):
+        return None if x is None or (isinstance(x, float) and pd.isna(x)) else x
+
+    assert [norm(x) for x in got] == [norm(x) for x in want]
+    assert norm(got[4]) is None and norm(got[5]) is None  # NaN, inf
+    assert norm(got[10]) is None and norm(got[9]) == 9.99e13  # bound edge
