@@ -79,9 +79,11 @@ def apply_changes(
     (``streaming/stateful.py``); filter ``~tombstone_col`` for the
     live view.
     """
-    reserved = {"_dead", "_s_dead", "_d_present"} | {
-        f"_d_{c}" for c in list(value_cols) + [order_col]
-    }
+    reserved = (
+        {"_dead", "_s_dead", "_d_present"}
+        | {f"_d_{c}" for c in list(value_cols) + [order_col]}
+        | {f"_dk_{k}" for k in key_cols}
+    )
     clash = reserved & (
         set(key_cols) | set(value_cols) | {order_col, tombstone_col}
     )
@@ -158,12 +160,36 @@ def apply_changes(
         snapshot = snapshot.withColumn("_s_dead", F.lit(False))
 
     d = delta.select(
-        *[F.col(k) for k in key_cols],
+        *[F.col(k).alias(f"_dk_{k}") for k in key_cols],
         *[F.col(c).alias(f"_d_{c}") for c in list(value_cols) + [order_col]],
         "_dead",
         F.lit(True).alias("_d_present"),
     )
-    merged = snapshot.join(d, on=list(key_cols), how="full_outer")
+    # NULL-SAFE key equality: a NULL grouping key is a legitimate group
+    # (both the snapshot fold and the delta aggregation emit one row for
+    # it) — the plain USING join's null-unsafe equality never matched the
+    # two, so a NULL-key update DUPLICATED the key instead of merging it
+    # (execution-confirmed vs the whole-log fold; r10 NULL-key campaign).
+    # <=> is a supported equi-join key, so the plan is still a hash join.
+    cond = None
+    for k in key_cols:
+        c = F.col(k).eqNullSafe(F.col(f"_dk_{k}"))
+        cond = c if cond is None else cond & c
+    merged = snapshot.join(d, on=cond, how="full_outer").select(
+        # key value from whichever side is PRESENT (both NULL on a matched
+        # NULL-key row, so the sentinel — not the key — decides presence)
+        *[
+            F.when(F.col("_d_present").isNotNull(), F.col(f"_dk_{k}"))
+            .otherwise(F.col(k))
+            .alias(k)
+            for k in key_cols
+        ],
+        *[F.col(c) for c in list(value_cols) + [order_col]],
+        "_s_dead",
+        *[F.col(f"_d_{c}") for c in list(value_cols) + [order_col]],
+        "_dead",
+        "_d_present",
+    )
     # the delta wins only where it is PRESENT and NOT OLDER than the
     # snapshot's recorded position (order_col is unique per key, so >= is
     # the exact boundary for an idempotent re-apply of the same batch).

@@ -264,12 +264,17 @@ def gopher_metrics(
     ) / F.lit(3)
     base = df.select(
         F.col(id_col),
+        # NULL text => every metric and flag NULL (no measurement) — the
+        # same contract analyze() pins for lang_id/fingerprint (r8); the
+        # gate rides the scan projection, still zero-shuffle
+        c.isNull().alias("_nul"),
         tok.alias("_t"),
         n_hash.alias("_nh"),
         n_ellipsis.cast("bigint").alias("_ne"),
     )
     row = base.select(
         id_col,
+        "_nul",
         F.size("_t").alias("n_words"),
         F.aggregate(
             "_t", F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
@@ -325,8 +330,15 @@ def gopher_metrics(
     accept = None
     for name in flags:
         accept = F.col(name) if accept is None else accept & F.col(name)
-    return m.withColumn("pass_quality", accept).drop(
-        "_char_sum", "_n_alpha", "_n_sym", "_top_n"
+    m = m.withColumn("pass_quality", accept)
+    out_cols = [
+        "n_words", "dup_2gram_frac", "dup_3gram_frac", "stop_hits",
+        "mean_word_len", "alpha_word_frac", "top_word_frac",
+        "symbol_word_ratio", *flags, "pass_quality",
+    ]
+    return m.select(
+        id_col,
+        *[F.when(~F.col("_nul"), F.col(n)).alias(n) for n in out_cols],
     )
 
 

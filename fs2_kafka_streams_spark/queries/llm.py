@@ -730,6 +730,11 @@ def q43e_sample_shuffle_shard(spark, sf_dir):
 _GOPHER_ORACLE = """
     WITH tk AS (
       SELECT doc_id,
+             -- NULL text => every metric NULL (no measurement), matching
+             -- the r8 lang_id/fingerprint contract; without the explicit
+             -- gate the two engines disagree per-column (coalesce/greatest
+             -- NULL behavior differs path by path)
+             text IS NULL AS _nul,
              regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
              len(text) - len(replace(text, '#', '')) AS nh,
              CAST((len(text) - len(replace(text, '...', ''))) / 3
@@ -744,7 +749,7 @@ _GOPHER_ORACLE = """
       ) GROUP BY 1
     ),
     row_m AS (
-      SELECT doc_id,
+      SELECT doc_id, _nul,
              len(t) AS n_words,
              coalesce(list_sum(list_transform(t, x -> len(x))), 0)
                AS char_sum,
@@ -768,7 +773,7 @@ _GOPHER_ORACLE = """
       FROM tk
     ),
     m AS (
-      SELECT r.doc_id, r.n_words,
+      SELECT r.doc_id, r._nul, r.n_words,
              CAST(r.char_sum AS DOUBLE)
                / CAST(greatest(r.n_words, 1) AS DOUBLE) AS mean_word_len,
              CAST(r.n_alpha AS DOUBLE)
@@ -781,23 +786,24 @@ _GOPHER_ORACLE = """
                / CAST(greatest(r.n_words, 1) AS DOUBLE) AS symbol_word_ratio
       FROM row_m r LEFT JOIN md USING (doc_id)
     )
-    SELECT doc_id, n_words, dup_2gram_frac, dup_3gram_frac, stop_hits,
-           mean_word_len, alpha_word_frac, top_word_frac, symbol_word_ratio,
-           n_words >= 20 AND n_words <= 100000 AS ok_word_count,
-           mean_word_len >= 2.0 AND mean_word_len <= 10.0
-             AS ok_mean_word_len,
-           alpha_word_frac >= 0.8 AS ok_alpha_words,
-           dup_2gram_frac <= 0.6 AS ok_dup_2gram,
-           dup_3gram_frac <= 0.5 AS ok_dup_3gram,
-           top_word_frac <= 0.3 AS ok_top_word,
-           stop_hits >= 2 AS ok_stopwords,
-           symbol_word_ratio <= 0.1 AS ok_symbols,
-           (n_words >= 20 AND n_words <= 100000)
-             AND (mean_word_len >= 2.0 AND mean_word_len <= 10.0)
-             AND alpha_word_frac >= 0.8 AND dup_2gram_frac <= 0.6
-             AND dup_3gram_frac <= 0.5 AND top_word_frac <= 0.3
-             AND stop_hits >= 2 AND symbol_word_ratio <= 0.1
-             AS pass_quality
+    SELECT doc_id,
+           CASE WHEN _nul THEN NULL ELSE n_words END AS n_words,
+           CASE WHEN _nul THEN NULL ELSE dup_2gram_frac END AS dup_2gram_frac,
+           CASE WHEN _nul THEN NULL ELSE dup_3gram_frac END AS dup_3gram_frac,
+           CASE WHEN _nul THEN NULL ELSE stop_hits END AS stop_hits,
+           CASE WHEN _nul THEN NULL ELSE mean_word_len END AS mean_word_len,
+           CASE WHEN _nul THEN NULL ELSE alpha_word_frac END AS alpha_word_frac,
+           CASE WHEN _nul THEN NULL ELSE top_word_frac END AS top_word_frac,
+           CASE WHEN _nul THEN NULL ELSE symbol_word_ratio END AS symbol_word_ratio,
+           CASE WHEN _nul THEN NULL ELSE n_words >= 20 AND n_words <= 100000 END AS ok_word_count,
+           CASE WHEN _nul THEN NULL ELSE mean_word_len >= 2.0 AND mean_word_len <= 10.0 END AS ok_mean_word_len,
+           CASE WHEN _nul THEN NULL ELSE alpha_word_frac >= 0.8 END AS ok_alpha_words,
+           CASE WHEN _nul THEN NULL ELSE dup_2gram_frac <= 0.6 END AS ok_dup_2gram,
+           CASE WHEN _nul THEN NULL ELSE dup_3gram_frac <= 0.5 END AS ok_dup_3gram,
+           CASE WHEN _nul THEN NULL ELSE top_word_frac <= 0.3 END AS ok_top_word,
+           CASE WHEN _nul THEN NULL ELSE stop_hits >= 2 END AS ok_stopwords,
+           CASE WHEN _nul THEN NULL ELSE symbol_word_ratio <= 0.1 END AS ok_symbols,
+           CASE WHEN _nul THEN NULL ELSE (n_words >= 20 AND n_words <= 100000) AND (mean_word_len >= 2.0 AND mean_word_len <= 10.0) AND (alpha_word_frac >= 0.8) AND (dup_2gram_frac <= 0.6) AND (dup_3gram_frac <= 0.5) AND (top_word_frac <= 0.3) AND (stop_hits >= 2) AND (symbol_word_ratio <= 0.1) END AS pass_quality
     FROM m
 """
 

@@ -873,3 +873,112 @@ def test_measure_predicate_classes(spark):
     assert [norm(x) for x in got] == [norm(x) for x in want]
     assert norm(got[4]) is None and norm(got[5]) is None  # NaN, inf
     assert norm(got[10]) is None and norm(got[9]) == 9.99e13  # bound edge
+
+
+def test_apply_changes_null_key_merges(spark):
+    """r10 cold review of operators/incremental.py: the full-outer merge
+    joined null-UNSAFELY on the key, so a NULL-key row present in both
+    snapshot and delta came out TWICE (stale + fresh) instead of merging —
+    snapshot+delta diverged from the whole-log fold exactly on the NULL
+    group. (q56 passed the NULL-key sweep only because its split put every
+    NULL-key row in the delta.)"""
+    from fs2_kafka_streams_spark.operators.incremental import apply_changes
+
+    seg1 = spark.createDataFrame(pd.DataFrame({
+        "k": pd.array([1, None, 2], dtype="Int64"),
+        "v": ["a", "b", "c"], "o": [1, 2, 3], "tomb": [False] * 3,
+    }))
+    seg2 = spark.createDataFrame(pd.DataFrame({
+        "k": pd.array([None, 2], dtype="Int64"),
+        "v": ["B2", "c2"], "o": [10, 11], "tomb": [False] * 2,
+    }))
+    snap = apply_changes(None, seg1, ["k"], "o", ["v"], "tomb")
+    out = apply_changes(snap, seg2, ["k"], "o", ["v"], "tomb").toPandas()
+    whole = apply_changes(
+        None, seg1.unionByName(seg2), ["k"], "o", ["v"], "tomb"
+    ).toPandas()
+
+    def canon(df):
+        return sorted(
+            (-(10 ** 9) if pd.isna(r.k) else int(r.k), r.v, int(r.o))
+            for r in df.itertuples()
+        )
+
+    assert canon(out) == canon(whole)
+    assert sum(1 for k, _, _ in canon(out) if k == -(10 ** 9)) == 1
+
+    # tombstone via NULL key still deletes exactly the NULL-key group
+    seg3 = spark.createDataFrame(pd.DataFrame({
+        "k": pd.array([None], dtype="Int64"),
+        "v": ["x"], "o": [20], "tomb": [True],
+    }))
+    out3 = apply_changes(
+        apply_changes(snap, seg2, ["k"], "o", ["v"], "tomb"),
+        seg3, ["k"], "o", ["v"], "tomb",
+    ).toPandas()
+    assert canon(out3) == [(1, "a", 1), (2, "c2", 11)]
+
+
+# ---------------------------------------------------------------------------
+# r10 NULL-document axis — NULL text / lang / source rows in documents
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="session")
+def null_doc_sf_dir(tmp_path_factory):
+    """sf0.001 with NULL-text / NULL-lang / NULL-source document rows and
+    a duplicated text whose copies differ only in (nullable) source."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sfnulldoc")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            shutil.copy(os.path.join(src, f), d / f)
+    docs = pd.read_parquet(os.path.join(src, "documents.parquet"))
+    mx = int(docs.doc_id.max())
+    extra = pd.DataFrame([
+        dict(doc_id=mx + 1, text=None, lang="en", source="s", n_chars=0),
+        dict(doc_id=mx + 2, text=None, lang=None, source=None, n_chars=0),
+        dict(doc_id=mx + 3, text="a normal document here", lang=None,
+             source=None, n_chars=22),
+        dict(doc_id=mx + 4, text="dup text dup text", lang="en",
+             source="s", n_chars=17),
+        dict(doc_id=mx + 5, text="dup text dup text", lang="en",
+             source=None, n_chars=17),
+    ])
+    pd.concat([docs, extra], ignore_index=True).to_parquet(
+        d / "documents.parquet", index=False
+    )
+    return str(d)
+
+
+def test_gopher_metrics_null_text(spark, null_doc_sf_dir):
+    """NULL text => every Gopher metric AND flag NULL on both engines
+    (the r8 lang_id/fingerprint contract extended to the quality family —
+    the engines' implicit behaviors disagreed per-column: Spark emitted
+    dup_frac 0.0 where DuckDB gave NULL, DuckDB mean_word_len 0.0 where
+    Spark gave NULL, and pass_quality flipped NULL/False)."""
+    import duckdb
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import TABLES, _canon, _hash
+
+    from fs2_kafka_streams_spark.queries import load_all
+
+    spec = load_all()["q43f_quality_filter"]
+    sdf = _canon(spec.build(spark, null_doc_sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{null_doc_sf_dir}/{t}.parquet')"
+        )
+    ddf = _canon(con.sql(spec.oracle).df())
+    assert len(sdf) == len(ddf) and _hash(sdf) == _hash(ddf)
+    # and the NULL-text rows really are all-NULL across the family
+    out = spec.build(spark, null_doc_sf_dir).toPandas()
+    nulls = out[out.doc_id.isin([max(out.doc_id) - 4, max(out.doc_id) - 3])]
+    for c in out.columns:
+        if c != "doc_id":
+            assert nulls[c].isna().all(), c
