@@ -138,15 +138,36 @@ def q35_session_window(spark, sf_dir):
 
 @query(
     "q37_dedup",
-    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    WHERE event_id IS NOT NULL
+    UNION ALL
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    WHERE event_id IS NULL
+    UNION ALL
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    WHERE event_id IS NULL
+    """,
     tags=("dedup", "streaming-shape"),
 )
 def q37_dedup(spark, sf_dir):
     """Exact dedup by event_id: a doubled stream (events ∪ events)
     deduplicates back to the original — rows among duplicates are identical,
     so the kept row is deterministic. Streaming counterpart
-    (`dropDuplicatesWithinWatermark`) is exercised in the streaming tests."""
+    (`dropDuplicatesWithinWatermark`) is exercised in the streaming tests.
+
+    NULL-id contract (r10 cold review of this file): a NULL id is an
+    UNKEYED record — Kafka itself rejects unkeyed produce to a compacted
+    topic (InvalidRecordException), so compaction/dedup never merges them.
+    ``dropDuplicates`` would instead group all NULL ids together and keep
+    one ARBITRARY row (payload columns differ → nondeterministic result,
+    diverging from any deterministic oracle), so NULL-id rows bypass the
+    dedup and pass through as-is; the oracle replays the doubled copies."""
     e = Catalog(spark, sf_dir).events.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    return e.unionAll(e).dropDuplicates(["event_id"])
+    doubled = e.unionAll(e)
+    keyed = doubled.filter(F.col("event_id").isNotNull()).dropDuplicates(
+        ["event_id"]
+    )
+    return keyed.unionAll(doubled.filter(F.col("event_id").isNull()))

@@ -982,3 +982,71 @@ def test_gopher_metrics_null_text(spark, null_doc_sf_dir):
     for c in out.columns:
         if c != "doc_id":
             assert nulls[c].isna().all(), c
+
+
+# ---------------------------------------------------------------------------
+# r10 cold review of queries/windows.py — q37 dedup key NULL contract
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="session")
+def null_id_sf_dir(tmp_path_factory):
+    """sf0.001 with two NULL-event_id rows whose payloads DIFFER — the
+    shape where dropDuplicates' NULL-merging picks an arbitrary winner."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sfnullid")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "events.parquet":
+            shutil.copy(os.path.join(src, f), d / f)
+    e = pd.read_parquet(os.path.join(src, "events.parquet"))
+    base_ts = e["ts"].max()
+    extra = pd.DataFrame([
+        dict(event_id=None, ts=base_ts + pd.Timedelta(minutes=1),
+             user_id=1, event_type="view", value=1.0, props='{"k": 1}'),
+        dict(event_id=None, ts=base_ts + pd.Timedelta(minutes=2),
+             user_id=2, event_type="click", value=2.0, props='{"k": 2}'),
+    ])
+    extra["event_id"] = extra["event_id"].astype("Int64")
+    e2 = pd.concat([e, extra], ignore_index=True)
+    e2["ts"] = e2["ts"].astype("datetime64[us]")
+    e2.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+def test_q37_null_id_rows_are_unkeyed(spark, null_id_sf_dir):
+    """A NULL event_id is an UNKEYED record: Kafka rejects unkeyed produce
+    to a compacted topic, so dedup must never merge two NULL-id rows.
+    Pre-fix, dropDuplicates(["event_id"]) grouped all NULL ids and kept one
+    ARBITRARY payload — nondeterministic and divergent from the oracle.
+    Post-fix both engines keep every NULL-id copy (doubled stream => the
+    two copies stay), hash-equal under the driver gate."""
+    import duckdb
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import TABLES, _canon, _hash
+
+    from fs2_kafka_streams_spark.queries import load_all
+
+    spec = load_all()["q37_dedup"]
+    out = spec.build(spark, null_id_sf_dir).toPandas()
+    # both distinct NULL-id payloads survive, doubled (2 copies each)
+    nul = out[out.event_id.isna()]
+    assert len(nul) == 4
+    assert sorted(nul.user_id.tolist()) == [1, 1, 2, 2]
+    # keyed rows still dedup back to exactly one copy per id
+    keyed = out[out.event_id.notna()]
+    assert keyed.event_id.is_unique
+
+    sdf = _canon(out)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{null_id_sf_dir}/{t}.parquet')"
+        )
+    ddf = _canon(con.sql(spec.oracle).df())
+    assert len(sdf) == len(ddf)
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _hash(sdf) == _hash(ddf)
