@@ -247,7 +247,8 @@ def q68_salted_join(spark, sf_dir):
     oracle="""
     SELECT o_custkey,
            string_agg(o_orderstatus, ','
-                      ORDER BY o_orderdate, o_orderkey) AS status_seq,
+                      ORDER BY o_orderdate NULLS FIRST, o_orderkey)
+             AS status_seq,
            CAST(count(*) AS BIGINT) AS n_orders
     FROM orders WHERE o_custkey < 100
     GROUP BY 1
@@ -260,7 +261,9 @@ def q70_listagg(spark, sf_dir):
     sequence in ``(o_orderdate, o_orderkey)`` order. The unique
     ``o_orderkey`` tie-break makes the concatenation deterministic, so
     the whole string hash-checks against DuckDB's ``string_agg`` with
-    the same ORDER BY.
+    the same ORDER BY (spelled NULLS FIRST — Spark's ASC default — so a
+    NULL order date concatenates at the same position on both engines;
+    r10 hostile-TPCH sweep).
 
     Plan: one hash aggregation; the within-group order is resolved by a
     partial sort inside the aggregate buffer, not a global sort. (For

@@ -106,7 +106,12 @@ def q40_udaf_grouped_map(spark, sf_dir):
     def normalize(tbl: pa.Table) -> pa.Table:
         col = tbl.column("o_totalprice")
         mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
-        if mx == mn:
+        if mn is None or mx is None:
+            # all-NULL group: SQL's mx = mn is NULL → ELSE branch → NULL
+            # norm. Python's None == None is True, which silently took the
+            # 0.0 branch instead (r10 hostile-TPCH sweep).
+            norm = pa.nulls(len(tbl), type=pa.float64())
+        elif mx == mn:
             norm = pa.array([0.0] * len(tbl), type=pa.float64())
         else:
             norm = pc.divide(pc.subtract(col, mn), mx - mn)
@@ -128,7 +133,13 @@ def normalize_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     """The applyInPandas twin of q40's Arrow grouped-map (API parity;
     asserted equal in tests)."""
     mn, mx = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
-    if mx == mn:
+    if pd.isna(mn) or pd.isna(mx):
+        # all-NULL group → NULL norm (mirrors the Arrow twin; pandas min of
+        # an all-NaN series is NaN, and NaN == NaN is False, so without the
+        # guard this fell into the divide branch and emitted NaN, which
+        # Spark treats as a VALUE, not NULL)
+        norm = pd.Series(pd.array([pd.NA] * len(pdf), dtype="Float64"))
+    elif mx == mn:
         norm = pd.Series(0.0, index=pdf.index)
     else:
         norm = (pdf["o_totalprice"] - mn) / (mx - mn)

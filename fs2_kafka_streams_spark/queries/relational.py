@@ -463,7 +463,8 @@ def q13c_stats_aggregates(spark, sf_dir):
     oracle="""
     SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS median_exact,
-           true AS within_tol
+           CASE WHEN quantile_cont(l_quantity, 0.5) IS NOT NULL
+                THEN true END AS within_tol
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg", "approx", "percentile"),
@@ -471,7 +472,10 @@ def q13c_stats_aggregates(spark, sf_dir):
 def q15b_approx_percentile(spark, sf_dir):
     """Sketch-based percentile (the one-pass mergeable 100 TB path; exact
     percentile needs a per-group sort). Sketches differ across engines, so
-    the hash-checked contract mirrors q15: (exact median, approx within 5%)."""
+    the hash-checked contract mirrors q15: (exact median, approx within 5%).
+    An all-NULL-quantity group has a NULL median on both engines, and its
+    tolerance flag is NULL too (NULL comparison), not a literal true —
+    r10 hostile-TPCH sweep."""
     li = _cat(spark, sf_dir).lineitem
     return (
         li.groupBy("l_returnflag")
@@ -712,13 +716,19 @@ def q18_multi_get(spark, sf_dir):
            CAST(rank() OVER w2 AS INTEGER) AS rnk,
            CAST(dense_rank() OVER w2 AS INTEGER) AS drnk
     FROM orders
-    WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    WINDOW w1 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate NULLS FIRST, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST)
     """,
     tags=("window",),
 )
 def q19_window_ranking(spark, sf_dir):
-    """ROW_NUMBER / RANK / DENSE_RANK per customer by order date."""
+    """ROW_NUMBER / RANK / DENSE_RANK per customer by order date.
+
+    NULL-order contract (r10 hostile-TPCH sweep): Spark's default ASC null
+    ordering is NULLS FIRST, DuckDB's is NULLS LAST — every oracle window
+    ORDER BY on a nullable column spells NULLS FIRST so a NULL order date
+    ranks identically on both engines."""
     o = Catalog(spark, sf_dir).orders
     w1 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w2 = W.partitionBy("o_custkey").orderBy("o_orderdate")
@@ -738,16 +748,19 @@ def q19_window_ranking(spark, sf_dir):
            lag(o_totalprice) OVER w AS prev_price,
            lead(o_totalprice) OVER w AS next_price,
            cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
              AS running_total
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     """,
     tags=("window",),
 )
 def q20_window_analytic(spark, sf_dir):
-    """LAG / LEAD and a running SUM with an explicit rows frame."""
+    """LAG / LEAD and a running SUM with an explicit rows frame (NULLS
+    FIRST in the oracle ORDER BY — q19's NULL-order contract)."""
     o = Catalog(spark, sf_dir).orders
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -1060,11 +1073,17 @@ def q28_conditional_null(spark, sf_dir):
 @query(
     "q29_array_functions",
     oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             coalesce(list(l_linenumber)
+                      FILTER (WHERE l_linenumber IS NOT NULL), []) AS lns_raw
+      FROM lineitem GROUP BY l_orderkey
+    )
     SELECT l_orderkey,
-           array_to_string(list_sort(list(l_linenumber)), '|') AS lns,
-           CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
-           list_contains(list(l_linenumber), 3) AS has_line3
-    FROM lineitem GROUP BY l_orderkey
+           array_to_string(list_sort(lns_raw), '|') AS lns,
+           CAST(len(lns_raw) AS INTEGER) AS n_lines,
+           list_contains(lns_raw, 3) AS has_line3
+    FROM per_order
     """,
     tags=("array",),
 )
@@ -1072,7 +1091,12 @@ def q29_array_functions(spark, sf_dir):
     """collect_list + sort_array/size/array_contains (arrays canonicalized
     by sorting — collect order is partition-dependent; the array is then
     array_join-ed to a string because top-level array columns crash the
-    driver's pandas canonicalizer, the round-1 q29 failure)."""
+    driver's pandas canonicalizer, the round-1 q29 failure).
+
+    NULL-element contract (r10 hostile-TPCH sweep): Spark's collect_list
+    SKIPS NULL inputs while DuckDB's list() keeps them — the oracle
+    replays the skip with FILTER, coalescing an all-NULL group to []
+    (collect_list of zero rows is an empty array, never NULL)."""
     li = Catalog(spark, sf_dir).lineitem
     # One collect_list buffer per group, not three — size/contains are
     # derived from the single collected array in a post-agg projection.
@@ -1092,12 +1116,19 @@ def q29_array_functions(spark, sf_dir):
 
 @query(
     "q29b_explode_roundtrip",
-    oracle="SELECT l_orderkey, l_linenumber FROM lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_linenumber IS NOT NULL
+    """,
     tags=("array", "udtf"),
 )
 def q29b_explode_roundtrip(spark, sf_dir):
     """explode(collect_list(x)) round-trips to the original rows — the
-    UDTF-shaped lateral view."""
+    UDTF-shaped lateral view. NULL elements never enter the array
+    (collect_list skips them, q29's contract), so the round-trip is over
+    the non-NULL rows on both engines; a group whose every element is
+    NULL collects to an empty array, which explode drops entirely —
+    exactly the rows the oracle's WHERE excludes."""
     li = Catalog(spark, sf_dir).lineitem
     arrs = li.groupBy("l_orderkey").agg(
         F.collect_list("l_linenumber").alias("lns")
@@ -1117,8 +1148,9 @@ def q29b_explode_roundtrip(spark, sf_dir):
              AS n_o,
            nullif(CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT), 0)
              AS n_p,
-           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
-             AS statuses
+           coalesce(
+             string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus),
+             '') AS statuses
     FROM orders GROUP BY o_orderpriority
     """,
     tags=("map",),
@@ -1128,6 +1160,13 @@ def q30_map_functions(spark, sf_dir):
 
     The oracle mirrors the *extracted* values (missing key → NULL), since
     MAP column ordering is not comparable across engines.
+
+    NULL-key contract (r10 hostile-TPCH sweep, same class as q30b/q32):
+    Spark maps reject NULL keys by definition ([NULL_MAP_KEY] crash), so a
+    NULL status never becomes a map entry — the ``when`` guard makes
+    collect_list skip it while the GROUP itself survives (an
+    all-NULL-status priority still emits a row with an empty map, which is
+    why the oracle coalesces its statuses string to '').
     """
     o = Catalog(spark, sf_dir).orders
     counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
@@ -1135,7 +1174,14 @@ def q30_map_functions(spark, sf_dir):
     )
     maps = counts.groupBy("o_orderpriority").agg(
         F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("o_orderstatus").isNotNull(),
+                        F.struct("o_orderstatus", "cnt"),
+                    )
+                )
+            )
         ).alias("status_map")
     )
     return maps.select(
@@ -1169,9 +1215,17 @@ def q30_map_functions(spark, sf_dir):
 )
 def q31_json_functions(spark, sf_dir):
     """to_json / get_json_object / from_json round-trip — the decode path
-    (A3, ``client/RecordStream.scala:277-278``) in JSON form."""
+    (A3, ``client/RecordStream.scala:277-278``) in JSON form.
+
+    ``ignoreNullFields=false``: Spark's default to_json OMITS null struct
+    fields while DuckDB renders ``"s":null`` — with the option both engines
+    emit byte-identical JSON for NULL-bearing rows (r10 hostile-TPCH
+    sweep)."""
     o = Catalog(spark, sf_dir).orders
-    j = F.to_json(F.struct("o_orderkey", "o_orderstatus"))
+    j = F.to_json(
+        F.struct("o_orderkey", "o_orderstatus"),
+        {"ignoreNullFields": "false"},
+    )
     return o.select(
         "o_orderkey",
         j.alias("j"),
@@ -1257,7 +1311,8 @@ def q32_dead_letter_split(spark, sf_dir):
            percent_rank() OVER w1 AS pr,
            cume_dist() OVER w1 AS cd
     FROM orders
-    WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    WINDOW w1 AS (PARTITION BY o_custkey
+                  ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
     tags=("window",),
 )
@@ -1336,15 +1391,22 @@ def q49b_cte_scalar_subquery(spark, sf_dir):
     tags=("reshape",),
 )
 def q16d_unpivot(spark, sf_dir):
-    """Unpivot (wide→long melt) — the inverse of Q16c's pivot. Both engines
-    drop NULL values by default; the unpivoted columns are pre-cast to a
-    common type as unpivot requires."""
+    """Unpivot (wide→long melt) — the inverse of Q16c's pivot. SQL UNPIVOT
+    (DuckDB) EXCLUDES NULL cells; Spark's DataFrame.unpivot is a melt that
+    KEEPS them (measured on a NULL-bearing corpus, r10 hostile-TPCH
+    sweep) — the explicit filter pins the SQL-standard exclusion on both
+    engines. The unpivoted columns are pre-cast to a common type as
+    unpivot requires."""
     c = Catalog(spark, sf_dir).customer
-    return c.select(
-        "c_custkey",
-        F.col("c_acctbal").cast("double").alias("acctbal"),
-        F.col("c_nationkey").cast("double").alias("nationkey"),
-    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+    return (
+        c.select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+        .where(F.col("val").isNotNull())
+    )
 
 
 @query(
@@ -1355,7 +1417,8 @@ def q16d_unpivot(spark, sf_dir):
            last_value(o_totalprice) OVER w AS last_price,
            nth_value(o_totalprice, 2) OVER w AS second_price
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     tags=("window",),
@@ -1437,7 +1500,9 @@ def q27b_bitwise(spark, sf_dir):
     oracle="""
     WITH per_order AS (
       SELECT l_orderkey,
-             list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
+             coalesce(list(l_quantity
+                           ORDER BY l_linenumber NULLS FIRST, l_quantity)
+                      FILTER (WHERE l_quantity IS NOT NULL), []) AS qtys
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT l_orderkey,
@@ -1462,11 +1527,23 @@ def q29c_array_hof(spark, sf_dir):
     quantity) — the synthetic data has duplicate line numbers, so the
     tie-break makes the arrays deterministic; quantities are integer-valued
     doubles so the fold is exact). Array outputs are array_join-ed to
-    strings: top-level array columns crash the driver's canonicalizer."""
+    strings: top-level array columns crash the driver's canonicalizer.
+
+    NULL contract (r10 hostile-TPCH sweep): NULL quantities never enter
+    qtys (the ``when`` guard makes collect_list skip them — a NULL element
+    would also poison exists/forall with three-valued logic DuckDB's
+    list_filter can't mirror); a NULL line number rides as an ordering key
+    only, sorted NULLS FIRST by Spark's struct comparator and spelled
+    explicitly in the oracle's ORDER BY."""
     li = _cat(spark, sf_dir).lineitem
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(
-            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+            F.collect_list(
+                F.when(
+                    F.col("l_quantity").isNotNull(),
+                    F.struct("l_linenumber", "l_quantity"),
+                )
+            )
         ).alias("_pairs")
     ).select(
         "l_orderkey",

@@ -1050,3 +1050,147 @@ def test_q37_null_id_rows_are_unkeyed(spark, null_id_sf_dir):
     assert len(sdf) == len(ddf)
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert _hash(sdf) == _hash(ddf)
+
+
+# ---------------------------------------------------------------------------
+# r10 hostile-TPCH axis — NULL-bearing rows in orders/lineitem/customer/
+# part/supplier (the relational tables; earlier sweeps covered only
+# events/documents/embeddings). The sweep found 16 hash divergences and 2
+# crashes, all latent on clean driver data:
+#
+# - Spark's default ASC null ordering is NULLS FIRST, DuckDB's is NULLS
+#   LAST: every window/listagg ORDER BY on a nullable column diverged
+#   (q19/q19b/q20/q20b/q70) -> oracles now spell NULLS FIRST.
+# - Spark collect_list SKIPS NULL inputs, DuckDB list() keeps them
+#   (q29/q29b/q29c) -> oracles FILTER, coalescing all-NULL groups to [].
+# - Spark to_json OMITS null struct fields, DuckDB renders "s":null
+#   (q31) -> ignoreNullFields=false.
+# - SQL UNPIVOT excludes NULL cells, Spark's unpivot melt keeps them
+#   (q16d) -> explicit isNotNull filter.
+# - map_from_entries crashed on a NULL o_orderstatus key (q30 and the
+#   q16c_pivot_map merge, [NULL_MAP_KEY]) -> when-guarded collect skips
+#   NULL keys while the group survives with an empty map.
+# - q15b's within_tol was a literal `true` in the oracle while Spark's
+#   comparison is NULL for an all-NULL-quantity group.
+# - q40's Arrow grouped-map hit Python's None == None -> True and gave an
+#   all-NULL-price group norm 0.0 where SQL's NULL = NULL -> NULL gives
+#   NULL (the applyInPandas twin had the mirror-image NaN == NaN -> False
+#   hole, emitting NaN — a VALUE to Spark — instead of NULL).
+# ---------------------------------------------------------------------------
+
+HOSTILE_TPCH_ENTRIES = [
+    "q15b_approx_percentile",
+    "q16c_pivot_map",
+    "q16d_unpivot",
+    "q19_window_ranking_dist",
+    "q20_window_analytic_value",
+    "q28_conditional_json",
+    "q29_array_hof_agg",
+    "q29b_explode_lateral",
+    "q29c_array_hof",
+    "q30_map_functions",
+    "q40_udaf_grouped_map",
+    "q70_listagg",
+]
+
+
+@pytest.fixture(scope="session")
+def null_tpch_sf_dir(tmp_path_factory):
+    """sf0.001 with NULL-bearing rows appended to the five relational
+    tables, schema-preserving (pyarrow append, not pandas, so int32
+    columns stay int32)."""
+    import shutil
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sfnulltpch")
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), d / f)
+
+    def append(table_name, rows):
+        t = pq.read_table(os.path.join(src, f"{table_name}.parquet"))
+        cols = {f.name: [r.get(f.name) for r in rows] for f in t.schema}
+        extra = pa.table(
+            {f.name: pa.array(cols[f.name], type=f.type) for f in t.schema},
+            schema=t.schema,
+        )
+        pq.write_table(pa.concat_tables([t, extra]), str(d / f"{table_name}.parquet"))
+
+    D = dt.datetime.fromisoformat
+    append("orders", [
+        dict(o_orderkey=900001, o_custkey=7, o_orderstatus="F",
+             o_totalprice=123.45, o_orderdate=None, o_orderpriority="1-URGENT"),
+        dict(o_orderkey=900004, o_custkey=7, o_orderstatus="P",
+             o_totalprice=345.67, o_orderdate=None, o_orderpriority="3-MEDIUM"),
+        dict(o_orderkey=900002, o_custkey=11, o_orderstatus=None,
+             o_totalprice=234.56, o_orderdate=D("1996-03-02"),
+             o_orderpriority="2-HIGH"),
+        dict(o_orderkey=900003, o_custkey=None, o_orderstatus="O",
+             o_totalprice=None, o_orderdate=D("1997-07-04"),
+             o_orderpriority=None),
+    ])
+    append("lineitem", [
+        dict(l_orderkey=900001, l_partkey=3, l_suppkey=2, l_linenumber=None,
+             l_quantity=10.0, l_extendedprice=100.0, l_discount=0.05,
+             l_tax=0.02, l_returnflag="N", l_linestatus="O",
+             l_shipdate=D("1996-04-01")),
+        dict(l_orderkey=900001, l_partkey=5, l_suppkey=3, l_linenumber=2,
+             l_quantity=None, l_extendedprice=None, l_discount=None,
+             l_tax=None, l_returnflag=None, l_linestatus=None,
+             l_shipdate=None),
+        dict(l_orderkey=None, l_partkey=7, l_suppkey=1, l_linenumber=1,
+             l_quantity=5.0, l_extendedprice=50.0, l_discount=0.01,
+             l_tax=0.0, l_returnflag="A", l_linestatus="F",
+             l_shipdate=D("1995-05-05")),
+        dict(l_orderkey=900002, l_partkey=None, l_suppkey=None, l_linenumber=3,
+             l_quantity=7.0, l_extendedprice=70.0, l_discount=0.02,
+             l_tax=0.01, l_returnflag="R", l_linestatus="F",
+             l_shipdate=D("1996-06-06")),
+    ])
+    append("customer", [
+        dict(c_custkey=900001, c_name=None, c_nationkey=3, c_acctbal=None,
+             c_mktsegment=None),
+        dict(c_custkey=900002, c_name="Customer#000900002", c_nationkey=None,
+             c_acctbal=5000.01, c_mktsegment="BUILDING"),
+        dict(c_custkey=None, c_name="Customer#nullkey", c_nationkey=5,
+             c_acctbal=9999.0, c_mktsegment="AUTOMOBILE"),
+    ])
+    append("part", [
+        dict(p_partkey=900001, p_name="hostile null part", p_brand=None,
+             p_type=None, p_size=None, p_retailprice=None),
+    ])
+    append("supplier", [
+        dict(s_suppkey=900001, s_name="Supplier#null", s_nationkey=None,
+             s_acctbal=None),
+    ])
+    return str(d)
+
+
+@pytest.mark.parametrize("name", HOSTILE_TPCH_ENTRIES)
+def test_hostile_tpch_contract(spark, null_tpch_sf_dir, name):
+    """Every entry the hostile-TPCH sweep flagged hash-matches its oracle
+    on the NULL-bearing relational corpus — the same driver-gate
+    canonicalize-and-hash as the events/documents axes."""
+    import duckdb
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import TABLES, _canon, _hash
+
+    from fs2_kafka_streams_spark.queries import load_all
+
+    spec = load_all()[name]
+    sdf = _canon(spec.build(spark, null_tpch_sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{null_tpch_sf_dir}/{t}.parquet')"
+        )
+    ddf = _canon(con.sql(spec.oracle).df())
+    assert len(sdf) == len(ddf), (len(sdf), len(ddf))
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _hash(sdf) == _hash(ddf)
