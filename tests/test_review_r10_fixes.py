@@ -1247,3 +1247,80 @@ def test_driver_corpus_in_agreed_string_domain():
                     f" WHERE {c} IS NOT NULL AND NOT regexp_matches({c}, '^[\\x00-\\x7F]*$')"
                 ).fetchone()[0]
                 assert n == 0, (sf, table, c, n)
+
+
+# ---------------------------------------------------------------------------
+# r10 cold review of queries/windows.py + catalog.py — both CLEAN; the two
+# boundary hypotheses the review raised were probed and REFUTED, so the
+# agreements are pinned here to keep them facts rather than luck.
+# ---------------------------------------------------------------------------
+
+
+def test_session_window_exact_gap_boundary_agrees(spark):
+    """q35's oracle spells `gap > INTERVAL '30 minutes'` for a new session.
+    Probe (this review): Spark's `session_window` MERGES two events exactly
+    30 minutes apart — the session extends to last-event + gap, and an event
+    landing exactly on that closed end joins the session — so strict `>` is
+    the correct oracle spelling. If Spark ever flips to half-open session
+    ends, this pin fails before the sf-corpus hash does."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00"), ("u", "2024-01-01 00:30:00")],
+        "user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(out) == 1 and out[0].n == 2, out
+    assert str(out[0].w.end) == "2024-01-01 01:00:00", out
+
+    got = duckdb.sql(
+        """
+        WITH gaps AS (
+          SELECT ts, CASE WHEN ts - lag(ts) OVER (ORDER BY ts)
+                               > INTERVAL '30 minutes'
+                          OR lag(ts) OVER (ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+          FROM (VALUES (TIMESTAMP '2024-01-01 00:00:00'),
+                       (TIMESTAMP '2024-01-01 00:30:00')) t(ts))
+        SELECT count(DISTINCT sid) FROM (
+          SELECT sum(is_new) OVER (ORDER BY ts) AS sid FROM gaps)
+        """
+    ).fetchone()[0]
+    assert got == 1, got
+
+
+def test_nanos_to_micros_truncation_agrees_pre_epoch(tmp_path):
+    """catalog.py converts raw nanos with `div 1000`, which truncates toward
+    zero; probe (this review): DuckDB's TIMESTAMP_NS→TIMESTAMP cast ALSO
+    truncates toward zero, so pre-1970 timestamps with sub-microsecond
+    residue land on the SAME microsecond on both engines (e.g. -1500 ns →
+    23:59:59.999999, -1 ns → 00:00:00.000000). Floor-division on either
+    side would shift pre-epoch rows by one microsecond and split
+    window/groupBy buckets."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fs2_kafka_streams_spark.catalog import Catalog
+    from fs2_kafka_streams_spark.session import get_spark
+
+    ns_vals = [-1500, -999, -1, 0, 1, 999, 1500, -(86400 * 10**9) - 1]
+    p = str(tmp_path / "events.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array(ns_vals, type=pa.timestamp("ns"))}), p
+    )
+    spark_rows = sorted(
+        str(r.ts)
+        for r in Catalog(get_spark(), str(tmp_path)).events.collect()
+    )
+    duck_rows = sorted(
+        str(r[0])
+        for r in duckdb.sql(
+            f"SELECT CAST(ts AS TIMESTAMP) FROM read_parquet('{p}')"
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows, (spark_rows, duck_rows)
