@@ -192,7 +192,10 @@ def q52_retention_cohort(spark, sf_dir):
     WITH h AS (
       SELECT user_id, event_type, value,
              event_id AS valid_from,
-             lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+             -- NULLS FIRST: Spark's ASC default — a NULL-id write is the
+             -- key's OLDEST version on both engines (r10 NULL-id sweep)
+             lead(event_id) OVER (PARTITION BY user_id
+                                  ORDER BY event_id NULLS FIRST)
                AS valid_to
       FROM events
     )
@@ -238,8 +241,12 @@ def q53_scd_history(spark, sf_dir):
     oracle="""
     WITH seq AS (
       SELECT user_id, event_type,
+             -- NULLS FIRST on the tie-break: Spark's ASC default — a
+             -- NULL-id event at a tied ts sequences BEFORE the keyed one
+             -- on both engines (r10 NULL-id sweep)
              lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_type
+                                   ORDER BY ts, event_id NULLS FIRST)
+               AS prev_type
       FROM events WHERE ts IS NOT NULL
     )
     SELECT prev_type, event_type AS next_type,
@@ -324,7 +331,11 @@ def q56_incremental_upsert(spark, sf_dir):
     )
     # 2/3 checkpoint position; a single-scalar agg, not a data collect.
     split = e.agg((F.max("event_id") * 2 / 3).cast("long")).collect()[0][0]
-    seg1 = e.filter(F.col("event_id") <= split)
+    # NULL ids sort as minus-infinity in the merge order (apply_changes'
+    # contract), so they belong to the PREFIX segment — a plain <= would
+    # strand them in NEITHER segment and a key whose only write is
+    # unkeyed would silently vanish from the snapshot (r10 NULL-id sweep)
+    seg1 = e.filter(F.col("event_id").isNull() | (F.col("event_id") <= split))
     seg2 = e.filter(F.col("event_id") > split)
     snap = apply_changes(
         None, seg1, ["user_id"], "event_id", ["event_type", "value"], "_tomb"
@@ -341,23 +352,28 @@ def q56_incremental_upsert(spark, sf_dir):
 #: formulation, which is exactly the duality claim.
 CEP_VIEW_CLICK_ORACLE = """
     WITH seq AS (
+      -- the last prior base rides as ONE struct: a base whose event_id
+      -- is NULL is still a base (ts and NULL id travel together); two
+      -- separate IGNORE-NULLS lasts would skip its id but take its ts.
+      -- NULLS LAST on the tie-break = the streaming fold's pandas sort
+      -- (r10 NULL-id sweep).
       SELECT user_id, event_id, ts, event_type,
-             last_value(CASE WHEN event_type = 'view' THEN ts END
-                        IGNORE NULLS) OVER w AS base_ts,
-             last_value(CASE WHEN event_type = 'view' THEN event_id END
-                        IGNORE NULLS) OVER w AS base_event_id
+             last_value(CASE WHEN event_type = 'view'
+                        THEN struct_pack(ts := ts, id := event_id) END
+                        IGNORE NULLS) OVER w AS base
       FROM events WHERE ts IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
-    SELECT user_id, base_event_id, event_id AS trigger_event_id,
-           base_ts, ts AS trigger_ts,
+    SELECT user_id, (base).id AS base_event_id,
+           event_id AS trigger_event_id,
+           (base).ts AS base_ts, ts AS trigger_ts,
            CAST(floor(extract(epoch FROM ts)) AS BIGINT)
-           - CAST(floor(extract(epoch FROM base_ts)) AS BIGINT)
+           - CAST(floor(extract(epoch FROM (base).ts)) AS BIGINT)
              AS lag_seconds
     FROM seq
-    WHERE event_type = 'click' AND base_ts IS NOT NULL
-      AND ts - base_ts <= INTERVAL '2 hours'
+    WHERE event_type = 'click' AND (base).ts IS NOT NULL
+      AND ts - (base).ts <= INTERVAL '2 hours'
     """
 
 
@@ -461,38 +477,36 @@ def q58_fuzzy_match(spark, sf_dir):
     "q59_stream_funnel_match",
     oracle="""
     WITH s1 AS (
+      -- struct carry + NULLS LAST tie-break — see CEP_VIEW_CLICK_ORACLE
+      -- (a NULL-id stage event is still a stage event; r10 NULL-id sweep)
       SELECT user_id, event_id, ts, event_type,
-             last_value(CASE WHEN event_type = 'view' THEN ts END
-                        IGNORE NULLS) OVER w AS v_ts,
-             last_value(CASE WHEN event_type = 'view' THEN event_id END
-                        IGNORE NULLS) OVER w AS v_id
+             last_value(CASE WHEN event_type = 'view'
+                        THEN struct_pack(ts := ts, id := event_id) END
+                        IGNORE NULLS) OVER w AS v
       FROM events WHERE ts IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ), s2 AS (
       SELECT user_id, event_id, ts, event_type,
-             last_value(CASE WHEN q THEN ts END IGNORE NULLS) OVER w AS c_ts,
-             last_value(CASE WHEN q THEN event_id END IGNORE NULLS) OVER w
-               AS c_id,
-             last_value(CASE WHEN q THEN v_ts END IGNORE NULLS) OVER w
-               AS cv_ts,
-             last_value(CASE WHEN q THEN v_id END IGNORE NULLS) OVER w
-               AS cv_id
-      FROM (SELECT *, event_type = 'click' AND v_ts IS NOT NULL
-                      AND ts - v_ts <= INTERVAL '12 hours' AS q
+             last_value(CASE WHEN q
+                        THEN struct_pack(ts := ts, id := event_id,
+                                         v_ts := (v).ts, v_id := (v).id) END
+                        IGNORE NULLS) OVER w AS c
+      FROM (SELECT *, event_type = 'click' AND (v).ts IS NOT NULL
+                      AND ts - (v).ts <= INTERVAL '12 hours' AS q
             FROM s1)
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
-    SELECT user_id, cv_id AS view_event_id, c_id AS click_event_id,
-           event_id AS purchase_event_id, cv_ts AS view_ts,
-           c_ts AS click_ts, ts AS purchase_ts,
+    SELECT user_id, (c).v_id AS view_event_id, (c).id AS click_event_id,
+           event_id AS purchase_event_id, (c).v_ts AS view_ts,
+           (c).ts AS click_ts, ts AS purchase_ts,
            CAST(floor(extract(epoch FROM ts)) AS BIGINT)
-           - CAST(floor(extract(epoch FROM cv_ts)) AS BIGINT)
+           - CAST(floor(extract(epoch FROM (c).v_ts)) AS BIGINT)
              AS total_lag_seconds
     FROM s2
-    WHERE event_type = 'purchase' AND c_ts IS NOT NULL
-      AND ts - c_ts <= INTERVAL '12 hours'
+    WHERE event_type = 'purchase' AND (c).ts IS NOT NULL
+      AND ts - (c).ts <= INTERVAL '12 hours'
     """,
     tags=("streaming", "analytics", "cep", "funnel", "stateful"),
 )

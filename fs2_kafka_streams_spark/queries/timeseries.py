@@ -275,8 +275,12 @@ def q62_anomaly(spark, sf_dir):
              CAST(round((CASE WHEN abs(value) < 1e14 THEN value END) * 100) AS BIGINT)
                AS cents,
              CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS t,
+             -- NULLS FIRST on the tie-break: Spark's ASC default — a
+             -- NULL-id sample at a tied ts carries zero duration on both
+             -- engines (r10 NULL-id sweep)
              lead(CAST(floor(extract(epoch FROM ts)) AS BIGINT))
-               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+               OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST)
+               AS t_next
       FROM events WHERE ts IS NOT NULL
     ),
     agg AS (
@@ -344,8 +348,13 @@ def q63_time_weighted_avg(spark, sf_dir):
     oracle="""
     WITH seq AS (
       SELECT event_type, CAST(ts AS DATE) AS day, value,
+             -- NULLS FIRST mirrors Spark's struct ordering in min_by: a
+             -- NULL field is SMALLEST, so a NULL-id row at the bucket's
+             -- min ts is the open on both engines; the DESC side needs no
+             -- spelling — Spark max_by (null smallest) ≡ DuckDB's DESC
+             -- default NULLS LAST (r10 NULL-id sweep probes)
              row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
-                                ORDER BY ts, event_id) AS rn_a,
+                                ORDER BY ts, event_id NULLS FIRST) AS rn_a,
              row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
                                 ORDER BY ts DESC, event_id DESC) AS rn_d
       FROM events

@@ -107,13 +107,19 @@ def _publish_order(path: str):
 
     t = pq.read_table(path, columns=["ts", "event_id", "user_id"])
     ts_us = _ts_us_array(t.column("ts"))
-    eid = t.column("event_id").to_numpy()
+    eid = _key_array(t.column("event_id"))
     uid = _key_array(t.column("user_id"))
     # NULL timestamps (Kafka's NoTimestampType, timestamp = -1 on the wire:
     # a producer may legitimately send none) publish FIRST, deterministically
     # tie-broken by event_id — fill with int64 min for the ORDER only; the
     # record itself carries ts_us = NULL through the wire payload.
-    order = np.lexsort((eid, _ts_us_order_key(ts_us)))
+    # A NULL event_id (the id lives in the VALUE payload; Kafka itself has
+    # no client-supplied id) tie-breaks LAST among equal timestamps —
+    # int64 max for the ORDER only — and ties among several NULL ids fall
+    # back to file row order (lexsort is stable). Deterministic, total.
+    eid_vals, eid_null = eid
+    eid_order = np.where(eid_null, np.iinfo(np.int64).max, eid_vals)
+    order = np.lexsort((eid_order, _ts_us_order_key(ts_us)))
     return ts_us, eid, uid, order
 
 
@@ -189,9 +195,14 @@ def _partition_assignment(
     _ts, eid, uid, order = _publish_order(path)
     # keyed records partition on the key (Kafka default partitioner);
     # NULL-key records use event_id % n — the deterministic stand-in for
-    # Kafka's round-robin/sticky null-key assignment
+    # Kafka's round-robin/sticky null-key assignment; a record with NULL
+    # key AND NULL event_id round-robins on its file row position (the
+    # last deterministic identity it has) — total, never NaN % n
     uid_vals, uid_null = uid
-    part_key = np.where(uid_null, eid, uid_vals)[order]
+    eid_vals, eid_null = eid
+    pos_all = np.arange(len(uid_vals), dtype="int64")
+    eid_rr = np.where(eid_null, pos_all, eid_vals)
+    part_key = np.where(uid_null, eid_rr, uid_vals)[order]
     pids = part_key % n_parts
     if grow_to and grow_to != n_parts:
         pos = np.arange(len(order))
@@ -219,9 +230,12 @@ def _partition_counts(
 
         t = pq.read_table(path, columns=["user_id", "event_id"])
         uid_vals, uid_null = _key_array(t.column("user_id"))
-        eid = t.column("event_id").to_numpy()
-        # same NULL-key rule as _partition_assignment (event_id fallback)
-        part_key = np.where(uid_null, eid, uid_vals)
+        eid_vals, eid_null = _key_array(t.column("event_id"))
+        # same NULL-key rule as _partition_assignment (event_id fallback,
+        # then file row position when the event_id is NULL too)
+        pos_all = np.arange(len(uid_vals), dtype="int64")
+        eid_rr = np.where(eid_null, pos_all, eid_vals)
+        part_key = np.where(uid_null, eid_rr, uid_vals)
         counts = np.bincount(part_key % n_parts, minlength=n_parts)
         return {p: int(counts[p]) for p in range(n_parts)}
 
@@ -275,7 +289,7 @@ def _load_partition_batch(
     ts_vals, ts_null = _ts_us_array(t.column("ts"))
 
     part = t.take(pa.array(mine))
-    eid_all = t.column("event_id").to_numpy()
+    eid_all, eid_all_null = _key_array(t.column("event_id"))
     uid_vals, uid_null = _key_array(t.column("user_id"))
     etypes = part.column("event_type").to_pylist()
     vals = part.column("value").to_pylist()
@@ -283,7 +297,12 @@ def _load_partition_batch(
     keys, values, ts_col = [], [], []
     for i, row_idx in enumerate(mine):
         payload = {
-            "event_id": int(eid_all[row_idx]),
+            # NULL in-band (the id is value-payload data, not a broker
+            # field): json null → decode_wire rebuilds a NULL event_id —
+            # the record round-trips, never crashes (r10 NULL-id sweep)
+            "event_id": (
+                None if eid_all_null[row_idx] else int(eid_all[row_idx])
+            ),
             # NULL in-band (Kafka NoTimestampType): json null → decode_wire
             # rebuilds a NULL ts — the record round-trips, never crashes
             "ts_us": None if ts_null[row_idx] else int(ts_vals[row_idx]),

@@ -57,18 +57,33 @@ def _fold_pattern(
         return last, None
     pdf = pd.concat(frames, ignore_index=True)
     pdf = pdf.assign(_ts_us=pdf["ts"].astype("int64") // 1000)
+    # NaN event_ids sort LAST among ts ties (pandas default na_position)
+    # — exactly DuckDB's ASC NULLS LAST, so the oracle needs no spelling
     pdf = pdf.sort_values(["_ts_us", "event_id"], ignore_index=True)
 
-    # last base event STRICTLY before each row in (ts, id) order:
-    # ffill-then-shift — so a type that is both base and trigger
-    # matches the PREVIOUS base, exactly the batch 1-PRECEDING frame.
+    # last base event STRICTLY before each row in (ts, id) order, tracked
+    # by ROW POSITION (ffill-then-shift on the position, so a type that is
+    # both base and trigger matches the PREVIOUS base — the batch
+    # 1-PRECEDING frame). Position, not id: a base whose event_id is NULL
+    # is still a real base (the id is payload), and an id-ffill would
+    # silently attribute its matches to an OLDER base's id while taking
+    # the new base's ts (r10 NULL-id sweep).
     is_base = pdf["event_type"] == base_type
-    prior_id = (
-        pdf["event_id"].astype("Int64").where(is_base).ffill().shift(1)
-    )
-    prior_ts = pdf["_ts_us"].astype("Int64").where(is_base).ffill().shift(1)
+    pos = pd.Series(range(len(pdf)), dtype="float64")
+    bpos = pos.where(is_base).ffill().shift(1)
+    have = bpos.notna()
+    taken = bpos.fillna(0).astype(int).to_numpy()
+    ids = pdf["event_id"].astype("Int64").to_numpy()
+    prior_id = pd.Series(
+        pd.array(ids[taken], dtype="Int64"), index=pdf.index
+    ).where(have)
+    prior_ts = pd.Series(
+        pdf["_ts_us"].to_numpy()[taken], index=pdf.index, dtype="Int64"
+    ).where(have)
     if last is not None:  # seed rows before the batch's first base
-        prior_id = prior_id.fillna(last[0])
+        # base_ts (never NULL after the ts filter) marks existence; the
+        # seeded id may itself be genuinely NULL
+        prior_id = prior_id.mask(~have, last[0])
         prior_ts = prior_ts.fillna(last[1])
 
     hit = (
@@ -79,7 +94,11 @@ def _fold_pattern(
     ).fillna(False).astype(bool)  # NA from rows with no prior base
     if is_base.any():
         i = is_base[is_base].index[-1]
-        last = (int(pdf["event_id"].iloc[i]), int(pdf["_ts_us"].iloc[i]))
+        eid = pdf["event_id"].iloc[i]
+        last = (
+            None if pd.isna(eid) else int(eid),
+            int(pdf["_ts_us"].iloc[i]),
+        )
 
     match = None
     if hit.any():
@@ -88,10 +107,11 @@ def _fold_pattern(
             {
                 # nullable Int64: the NULL grouping key is a legitimate
                 # group (batch PARTITION BY groups NULLs together on both
-                # engines); plain int64 astype crashes on its NaN
+                # engines); plain int64 astype crashes on its NaN. Same
+                # for the id columns: an unkeyed base/trigger emits NULL.
                 "user_id": m["user_id"].astype("Int64"),
-                "base_event_id": prior_id[hit].astype("int64"),
-                "trigger_event_id": m["event_id"].astype("int64"),
+                "base_event_id": prior_id[hit],
+                "trigger_event_id": m["event_id"].astype("Int64"),
                 "base_ts": pd.to_datetime(
                     prior_ts[hit].astype("int64"), unit="us"
                 ),
@@ -179,21 +199,28 @@ def pattern_match_batch(
     expressions — whole-stage codegen, one shuffle on the key."""
     # NULL event-time contract — mirror of the streaming side's drop
     events = events.filter(F.col("ts").isNotNull())
+    # asc_nulls_last on the tie-break: the streaming fold's pandas sort
+    # puts NaN ids last among ts ties (Spark's window default would be
+    # NULLS FIRST and silently flip tie order; r10 NULL-id sweep)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts"), F.col("event_id").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    base_ts = F.last(
-        F.when(F.col("event_type") == base_type, F.col("ts")), ignorenulls=True
-    ).over(w)
-    base_id = F.last(
-        F.when(F.col("event_type") == base_type, F.col("event_id")),
+    # last prior base as ONE struct: a base whose event_id is NULL is
+    # still a base (the struct is non-NULL), so its ts and its NULL id
+    # travel together — two separate ignorenulls lasts would skip the id
+    # but take the ts, attributing the match to an older base's id
+    base = F.last(
+        F.when(
+            F.col("event_type") == base_type,
+            F.struct(F.col("ts"), F.col("event_id")),
+        ),
         ignorenulls=True,
     ).over(w)
     seq = events.select(
         "user_id", "event_id", "ts", "event_type",
-        base_ts.alias("base_ts"), base_id.alias("base_event_id"),
+        base["ts"].alias("base_ts"), base["event_id"].alias("base_event_id"),
     )
     return (
         seq.filter(
@@ -294,7 +321,15 @@ if HAS_TWS:
                 off_us = prev[2] if prev is not None else 0
                 for f in frames:
                     wall = f["ts"].astype("int64") // 1000
-                    hit = (f["event_id"] == last[0]) & (wall == last[1])
+                    # null-safe id match: a NULL-id base row is located by
+                    # (id IS NULL, ts) — `== None` would yield an all-NA
+                    # mask and never find it (r10 NULL-id sweep)
+                    idm = (
+                        f["event_id"].isna()
+                        if last[0] is None
+                        else (f["event_id"] == last[0]).fillna(False)
+                    )
+                    hit = idm & (wall == last[1])
                     if hit.any():
                         i = hit.idxmax()
                         off_us = int(wall.loc[i]) - int(f.iloc[:, -1].loc[i])
@@ -458,14 +493,34 @@ def _funnel_update_fn(stages: tuple[str, str, str], gap_us: int):
             return
         pdf = pd.concat(frames, ignore_index=True)
         pdf = pdf.assign(_ts_us=pdf["ts"].astype("int64") // 1000)
+        # NaN ids sort LAST among ts ties — DuckDB's ASC NULLS LAST
         pdf = pdf.sort_values(["_ts_us", "event_id"], ignore_index=True)
 
-        # pass 1: last STRICTLY-prior base per row (seeded from state)
+        ids = pdf["event_id"].astype("Int64").to_numpy()
+        tss = pdf["_ts_us"].to_numpy()
+        pos = pd.Series(range(len(pdf)), dtype="float64")
+
+        def prior(mask, col_np, dtype="Int64"):
+            # value of `col_np` at the last strictly-prior row where
+            # `mask` held — POSITION-tracked so a NULL value (unkeyed
+            # event's id) is carried faithfully, never skipped-over
+            # (r10 NULL-id sweep; see _fold_pattern)
+            p = pos.where(mask).ffill().shift(1)
+            have = p.notna()
+            taken = p.fillna(0).astype(int).to_numpy()
+            return pd.Series(
+                pd.array(col_np[taken], dtype=dtype), index=pdf.index
+            ).where(have), have
+
+        # pass 1: last STRICTLY-prior base per row (seeded from state).
+        # st[1]/st[3] (the ts slots, never NULL after the ts filter) mark
+        # level existence — the id slots may be genuinely NULL.
         is_base = pdf["event_type"] == base_t
-        pv_id = pdf["event_id"].astype("Int64").where(is_base).ffill().shift(1)
-        pv_ts = pdf["_ts_us"].astype("Int64").where(is_base).ffill().shift(1)
-        if st[0] is not None:
-            pv_id, pv_ts = pv_id.fillna(st[0]), pv_ts.fillna(st[1])
+        pv_id, have_v = prior(is_base, ids)
+        pv_ts, _ = prior(is_base, tss)
+        if st[1] is not None:
+            pv_id = pv_id.mask(~have_v, st[0])
+            pv_ts = pv_ts.fillna(st[1])
 
         # qualified mid: a mid-event whose own prior base is within gap
         q_mid = (
@@ -475,13 +530,15 @@ def _funnel_update_fn(stages: tuple[str, str, str], gap_us: int):
         ).fillna(False).astype(bool)
 
         # pass 2: last strictly-prior QUALIFIED mid, carrying its base refs
-        pc_id = pdf["event_id"].astype("Int64").where(q_mid).ffill().shift(1)
-        pc_ts = pdf["_ts_us"].astype("Int64").where(q_mid).ffill().shift(1)
-        pcv_id = pv_id.where(q_mid).ffill().shift(1)
-        pcv_ts = pv_ts.where(q_mid).ffill().shift(1)
-        if st[2] is not None:
-            pc_id, pc_ts = pc_id.fillna(st[2]), pc_ts.fillna(st[3])
-            pcv_id, pcv_ts = pcv_id.fillna(st[4]), pcv_ts.fillna(st[5])
+        pc_id, have_c = prior(q_mid, ids)
+        pc_ts, _ = prior(q_mid, tss)
+        pcv_id, _ = prior(q_mid, pv_id.to_numpy())
+        pcv_ts, _ = prior(q_mid, pv_ts.to_numpy())
+        if st[3] is not None:
+            pc_id = pc_id.mask(~have_c, st[2])
+            pc_ts = pc_ts.fillna(st[3])
+            pcv_id = pcv_id.mask(~have_c, st[4])
+            pcv_ts = pcv_ts.fillna(st[5])
 
         hit = (
             (pdf["event_type"] == fin_t)
@@ -489,15 +546,18 @@ def _funnel_update_fn(stages: tuple[str, str, str], gap_us: int):
             & (pdf["_ts_us"] - pc_ts <= gap_us)
         ).fillna(False).astype(bool)
 
+        def opt(v):
+            return None if pd.isna(v) else int(v)
+
         # roll state forward: last base; last qualified mid (+ its base)
         new = list(st)
         if is_base.any():
             i = is_base[is_base].index[-1]
-            new[0], new[1] = int(pdf["event_id"].iloc[i]), int(pdf["_ts_us"].iloc[i])
+            new[0], new[1] = opt(pdf["event_id"].iloc[i]), int(pdf["_ts_us"].iloc[i])
         if q_mid.any():
             j = q_mid[q_mid].index[-1]
-            new[2], new[3] = int(pdf["event_id"].iloc[j]), int(pdf["_ts_us"].iloc[j])
-            new[4], new[5] = int(pv_id.iloc[j]), int(pv_ts.iloc[j])
+            new[2], new[3] = opt(pdf["event_id"].iloc[j]), int(pdf["_ts_us"].iloc[j])
+            new[4], new[5] = opt(pv_id.iloc[j]), int(pv_ts.iloc[j])
         if any(x is not None for x in new):
             state.update(tuple(new))
 
@@ -507,9 +567,9 @@ def _funnel_update_fn(stages: tuple[str, str, str], gap_us: int):
                 {
                     # nullable Int64 — NULL grouping key, see _fold_pattern
                     "user_id": m["user_id"].astype("Int64"),
-                    "view_event_id": pcv_id[hit].astype("int64"),
-                    "click_event_id": pc_id[hit].astype("int64"),
-                    "purchase_event_id": m["event_id"].astype("int64"),
+                    "view_event_id": pcv_id[hit],
+                    "click_event_id": pc_id[hit],
+                    "purchase_event_id": m["event_id"].astype("Int64"),
                     "view_ts": pd.to_datetime(
                         pcv_ts[hit].astype("int64"), unit="us"
                     ),
@@ -578,7 +638,8 @@ def funnel_match_batch(
     base_t, mid_t, fin_t = stages
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        # asc_nulls_last + struct carry — see pattern_match_batch
+        .orderBy(F.col("ts"), F.col("event_id").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
 
@@ -586,10 +647,10 @@ def funnel_match_batch(
         return F.last(F.when(cond, col), ignorenulls=True).over(w)
 
     is_base = F.col("event_type") == base_t
+    v = lastq(F.struct(F.col("ts"), F.col("event_id")), is_base)
     s1 = events.select(
         "user_id", "event_id", "ts", "event_type",
-        lastq(F.col("ts"), is_base).alias("v_ts"),
-        lastq(F.col("event_id"), is_base).alias("v_id"),
+        v["ts"].alias("v_ts"), v["event_id"].alias("v_id"),
     )
     gap_i = F.expr(f"INTERVAL {gap}")
     q_mid = (
@@ -597,12 +658,19 @@ def funnel_match_batch(
         & F.col("v_ts").isNotNull()
         & (F.col("ts") <= F.col("v_ts") + gap_i)
     )
+    c = lastq(
+        F.struct(
+            F.col("ts"), F.col("event_id"),
+            F.col("v_ts"), F.col("v_id"),
+        ),
+        q_mid,
+    )
     s2 = s1.select(
         "user_id", "event_id", "ts", "event_type",
-        lastq(F.col("ts"), q_mid).alias("c_ts"),
-        lastq(F.col("event_id"), q_mid).alias("c_id"),
-        lastq(F.col("v_ts"), q_mid).alias("cv_ts"),
-        lastq(F.col("v_id"), q_mid).alias("cv_id"),
+        c["ts"].alias("c_ts"),
+        c["event_id"].alias("c_id"),
+        c["v_ts"].alias("cv_ts"),
+        c["v_id"].alias("cv_id"),
     )
     return (
         s2.filter(

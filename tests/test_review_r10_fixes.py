@@ -1324,3 +1324,140 @@ def test_nanos_to_micros_truncation_agrees_pre_epoch(tmp_path):
         ).fetchall()
     )
     assert spark_rows == duck_rows, (spark_rows, duck_rows)
+
+
+# ---------------------------------------------------------------------------
+# r10 NULL-event_id TIE axis — third hostile-corpus sweep over the id column:
+# NULL-id rows duplicating an existing (user_id, ts) pair, so tie-break
+# ORDER (not just grouping) decides results; plus a user whose ONLY write
+# has a NULL id, and a record with NULL key AND NULL id.
+#
+# The sweep found 6 divergences/crashes, all latent on clean data:
+# - ASC `event_id` orderings: Spark windows default NULLS FIRST, DuckDB
+#   NULLS LAST — q53's lead(valid_to), q55's lag sequence and q63's lead
+#   duration flipped on tied-ts NULL-id rows (oracles now spell NULLS
+#   FIRST; q71's min_by struct ordering = NULLS FIRST likewise).
+# - q56's segment split (event_id <= split / > split) stranded NULL-id
+#   rows in NEITHER segment — a key whose only write is unkeyed vanished.
+# - the wire source crashed (int(NaN)) building the payload; the CEP folds
+#   crashed carrying a NULL-id base into state, and their id-ffill design
+#   skipped a NULL-id base's id while taking its ts (incoherent base
+#   attribution on BOTH engines) — base refs now travel as one unit
+#   (row-position tracking in pandas, struct carry in the oracles/twins).
+#
+# Contract pinned here: a NULL event_id is an unkeyed record whose id is
+# PAYLOAD — it orders first among ASC window ties / last in the pandas-
+# sorted CEP folds (each oracle spells its engine-half's measured order),
+# participates in every fold, and rides every wire/stream path in-band.
+# The file-replay harness's hash-bucket split alone rejects NULL ids
+# loudly (test_replay_null_ids_raise_not_vanish) — sort-based splits and
+# the wire source are total.
+# ---------------------------------------------------------------------------
+
+NULL_ID_TIE_ENTRIES = [
+    "q53_scd_history",
+    "q55_event_transitions",
+    "q56_incremental_upsert",
+    "q63_time_weighted_avg",
+    "q71_resample_ohlc",
+    "q67_python_datasource",
+    "q57_stream_pattern_match",
+    "q57b_stream_pattern_tws_timers",
+    "q59_stream_funnel_match",
+]
+
+
+@pytest.fixture(scope="session")
+def null_id_ties_sf_dir(tmp_path_factory):
+    """sf0.001 with NULL-event_id rows at TIED (user_id, ts) positions."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sfnullidtie")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "events.parquet":
+            shutil.copy(os.path.join(src, f), d / f)
+    e = pd.read_parquet(os.path.join(src, "events.parquet"))
+    picks = e.sort_values(["user_id", "ts"]).groupby("user_id").head(1).head(3)
+    rows = []
+    for _, r in picks.iterrows():
+        # NULL id duplicating an existing (user_id, ts) with a REAL
+        # event_type — exercises type-grouped tie-breaks (q71's open)
+        rows.append(dict(
+            event_id=None, ts=r["ts"], user_id=r["user_id"],
+            event_type=r["event_type"],
+            value=float(r["value"] or 0) + 0.5, props=r["props"],
+        ))
+    rows.append(dict(  # a user whose ONLY write is unkeyed (q56's hole)
+        event_id=None, ts=e["ts"].max() + pd.Timedelta(minutes=3),
+        user_id=int(e["user_id"].max()) + 1, event_type="view",
+        value=1.25, props=e["props"].iloc[0],
+    ))
+    rows.append(dict(  # NULL key AND NULL id (wire round-robin last resort)
+        event_id=None, ts=e["ts"].max() + pd.Timedelta(minutes=4),
+        user_id=None, event_type="click", value=0.75,
+        props=e["props"].iloc[1],
+    ))
+    extra = pd.DataFrame(rows)
+    extra["event_id"] = extra["event_id"].astype("Int64")
+    extra["user_id"] = extra["user_id"].astype("Int64")
+    e2 = pd.concat([e, extra], ignore_index=True)
+    e2["event_id"] = e2["event_id"].astype("Int64")
+    e2["user_id"] = e2["user_id"].astype("Int64")
+    e2["ts"] = e2["ts"].astype("datetime64[us]")
+    e2.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", NULL_ID_TIE_ENTRIES)
+def test_null_id_tie_contract(spark, null_id_ties_sf_dir, name):
+    """Every entry the NULL-id-tie sweep flagged (and the CEP family that
+    crashed) hash-matches its oracle on the tie-bearing corpus — the same
+    driver-gate canonicalize-and-hash as the earlier axes."""
+    import duckdb
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import TABLES, _canon, _hash
+
+    from fs2_kafka_streams_spark.queries import load_all
+
+    specs = load_all()
+    if name not in specs:  # q57b exists only where TWS's protobuf does
+        pytest.skip(f"{name} not registered in this environment")
+    spec = specs[name]
+    sdf = _canon(spec.build(spark, null_id_ties_sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{null_id_ties_sf_dir}/{t}.parquet')"
+        )
+    ddf = _canon(con.sql(spec.oracle).df())
+    assert len(sdf) == len(ddf), (len(sdf), len(ddf))
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _hash(sdf) == _hash(ddf)
+
+
+def test_wire_source_null_id_in_band(spark, null_id_ties_sf_dir):
+    """NULL event_ids ride the wire as json null payload fields (the id is
+    value data, not a broker field): no record vanishes, decode rebuilds
+    NULL ids, and the key-and-id-less record still lands on a
+    deterministic partition (file-row-position round-robin)."""
+    from fs2_kafka_streams_spark.sources.python_source import (
+        decode_wire,
+        read_wire,
+    )
+
+    wire = read_wire(spark, null_id_ties_sf_dir, table="events", partitions=4)
+    wdf = wire.toPandas()
+    want = pd.read_parquet(
+        os.path.join(null_id_ties_sf_dir, "events.parquet")
+    )
+    assert len(wdf) == len(want), "no record may vanish from the topic"
+    got = decode_wire(wire).toPandas()
+    assert int(got["event_id"].isna().sum()) == int(
+        want["event_id"].isna().sum()
+    )
+    # the both-NULL record arrived exactly once, with its payload intact
+    bn = got[got["event_id"].isna() & got["user_id"].isna()]
+    assert len(bn) == 1 and float(bn["value"].iloc[0]) == 0.75
