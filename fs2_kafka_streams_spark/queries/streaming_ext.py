@@ -152,9 +152,13 @@ def q33b_tumbling_window_streaming(spark, sf_dir):
 
 
 _Q48_ORACLE = """
+    -- ts >= epoch: the engine's watermark floor (see q72's oracle note)
     SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
            a.event_type AS type_a, b.event_type AS type_b
-    FROM events a JOIN events b
+    FROM (SELECT * FROM events
+          WHERE ts >= TIMESTAMP '1970-01-01 00:00:00') a
+    JOIN (SELECT * FROM events
+          WHERE ts >= TIMESTAMP '1970-01-01 00:00:00') b
       ON a.user_id = b.user_id AND a.event_id < b.event_id
      AND b.ts BETWEEN a.ts - INTERVAL '5 minutes'
                   AND a.ts + INTERVAL '5 minutes'
@@ -410,12 +414,18 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
 @query(
     "q72_stream_outer_join",
     oracle="""
+    -- ts >= epoch: Spark's initial watermark is 0 ms, so a pre-1970
+    -- event time is late-by-construction and never enters join state
+    -- (the time-ordered replay serves it in batch 1, where the
+    -- 0-watermark drops it; r10 far-date sweep)
     SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
            a.event_type AS type_a, b.event_type AS type_b
     FROM (SELECT * FROM events
-          WHERE ts IS NOT NULL AND user_id IS NOT NULL) a
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            AND ts >= TIMESTAMP '1970-01-01 00:00:00') a
     LEFT JOIN (SELECT * FROM events
-               WHERE ts IS NOT NULL AND user_id IS NOT NULL) b
+               WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                 AND ts >= TIMESTAMP '1970-01-01 00:00:00') b
       ON a.user_id = b.user_id AND a.event_id < b.event_id
      AND b.ts BETWEEN a.ts - INTERVAL '5 minutes'
                   AND a.ts + INTERVAL '5 minutes'

@@ -91,13 +91,20 @@ WITH tagged AS (
   SELECT a.f, max(t.ts) AS mx
   FROM allf a LEFT JOIN tagged t ON t.f = a.f GROUP BY a.f
 ), wm AS (
-  SELECT f, max(mx) OVER (ORDER BY f
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
-           - INTERVAL '10 minutes' AS wm_before
+  -- floored at epoch: Spark's INITIAL watermark is 0 ms (1970-01-01),
+  -- not -infinity, so a pre-epoch event time is late-by-construction
+  -- even in the very first batch (r10 far-date sweep: a 1950 window
+  -- the unfloored model kept was dropped by the engine)
+  SELECT f, greatest(
+           coalesce(max(mx) OVER (ORDER BY f
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                    - INTERVAL '10 minutes',
+                    TIMESTAMP '1970-01-01 00:00:00'),
+           TIMESTAMP '1970-01-01 00:00:00') AS wm_before
   FROM fmax
 ), kept AS (
   SELECT t.* FROM tagged t JOIN wm ON t.f = wm.f
-  WHERE wm.wm_before IS NULL OR t.w_end > wm.wm_before
+  WHERE t.w_end > wm.wm_before
 ), final_wm AS (
   SELECT max(ts) - INTERVAL '10 minutes' AS fw FROM events
 )

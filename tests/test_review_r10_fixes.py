@@ -1461,3 +1461,130 @@ def test_wire_source_null_id_in_band(spark, null_id_ties_sf_dir):
     # the both-NULL record arrived exactly once, with its payload intact
     bn = got[got["event_id"].isna() & got["user_id"].isna()]
     assert len(bn) == 1 and float(bn["value"].iloc[0]) == 0.75
+
+
+# ---------------------------------------------------------------------------
+# r10 far-date axis — event times at the calendar extremes (2262, 1950,
+# 1677) plus a DST-gap wall time, swept under TZ=America/New_York. 144/146
+# specs green with zero fixes; the two divergences shared one cause, now
+# encoded in the oracles: Spark's INITIAL watermark is epoch 0 ms, not
+# -infinity, so a pre-1970 event time is late-by-construction in every
+# watermarked stateful op (q36's trajectory model now floors at epoch;
+# q48/q72's oracles filter ts >= epoch on both join inputs).
+# ---------------------------------------------------------------------------
+
+FAR_DATE_ENTRIES = [
+    "q36_watermark_late_drop",
+    "q48_stream_stream_join",
+    "q72_stream_outer_join",
+    "q33_time_windows",      # unwatermarked window family: no floor
+    "q63_time_weighted_avg",  # pre-epoch durations are plain integers
+]
+
+
+@pytest.fixture(scope="session")
+def far_date_sf_dir(tmp_path_factory):
+    """sf0.001 plus far-future (2262), pre-epoch (1950, 1677) and
+    DST-gap (2024-03-10 02:30 wall) event times."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sffardate")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "events.parquet":
+            shutil.copy(os.path.join(src, f), d / f)
+    e = pd.read_parquet(os.path.join(src, "events.parquet"))
+    mx = int(e["event_id"].max())
+    uid = int(e["user_id"].iloc[0])
+    extra = pd.DataFrame([
+        dict(event_id=mx + 1, ts=pd.Timestamp("2262-04-11T00:00:00"),
+             user_id=uid, event_type="view", value=1.0,
+             props=e["props"].iloc[0]),
+        dict(event_id=mx + 2, ts=pd.Timestamp("1950-06-01T12:00:00"),
+             user_id=uid, event_type="click", value=2.0,
+             props=e["props"].iloc[0]),
+        dict(event_id=mx + 3, ts=pd.Timestamp("1677-09-22T00:00:00"),
+             user_id=uid, event_type="view", value=3.0,
+             props=e["props"].iloc[0]),
+        dict(event_id=mx + 4, ts=pd.Timestamp("2024-03-10T02:30:00"),
+             user_id=uid, event_type="purchase", value=4.0,
+             props=e["props"].iloc[0]),
+    ])
+    e2 = pd.concat([e, extra], ignore_index=True)
+    e2["ts"] = e2["ts"].astype("datetime64[us]")
+    e2.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", FAR_DATE_ENTRIES)
+def test_far_date_contract(spark, far_date_sf_dir, name):
+    """The watermarked entries (and two far-date-sensitive controls)
+    hash-match their oracles on the calendar-extreme corpus."""
+    import duckdb
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import TABLES, _canon, _hash
+
+    from fs2_kafka_streams_spark.queries import load_all
+
+    spec = load_all()[name]
+    sdf = _canon(spec.build(spark, far_date_sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{far_date_sf_dir}/{t}.parquet')"
+        )
+    ddf = _canon(con.sql(spec.oracle).df())
+    assert len(sdf) == len(ddf), (len(sdf), len(ddf))
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _hash(sdf) == _hash(ddf)
+
+
+def test_watermark_epoch_floor_boundary(spark, tmp_path):
+    """Pins the engine fact itself: a watermarked streaming aggregation
+    DROPS a pre-epoch event time even in the very first micro-batch (the
+    initial watermark is 0 ms, not -infinity), while the same aggregation
+    without a watermark keeps it. If Spark ever starts watermarks at
+    -infinity, this pin moves before any sf-corpus hash does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "in"
+    d.mkdir()
+    t = pa.table({
+        "ts": pa.array(
+            [pd.Timestamp("1950-06-01T12:00:00"),
+             pd.Timestamp("2024-01-01T00:00:00")],
+            type=pa.timestamp("us"),
+        ),
+        "k": pa.array([1, 2], type=pa.int64()),
+    })
+    pq.write_table(t, str(d / "f0.parquet"))
+    from pyspark.sql import functions as SF
+
+    src = (
+        spark.readStream.schema("ts timestamp, k long")
+        .parquet(str(d))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(SF.window("ts", "5 minutes"))
+        .count()
+    )
+    q = (
+        src.writeStream.outputMode("append").format("memory")
+        .queryName("wm_floor_probe")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("wm_floor_probe").toPandas()
+    # only the 2024 window could ever emit; the 1950 row must be dropped
+    # (and the 2024 window itself is withheld: final watermark stops
+    # 10 minutes before it) — so the emitted set is exactly empty, while
+    # the batch aggregation sees both rows
+    assert len(got) == 0, got
+    bdf = spark.read.parquet(str(d)).groupBy(
+        SF.window("ts", "5 minutes")
+    ).count().toPandas()
+    assert len(bdf) == 2
