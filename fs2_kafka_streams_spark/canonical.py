@@ -35,8 +35,18 @@ def _c(col: str | Column) -> Column:
 
 
 def dec2(col: str | Column) -> Column:
-    """Exact decimal view of a raw 2-dp double column."""
-    return _c(col).cast(DEC2)
+    """Exact decimal view of a raw 2-dp double column, measure-guarded.
+
+    The guard (``abs(x) < MEASURE_BOUND`` → else NULL) extends the
+    events measure-domain policy to every money column: without it the
+    cast is ENGINE-DIVERGENT on hostile input — Spark's ANSI
+    double→decimal silently NULLs NaN/±inf but throws
+    NUMERIC_VALUE_OUT_OF_RANGE on finite overflow, while DuckDB throws
+    on all three (r10 non-finite-TPCH sweep, pinned in
+    tests/test_review_r10_fixes.py). One vectorized comparison per row;
+    identity on in-contract ≤2-dp data."""
+    c = _c(col)
+    return F.when(F.abs(c) < F.lit(MEASURE_BOUND), c).cast(DEC2)
 
 
 #: Exact-decimal measure domain bound: |x| below this fits DECIMAL(18,2)
@@ -55,8 +65,9 @@ def measure(col: str | Column, bound: float = MEASURE_BOUND) -> Column:
     ONE portable predicate covers all four hostile classes: ``abs(x) <
     bound`` is false for NaN on both engines (IEEE comparison semantics;
     Spark's NaN-greatest ordering agrees), false for ±inf, and false for
-    finite overflow. TPC-H money columns keep the module's documented
-    ≤2-dp precondition and stay on the unguarded fast path."""
+    finite overflow. Since the r10 non-finite-TPCH sweep the same guard
+    rides inside :func:`dec2` itself, so TPC-H money columns are covered
+    uniformly (the unguarded cast was engine-divergent — see dec2)."""
     c = _c(col)
     return F.when(F.abs(c) < F.lit(bound), c)
 
@@ -67,9 +78,15 @@ def dsum(col: str | Column) -> Column:
 
 
 def davg(col: str | Column) -> Column:
-    """Order-independent mean of a raw 2-dp double column, as double."""
+    """Order-independent mean of a raw 2-dp double column, as double.
+
+    Mean over the MEASURE DOMAIN: the denominator counts the guarded
+    value, so an out-of-domain row (NaN/±inf/overflow → NULL measure)
+    is excluded from both numerator and denominator — a raw ``count(c)``
+    would count NaN (non-NULL on both engines) while the guarded sum
+    skipped it, silently deflating the mean."""
     c = _c(col)
-    return F.sum(dec2(c)).cast("double") / F.count(c)
+    return F.sum(dec2(c)).cast("double") / F.count(dec2(c))
 
 
 def dsum_expr(expr: Column) -> Column:
@@ -84,14 +101,15 @@ def revenue_expr(price: str = "l_extendedprice", disc: str = "l_discount") -> Co
 
 # ---- DuckDB-side mirrors -------------------------------------------------
 
-SQL_REVENUE = (
-    "cast(l_extendedprice as decimal(18,2))"
-    " * (1 - cast(l_discount as decimal(18,2)))"
-)
-
-
 def sql_dec2(expr: str) -> str:
-    return f"cast({expr} as decimal(18,2))"
+    """Oracle mirror of :func:`dec2` — measure-guarded decimal view."""
+    return (
+        f"cast((CASE WHEN abs({expr}) < 1e14 THEN {expr} END)"
+        " as decimal(18,2))"
+    )
+
+
+SQL_REVENUE = f"{sql_dec2('l_extendedprice')} * (1 - {sql_dec2('l_discount')})"
 
 
 def sql_measure(expr: str, bound: str = "1e14") -> str:
@@ -100,11 +118,13 @@ def sql_measure(expr: str, bound: str = "1e14") -> str:
 
 
 def sql_dsum(expr: str) -> str:
-    return f"cast(sum(cast({expr} as decimal(18,2))) as double)"
+    return f"cast(sum({sql_dec2(expr)}) as double)"
 
 
 def sql_davg(expr: str) -> str:
-    return f"cast(sum(cast({expr} as decimal(18,2))) as double) / count({expr})"
+    """Oracle mirror of :func:`davg` — measure-domain mean (the count is
+    over the guarded value, excluding out-of-domain rows)."""
+    return f"cast(sum({sql_dec2(expr)}) as double) / count({sql_dec2(expr)})"
 
 
 def sql_dsum_expr(expr: str) -> str:

@@ -23,6 +23,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from fs2_kafka_streams_spark.canonical import (
+    SQL_REVENUE,
+    dec2,
+    sql_dsum,
+    sql_dsum_expr,
+)
 from fs2_kafka_streams_spark.catalog import Catalog
 from fs2_kafka_streams_spark.queries import query
 from fs2_kafka_streams_spark.queries.stateful import LATEST_BY_KEY_ORACLE
@@ -201,12 +207,10 @@ def q67_python_datasource(spark, sf_dir):
 
 @query(
     "q68_salted_join",
-    oracle="""
+    oracle=f"""
     SELECT p.p_type AS p_type,
            CAST(count(*) AS BIGINT) AS n,
-           cast(sum(cast(l_extendedprice as decimal(18,2))
-                    * (1 - cast(l_discount as decimal(18,2)))) as double)
-             AS revenue
+           {sql_dsum_expr(SQL_REVENUE)} AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1
     """,
@@ -342,12 +346,11 @@ def q73_recursive_cte(spark, sf_dir):
 
 @query(
     "q74_observe_metrics",
-    oracle="""
+    oracle=f"""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS BIGINT)
              AS n_large,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-             AS sum_price,
+           {sql_dsum('o_totalprice')} AS sum_price,
            CAST(count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS BIGINT)
              AS n_null_status
     FROM orders
@@ -376,9 +379,7 @@ def q74_observe_metrics(spark, sf_dir):
         obs,
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_large"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_price"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("sum_price"),
         F.count(F.when(F.col("o_orderstatus").isNull(), 1)).alias(
             "n_null_status"
         ),

@@ -38,7 +38,9 @@ from fs2_kafka_streams_spark.queries import query
     "q39_udf_pandas",
     oracle="""
     SELECT o_orderkey,
-           CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+           CAST(floor((CASE WHEN abs(o_totalprice) < 1e14
+                            THEN o_totalprice END) / 50000) AS BIGINT)
+             AS price_bucket,
            o_orderstatus || '-' || CAST(o_orderkey % 10 AS VARCHAR) AS tag
     FROM orders
     """,
@@ -55,8 +57,12 @@ def q39_udf_pandas(spark, sf_dir):
     @F.pandas_udf("long")
     def price_bucket(s: pd.Series) -> pd.Series:
         # Nullable Int64, not int64: a NULL price arrives as NaN and the
-        # non-nullable cast would throw, failing the whole query.
-        return pd.Series(np.floor(s / 50000)).astype("Int64")
+        # non-nullable cast would throw, failing the whole query. The
+        # measure-domain mask mirrors the oracle's abs(x) < 1e14 guard:
+        # a non-finite price would crash the Int64 cast here (inf has no
+        # integer) and the BIGINT cast on DuckDB (r10 non-finite sweep).
+        s2 = s.where(np.isfinite(s) & (s.abs() < 1e14))
+        return pd.Series(np.floor(s2 / 50000)).astype("Int64")
 
     @F.udf("string")
     def tag(status: str, key: int) -> str:
@@ -78,13 +84,19 @@ def q39_udf_pandas(spark, sf_dir):
     "q40_udaf_grouped_map",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CASE WHEN mx = mn THEN 0.0
-                ELSE (o_totalprice - mn) / (mx - mn) END AS norm
+           CASE WHEN m IS NULL THEN NULL
+                WHEN mx = mn THEN 0.0
+                ELSE (m - mn) / (mx - mn) END AS norm
     FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             min(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
-             max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
-      FROM orders
+      SELECT o_custkey, o_orderkey, m,
+             min(m) OVER (PARTITION BY o_custkey) AS mn,
+             max(m) OVER (PARTITION BY o_custkey) AS mx
+      FROM (
+        SELECT o_custkey, o_orderkey,
+               (CASE WHEN abs(o_totalprice) < 1e14
+                     THEN o_totalprice END) AS m
+        FROM orders
+      )
     )
     """,
     tags=("udf", "udaf"),
@@ -104,7 +116,19 @@ def q40_udaf_grouped_map(spark, sf_dir):
     import pyarrow.compute as pc
 
     def normalize(tbl: pa.Table) -> pa.Table:
-        col = tbl.column("o_totalprice")
+        raw = tbl.column("o_totalprice").combine_chunks()
+        # measure-domain mask (mirrors the oracle's abs(x) < 1e14 CASE):
+        # a NaN price makes pc.min/max NaN-poisoned where SQL min/max
+        # skip NaN-as-greatest differently per engine, and ±inf turns
+        # the normalization into inf/inf = NaN — out-of-domain prices
+        # get NULL norm instead (r10 non-finite sweep hash divergence)
+        col = pc.if_else(
+            pc.and_kleene(
+                pc.is_finite(raw), pc.less(pc.abs(raw), pa.scalar(1e14))
+            ),
+            raw,
+            pa.scalar(None, type=pa.float64()),
+        )
         mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
         if mn is None or mx is None:
             # all-NULL group: SQL's mx = mn is NULL → ELSE branch → NULL
@@ -112,7 +136,10 @@ def q40_udaf_grouped_map(spark, sf_dir):
             # 0.0 branch instead (r10 hostile-TPCH sweep).
             norm = pa.nulls(len(tbl), type=pa.float64())
         elif mx == mn:
-            norm = pa.array([0.0] * len(tbl), type=pa.float64())
+            # in-domain rows normalize to 0.0; masked rows stay NULL
+            norm = pc.if_else(
+                pc.is_valid(col), pa.scalar(0.0), pa.scalar(None, type=pa.float64())
+            )
         else:
             norm = pc.divide(pc.subtract(col, mn), mx - mn)
         return pa.table(
@@ -132,17 +159,29 @@ def q40_udaf_grouped_map(spark, sf_dir):
 def normalize_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     """The applyInPandas twin of q40's Arrow grouped-map (API parity;
     asserted equal in tests)."""
-    mn, mx = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
+    import numpy as np
+
+    # measure-domain mask — same guard as the Arrow twin and the oracle
+    p = pdf["o_totalprice"]
+    p = p.where(np.isfinite(p) & (p.abs() < 1e14))
+    mn, mx = p.min(), p.max()
     if pd.isna(mn) or pd.isna(mx):
         # all-NULL group → NULL norm (mirrors the Arrow twin; pandas min of
         # an all-NaN series is NaN, and NaN == NaN is False, so without the
         # guard this fell into the divide branch and emitted NaN, which
         # Spark treats as a VALUE, not NULL)
         norm = pd.Series(pd.array([pd.NA] * len(pdf), dtype="Float64"))
-    elif mx == mn:
-        norm = pd.Series(0.0, index=pdf.index)
     else:
-        norm = (pdf["o_totalprice"] - mn) / (mx - mn)
+        base = (
+            pd.Series(0.0, index=pdf.index).where(p.notna())
+            if mx == mn
+            else (p - mn) / (mx - mn)
+        )
+        # nullable Float64: a masked (out-of-domain) row's NaN must reach
+        # Spark as NULL, not as the NaN VALUE float64 would carry
+        norm = pd.Series(
+            pd.array(base.to_numpy(), dtype="Float64"), index=pdf.index
+        )
     return pd.DataFrame(
         {
             "o_custkey": pdf["o_custkey"],

@@ -17,10 +17,13 @@ from fs2_kafka_streams_spark.canonical import (
     dec2,
     dsum,
     dsum_expr,
+    measure,
     revenue_expr,
     sql_davg,
+    sql_dec2,
     sql_dsum,
     sql_dsum_expr,
+    sql_measure,
 )
 from fs2_kafka_streams_spark.operators.asof_join import asof_join
 from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
@@ -411,16 +414,16 @@ def q15_approx_count_distinct(spark, sf_dir):
 
 @query(
     "q13c_stats_aggregates",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT l_returnflag,
              CAST(count(*) AS BIGINT) AS n,
-             cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sx,
-             cast(sum(cast(l_quantity as decimal(18,2))
-                      * cast(l_quantity as decimal(18,2))) as double) AS sxx,
-             cast(sum(cast(l_discount as decimal(18,2))) as double) AS sy,
-             cast(sum(cast(l_quantity as decimal(18,2))
-                      * cast(l_discount as decimal(18,2))) as double) AS sxy
+             {sql_dsum('l_quantity')} AS sx,
+             cast(sum({sql_dec2('l_quantity')}
+                      * {sql_dec2('l_quantity')}) as double) AS sxx,
+             {sql_dsum('l_discount')} AS sy,
+             cast(sum({sql_dec2('l_quantity')}
+                      * {sql_dec2('l_discount')}) as double) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -577,11 +580,11 @@ def q13b_percentiles(spark, sf_dir):
     "q16c_pivot",
     oracle=f"""
     SELECT o_orderpriority,
-           cast(sum(cast(o_totalprice as decimal(18,2)))
+           cast(sum({sql_dec2('o_totalprice')})
                 FILTER (WHERE o_orderstatus = 'F') as double) AS F,
-           cast(sum(cast(o_totalprice as decimal(18,2)))
+           cast(sum({sql_dec2('o_totalprice')})
                 FILTER (WHERE o_orderstatus = 'O') as double) AS O,
-           cast(sum(cast(o_totalprice as decimal(18,2)))
+           cast(sum({sql_dec2('o_totalprice')})
                 FILTER (WHERE o_orderstatus = 'P') as double) AS P
     FROM orders GROUP BY o_orderpriority
     """,
@@ -743,11 +746,11 @@ def q19_window_ranking(spark, sf_dir):
 
 @query(
     "q20_window_analytic",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey, o_orderdate,
            lag(o_totalprice) OVER w AS prev_price,
            lead(o_totalprice) OVER w AS next_price,
-           cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+           cast(sum({sql_dec2('o_totalprice')}) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
@@ -776,11 +779,10 @@ def q20_window_analytic(spark, sf_dir):
 
 @query(
     "q21_window_range_frame",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT cast(l_shipdate as date) AS day,
-             sum(cast(l_extendedprice as decimal(18,2))
-                 * (1 - cast(l_discount as decimal(18,2)))) AS rev_dec
+             sum({SQL_REVENUE}) AS rev_dec
       FROM lineitem GROUP BY 1
     )
     SELECT day, cast(rev_dec as double) AS daily_revenue,
@@ -1003,14 +1005,18 @@ def q26_date_functions(spark, sf_dir):
 
 @query(
     "q27_math_functions",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
-           abs(o_totalprice - 100000.0) AS abs_diff,
-           CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
-           CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+           abs({sql_measure('o_totalprice')} - 100000.0) AS abs_diff,
+           CAST(ceil({sql_measure('o_totalprice')}) AS BIGINT) AS ceil_price,
+           CAST(floor({sql_measure('o_totalprice')}) AS BIGINT)
+             AS floor_price,
            pow(2.0, CAST(o_orderkey % 20 AS DOUBLE)) AS pow2,
-           CAST(floor(ln(o_totalprice) * 100) AS BIGINT) AS ln_centi,
-           sqrt(o_totalprice) AS sqrt_price,
+           CAST(floor(ln(CASE WHEN {sql_measure('o_totalprice')} > 0
+                              THEN o_totalprice END) * 100) AS BIGINT)
+             AS ln_centi,
+           sqrt(CASE WHEN {sql_measure('o_totalprice')} >= 0
+                     THEN o_totalprice END) AS sqrt_price,
            CAST(o_orderkey % 7 AS BIGINT) AS pmod7
     FROM orders
     """,
@@ -1022,16 +1028,25 @@ def q27_math_functions(spark, sf_dir):
     ln is not bit-identical across libm implementations (~1% of values differ
     by 1 ulp), so the hashed contract is floor(ln*100) — stable under ulp
     noise. sqrt and pow-of-two are IEEE-exact.
+
+    Every price use rides the measure domain (NaN/±inf/overflow → NULL):
+    ceil/floor/ln land in BIGINT casts that saturate-then-overflow on
+    Spark but throw on DuckDB for non-finite input, and ln/sqrt of
+    out-of-range arguments are NULL-vs-throw divergent too (r10
+    non-finite sweep). The positivity guards are explicit on BOTH
+    engines — Spark's log already NULLs non-positive input, DuckDB's
+    raises — so the oracle spells the same total function.
     """
     o = Catalog(spark, sf_dir).orders
+    m = measure("o_totalprice")
     return o.select(
         "o_orderkey",
-        F.abs(F.col("o_totalprice") - 100000.0).alias("abs_diff"),
-        F.ceil("o_totalprice").alias("ceil_price"),
-        F.floor("o_totalprice").alias("floor_price"),
+        F.abs(m - 100000.0).alias("abs_diff"),
+        F.ceil(m).alias("ceil_price"),
+        F.floor(m).alias("floor_price"),
         F.pow(F.lit(2.0), (F.col("o_orderkey") % 20).cast("double")).alias("pow2"),
-        F.floor(F.log(F.col("o_totalprice")) * 100).alias("ln_centi"),
-        F.sqrt("o_totalprice").alias("sqrt_price"),
+        F.floor(F.log(F.when(m > 0, m)) * 100).alias("ln_centi"),
+        F.sqrt(F.when(m >= 0, m)).alias("sqrt_price"),
         F.pmod(F.col("o_orderkey"), F.lit(7)).cast("long").alias("pmod7"),
     )
 
@@ -1354,10 +1369,9 @@ def q49_exists_subquery(spark, sf_dir):
     return spark.sql(_Q49_SQL)
 
 
-_Q49B_SQL = """
+_Q49B_SQL = f"""
 WITH big_orders AS (
-  SELECT o_custkey, cast(sum(cast(o_totalprice as decimal(18,2))) as double)
-           AS total_spend
+  SELECT o_custkey, {sql_dsum('o_totalprice')} AS total_spend
   FROM orders GROUP BY o_custkey
 )
 SELECT c.c_mktsegment,
@@ -1502,12 +1516,13 @@ def q27b_bitwise(spark, sf_dir):
       SELECT l_orderkey,
              coalesce(list(l_quantity
                            ORDER BY l_linenumber NULLS FIRST, l_quantity)
-                      FILTER (WHERE l_quantity IS NOT NULL), []) AS qtys
+                      FILTER (WHERE abs(l_quantity) < 1e14), []) AS qtys
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT l_orderkey,
-           array_to_string(list_transform(qtys,
-             x -> CAST(CAST(x * 2 AS BIGINT) AS VARCHAR)), '|') AS doubled,
+           coalesce(array_to_string(list_transform(qtys,
+             x -> CAST(CAST(x * 2 AS BIGINT) AS VARCHAR)), '|'), '')
+             AS doubled,
            coalesce(array_to_string(
              list_transform(list_filter(qtys, x -> x > 25),
                x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), '|'), '') AS big,
@@ -1539,8 +1554,14 @@ def q29c_array_hof(spark, sf_dir):
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(
             F.collect_list(
+                # measure-domain element guard: out-of-domain quantities
+                # (NaN/±inf/overflow) never enter the array — the BIGINT
+                # casts inside the HOFs throw on DuckDB and
+                # saturate/throw on ANSI Spark for non-finite elements
+                # (r10 non-finite sweep); abs(x) < bound is also false
+                # for NULL, subsuming the original isNotNull guard
                 F.when(
-                    F.col("l_quantity").isNotNull(),
+                    measure("l_quantity").isNotNull(),
                     F.struct("l_linenumber", "l_quantity"),
                 )
             )

@@ -39,7 +39,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fs2_kafka_streams_spark.canonical import dsum_expr, dec2, measure
+from fs2_kafka_streams_spark.canonical import (
+    dec2,
+    dsum_expr,
+    measure,
+    sql_dsum,
+    sql_measure,
+)
 from fs2_kafka_streams_spark.catalog import Catalog
 from fs2_kafka_streams_spark.queries import ntz_epoch_seconds, query
 
@@ -125,15 +131,15 @@ def q60_gapfill(spark, sf_dir):
 
 @query(
     "q61_histogram",
-    oracle="""
-    SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
-           CAST(CAST(floor(o_totalprice / 50000.0) AS INTEGER) * 50000.0
-                AS DOUBLE) AS bucket_lo,
+    oracle=f"""
+    SELECT CAST(floor({sql_measure('o_totalprice')} / 50000.0) AS INTEGER)
+             AS bucket,
+           CAST(CAST(floor({sql_measure('o_totalprice')} / 50000.0)
+                     AS INTEGER) * 50000.0 AS DOUBLE) AS bucket_lo,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-             AS sum_price,
-           min(o_totalprice) AS min_price,
-           max(o_totalprice) AS max_price
+           {sql_dsum('o_totalprice')} AS sum_price,
+           min({sql_measure('o_totalprice')}) AS min_price,
+           max({sql_measure('o_totalprice')}) AS max_price
     FROM orders GROUP BY 1
     """,
     tags=("timeseries", "analytics", "histogram"),
@@ -150,14 +156,20 @@ def q61_histogram(spark, sf_dir):
     inputs, so both engines bucket every row identically.
     """
     o = Catalog(spark, sf_dir).orders
-    bucket = F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("int")
+    # measure-domain bucketing: an out-of-domain price (NaN/±inf/
+    # overflow) has no meaningful bucket — it lands in the NULL bucket
+    # with NULL stats on BOTH engines (Spark's floor(inf) saturates to
+    # int64-max then overflows the INT cast; DuckDB throws casting NaN
+    # to INTEGER — r10 non-finite sweep)
+    m = measure("o_totalprice")
+    bucket = F.floor(m / F.lit(50000.0)).cast("int")
     return (
         o.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             dsum_expr(dec2("o_totalprice")).alias("sum_price"),
-            F.min("o_totalprice").alias("min_price"),
-            F.max("o_totalprice").alias("max_price"),
+            F.min(m).alias("min_price"),
+            F.max(m).alias("max_price"),
         )
         .select(
             "bucket",

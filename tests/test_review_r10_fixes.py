@@ -1588,3 +1588,205 @@ def test_watermark_epoch_floor_boundary(spark, tmp_path):
         SF.window("ts", "5 minutes")
     ).count().toPandas()
     assert len(bdf) == 2
+
+
+# ---------------------------------------------------------------------------
+# r10 non-finite TPCH axis (second half) — NaN / ±inf / ±1e308 / -0.0 /
+# 5e-324 in the MONEY columns (l_quantity, l_extendedprice, l_discount,
+# l_tax, o_totalprice, c_acctbal, p_retailprice, s_acctbal). The first-half
+# extreme-numerics sweep covered only events.value.
+#
+# The sweep found one jagged engine boundary underneath 27 entries:
+# Spark's ANSI double→decimal cast silently NULLs NaN/±inf but throws
+# NUMERIC_VALUE_OUT_OF_RANGE on finite overflow, while DuckDB throws on
+# all three — so whether an entry crashed, crashed on one engine only, or
+# hash-diverged depended on WHICH hostile value reached the cast first.
+# Resolution: the events measure-domain policy (abs(x) < 1e14, else NULL)
+# now rides inside dec2()/sql_dec2() and every money-column scalar path:
+# - canonical.dec2 / sql_dec2 / sql_dsum / sql_davg / SQL_REVENUE guard
+#   uniformly (davg counts the GUARDED value so the mean's denominator
+#   matches its numerator);
+# - q27's ceil/floor/ln/sqrt ride measure() with explicit positivity
+#   guards (Spark's ln NULLs non-positive input, DuckDB's raises);
+# - q29c's array elements are measure-guarded at collect time (BIGINT
+#   casts inside HOFs saturate/throw divergently), and the empty-array
+#   rendering coalesces ('' on both engines — DuckDB's
+#   array_to_string([]) is NULL, Spark's array_join([]) is '');
+# - q39's pandas bucket UDF and q40's Arrow/pandas min-max normalizers
+#   mask out-of-domain prices to NULL (pyarrow min/max NaN semantics
+#   diverge from SQL window min/max);
+# - q61's histogram buckets on the measure view (Spark floor(inf)
+#   saturates to int64-max then overflows the INT cast).
+# ---------------------------------------------------------------------------
+
+NONFINITE_TPCH_ENTRIES = [
+    "q02_filter_project",
+    "q11_join_range",
+    "q13_agg_tpch_q1",
+    "q13c_stats_aggregates",
+    "q16_rollup",
+    "q16c_pivot",
+    "q20_window_analytic",
+    "q21_window_range_frame",
+    "q27_math_functions",
+    "q29_array_hof_agg",
+    "q29c_array_hof",
+    "q39_udf_pandas",
+    "q40_udaf_grouped_map",
+    "q49b_cte_scalar_subquery",
+    "q61_histogram",
+    "q68_salted_join",
+    "q74_observe_metrics",
+]
+
+
+@pytest.fixture(scope="session")
+def nonfinite_tpch_sf_dir(tmp_path_factory):
+    """sf0.001 with non-finite / overflow / signed-zero / subnormal money
+    values appended to the five relational tables, join keys valid so the
+    rows flow through every join (schema-preserving pyarrow append)."""
+    import datetime as dt
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sfnonfinite")
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), d / f)
+
+    def append(table_name, rows):
+        t = pq.read_table(os.path.join(src, f"{table_name}.parquet"))
+        cols = {f.name: [r.get(f.name) for r in rows] for f in t.schema}
+        extra = pa.table(
+            {f.name: pa.array(cols[f.name], type=f.type) for f in t.schema},
+            schema=t.schema,
+        )
+        pq.write_table(
+            pa.concat_tables([t, extra]), str(d / f"{table_name}.parquet")
+        )
+
+    D = dt.datetime.fromisoformat
+    NAN, INF = float("nan"), float("inf")
+    append("orders", [
+        dict(o_orderkey=910001, o_custkey=1, o_orderstatus="O",
+             o_totalprice=NAN, o_orderdate=D("1996-01-02"),
+             o_orderpriority="1-URGENT"),
+        dict(o_orderkey=910002, o_custkey=2, o_orderstatus="F",
+             o_totalprice=INF, o_orderdate=D("1995-03-15"),
+             o_orderpriority="2-HIGH"),
+        dict(o_orderkey=910003, o_custkey=3, o_orderstatus="O",
+             o_totalprice=-INF, o_orderdate=D("1997-06-01"),
+             o_orderpriority="3-MEDIUM"),
+        dict(o_orderkey=910004, o_custkey=4, o_orderstatus="P",
+             o_totalprice=-0.0, o_orderdate=D("1996-07-04"),
+             o_orderpriority="4-NOT SPECIFIED"),
+        dict(o_orderkey=910005, o_custkey=5, o_orderstatus="O",
+             o_totalprice=1e308, o_orderdate=D("1994-11-11"),
+             o_orderpriority="5-LOW"),
+    ])
+    li = []
+    vals = [NAN, INF, -INF, 1e308, -1e308, -0.0, 5e-324]
+    for i, v in enumerate(vals):
+        li.append(dict(
+            l_orderkey=910001 + (i % 5), l_partkey=1 + i,
+            l_suppkey=1 + (i % 3), l_linenumber=1 + i, l_quantity=v,
+            l_extendedprice=v, l_discount=0.05, l_tax=0.02,
+            l_returnflag="N", l_linestatus="O", l_shipdate=D("1996-03-13"),
+        ))
+    li.append(dict(
+        l_orderkey=1, l_partkey=2, l_suppkey=2, l_linenumber=91,
+        l_quantity=10.0, l_extendedprice=100.0, l_discount=NAN, l_tax=INF,
+        l_returnflag="A", l_linestatus="F", l_shipdate=D("1995-09-09"),
+    ))
+    li.append(dict(
+        l_orderkey=1, l_partkey=3, l_suppkey=3, l_linenumber=92,
+        l_quantity=-0.0, l_extendedprice=-INF, l_discount=-0.0, l_tax=NAN,
+        l_returnflag="R", l_linestatus="F", l_shipdate=D("1994-02-02"),
+    ))
+    append("lineitem", li)
+    append("customer", [
+        dict(c_custkey=910001, c_name="Customer#nan", c_nationkey=1,
+             c_acctbal=NAN, c_mktsegment="BUILDING"),
+        dict(c_custkey=910002, c_name="Customer#inf", c_nationkey=2,
+             c_acctbal=INF, c_mktsegment="AUTOMOBILE"),
+        dict(c_custkey=910003, c_name="Customer#neg0", c_nationkey=3,
+             c_acctbal=-0.0, c_mktsegment="MACHINERY"),
+    ])
+    append("part", [
+        dict(p_partkey=910001, p_name="nonfinite part", p_brand="Brand#13",
+             p_type="ECONOMY ANODIZED STEEL", p_size=7, p_retailprice=INF),
+    ])
+    append("supplier", [
+        dict(s_suppkey=910001, s_name="Supplier#nan", s_nationkey=1,
+             s_acctbal=NAN),
+    ])
+    return str(d)
+
+
+@pytest.mark.parametrize("name", NONFINITE_TPCH_ENTRIES)
+def test_nonfinite_tpch_contract(spark, nonfinite_tpch_sf_dir, name):
+    """Every entry the non-finite money sweep flagged hash-matches its
+    oracle on the hostile corpus — same driver-gate canonicalize-and-hash
+    as the NULL-TPCH / events axes. (Full-registry confirmation: 146/146
+    via scripts/hostile_sweep.py on this corpus.)"""
+    import duckdb
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import TABLES, _canon, _hash
+
+    from fs2_kafka_streams_spark.queries import load_all
+
+    spec = load_all()[name]
+    sdf = _canon(spec.build(spark, nonfinite_tpch_sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{nonfinite_tpch_sf_dir}/{t}.parquet')"
+        )
+    ddf = _canon(con.sql(spec.oracle).df())
+    assert len(sdf) == len(ddf), (len(sdf), len(ddf))
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _hash(sdf) == _hash(ddf)
+
+
+def test_double_to_decimal_engine_boundary(spark):
+    """The jagged boundary the guard exists for, pinned executable:
+    Spark's ANSI double→decimal silently NULLs NaN/±inf but THROWS on
+    finite overflow; DuckDB throws on all three. If either engine ever
+    changes this (making the guard removable or insufficient), this
+    test says so."""
+    import duckdb
+
+    for v, expect in [(float("nan"), None), (float("inf"), None)]:
+        got = spark.createDataFrame([(v,)], "x double").select(
+            F.col("x").cast("decimal(18,2)").alias("d")
+        ).collect()[0][0]
+        assert got is expect, (v, got)
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        spark.createDataFrame([(1e308,)], "x double").select(
+            F.col("x").cast("decimal(18,2)")
+        ).collect()
+
+    con = duckdb.connect()
+    for v in ["'nan'::DOUBLE", "'inf'::DOUBLE", "1e308"]:
+        with pytest.raises(Exception):
+            con.sql(f"SELECT CAST({v} AS DECIMAL(18,2))").fetchall()
+
+    # and the guarded form is total on BOTH engines
+    from fs2_kafka_streams_spark.canonical import dec2, sql_dec2
+
+    got = spark.createDataFrame(
+        [(float("nan"),), (float("inf"),), (1e308,), (12.34,)], "x double"
+    ).select(dec2("x").alias("d")).collect()
+    assert [r.d for r in got[:3]] == [None, None, None]
+    assert float(got[3].d) == 12.34
+    rows = con.sql(
+        "SELECT " + sql_dec2("x") + " FROM (VALUES ('nan'::DOUBLE), "
+        "('inf'::DOUBLE), (1e308), (12.34)) t(x)"
+    ).fetchall()
+    assert [r[0] for r in rows[:3]] == [None, None, None]
+    assert float(rows[3][0]) == 12.34
