@@ -34,6 +34,49 @@ from fs2_kafka_streams_spark.operators.dedup import _spread
 
 QUANT = 1_000_000
 
+#: Embedding element domain bound (|x| <= EMB_BOUND): keeps the quantized
+#: micro-unit dot product inside int64 — |q| <= 1e8, so a dim-d dot sums
+#: to at most d·1e16, exact in int64 up to d ≈ 900.
+EMB_BOUND = 100.0
+
+
+def well_formed_vectors(
+    col: str | Column, dim: int, bound: float = EMB_BOUND
+) -> Column:
+    """Predicate: the embedding is usable by the similarity family —
+    non-NULL, exactly ``dim`` elements, every element non-NULL with
+    ``abs(x) <= bound``.
+
+    The similarity operators REQUIRE this filter on untrusted corpora
+    (r10 non-finite-vector sweep): a wrong-dimension vector crashes the
+    numpy signature matmul (ragged stack) and silently zero-pads the SQL
+    dot product; a NaN/±inf/overflow element poisons the quantized
+    int64 dot (ANSI long-overflow / engine-divergent NaN ordering in
+    top-k ranks). ``abs(x) <= bound`` is one portable predicate: false
+    for NaN on both engines (IEEE), false for ±inf, false for float32
+    magnitudes that would overflow the micro-unit int64 dot.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        c.isNotNull()
+        & (F.size(c) == F.lit(dim))
+        & F.forall(
+            c, lambda x: x.isNotNull() & (F.abs(x) <= F.lit(bound))
+        )
+    )
+
+
+def sql_well_formed_vectors(
+    col: str = "embedding", dim: int = 64, bound: float = EMB_BOUND
+) -> str:
+    """DuckDB mirror of :func:`well_formed_vectors` (NULL elements flagged
+    explicitly: a NULL predicate result would silently pass list_filter)."""
+    return (
+        f"({col} IS NOT NULL AND len({col}) = {dim}"
+        f" AND len(list_filter({col},"
+        f" x -> x IS NULL OR NOT (abs(x) <= {bound}))) = 0)"
+    )
+
 
 def quantized(col: Column) -> Column:
     """array<float> → array<bigint> of micro-units (exact cross-engine)."""

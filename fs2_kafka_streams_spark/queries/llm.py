@@ -1159,6 +1159,38 @@ def q47_multimodal_features(spark, sf_dir):
 
 _N_QUERIES = 3
 
+#: fixture embedding dimensionality (FIXTURES.md) — the well-formed-vector
+#: contract is declared against this
+_EMB_DIM = 64
+
+
+def _emb(spark, sf_dir):
+    """The WELL-FORMED view of the embeddings table: the similarity
+    family's input contract (non-NULL vector, exactly _EMB_DIM elements,
+    every element non-NULL with |x| <= EMB_BOUND). On hostile corpora the
+    raw table crashes the family three ways — ragged numpy stacks,
+    ANSI int64 dot overflow, NaN-ordered top-k ranks (r10 non-finite-
+    vector sweep); ill-formed vectors are excluded like NULL text is
+    from the text family. Mirrored in SQL by _WF_SQL in every oracle."""
+    from fs2_kafka_streams_spark.operators.similarity import (
+        well_formed_vectors,
+    )
+
+    return Catalog(spark, sf_dir).embeddings.filter(
+        well_formed_vectors("embedding", _EMB_DIM)
+    )
+
+
+def _wf_sql() -> str:
+    from fs2_kafka_streams_spark.operators.similarity import (
+        sql_well_formed_vectors,
+    )
+
+    return sql_well_formed_vectors("embedding", _EMB_DIM)
+
+
+_WF_SQL = _wf_sql()
+
 
 # ---- shared quantized-cosine oracle SQL ------------------------------------
 #
@@ -1192,10 +1224,10 @@ def _cos_sql(a: str, b: str) -> str:
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, {_QUANT_SQL} AS v
-      FROM embeddings WHERE vec_id < {_N_QUERIES}
+      FROM embeddings WHERE {_WF_SQL} AND vec_id < {_N_QUERIES}
     ), e AS (
       SELECT vec_id AS neighbor_id, {_QUANT_SQL} AS v
-      FROM embeddings
+      FROM embeddings WHERE {_WF_SQL}
     ), scored AS (
       SELECT query_id, neighbor_id, {_cos_sql('q', 'e')} AS cos
       FROM e CROSS JOIN q
@@ -1214,7 +1246,7 @@ def q44_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for the first 3 query vectors. Embeddings
     quantized to integer micro-units so the dot product is exact — the
     cosine is bit-identical cross-engine."""
-    emb = Catalog(spark, sf_dir).embeddings
+    emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk(emb, q, k=5)
 
@@ -1224,7 +1256,7 @@ def q44_cosine_topk(spark, sf_dir):
     oracle=f"""
     WITH e AS (
       SELECT vec_id, {_QUANT_SQL} AS v
-      FROM embeddings
+      FROM embeddings WHERE {_WF_SQL}
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a', 'b')} AS cos
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -1241,7 +1273,7 @@ def q44c_embedding_neardup(spark, sf_dir):
     )
 
     return embedding_neardup_pairs(
-        Catalog(spark, sf_dir).embeddings, threshold=0.4
+        _emb(spark, sf_dir), threshold=0.4
     )
 
 
@@ -1268,7 +1300,7 @@ def _hyperplane_ctes() -> str:
     return f"""
     qv AS (
       SELECT vec_id, {_QUANT_SQL} AS v
-      FROM embeddings
+      FROM embeddings WHERE {_WF_SQL}
     ),
     planes AS (
       SELECT b, list_transform(range(1, 65),
@@ -1345,7 +1377,7 @@ def q44d_embedding_neardup_lsh(spark, sf_dir):
     )
 
     return embedding_neardup_pairs_lsh(
-        Catalog(spark, sf_dir).embeddings, threshold=0.4
+        _emb(spark, sf_dir), threshold=0.4
     )
 
 
@@ -1361,7 +1393,7 @@ def q44b_lsh_ann(spark, sf_dir):
     """Hyperplane-LSH approximate neighbors (8 sign-bits → ~1/256 of the
     corpus scored per query). Hash-checked: the oracle recomputes the same
     8 sign-bit buckets; recall vs q44 is asserted in the test suite."""
-    emb = Catalog(spark, sf_dir).embeddings
+    emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
     return lsh_cosine_topk(emb, q, k=5, bits=8)
 
@@ -1371,10 +1403,10 @@ def q44b_lsh_ann(spark, sf_dir):
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, {_QUANT_SQL} AS v
-      FROM embeddings WHERE vec_id < {_N_QUERIES}
+      FROM embeddings WHERE {_WF_SQL} AND vec_id < {_N_QUERIES}
     ), e AS (
       SELECT vec_id AS neighbor_id, {_QUANT_SQL} AS v
-      FROM embeddings
+      FROM embeddings WHERE {_WF_SQL}
     ), scored AS (
       SELECT query_id, neighbor_id, {_cos_sql('q', 'e')} AS cos
       FROM e CROSS JOIN q
@@ -1411,7 +1443,7 @@ def q44e_ivf_ann(spark, sf_dir):
         ivf_topk,
     )
 
-    emb = Catalog(spark, sf_dir).embeddings
+    emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
     # Both top-k subtrees feed three/two joins below; cut the lineage once
     # so the IVF scoring and brute-force cosine pipelines run once, not per
@@ -1493,7 +1525,7 @@ def q54_semantic_dedup(spark, sf_dir):
     )
 
     pairs = embedding_neardup_pairs_lsh(
-        Catalog(spark, sf_dir).embeddings, threshold=0.4
+        _emb(spark, sf_dir), threshold=0.4
     )
     comp = connected_components(pairs.select("id_a", "id_b"))
     sizes = comp.groupBy("component").agg(

@@ -334,9 +334,16 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
     """
     import tempfile
 
-    from fs2_kafka_streams_spark.operators.similarity import cosine_topk
+    from fs2_kafka_streams_spark.operators.similarity import (
+        cosine_topk,
+        well_formed_vectors,
+    )
 
-    corpus = Catalog(spark, sf_dir).embeddings
+    # same well-formed-vector contract as the batch family (queries/llm.py
+    # _emb): ill-formed corpus vectors would crash the per-batch scorer
+    corpus = Catalog(spark, sf_dir).embeddings.filter(
+        well_formed_vectors("embedding", 64)
+    )
     qdir = replay_dir(sf_dir, table="embeddings", id_col="vec_id")
     schema = spark.read.parquet(qdir).schema
     stream = (

@@ -1790,3 +1790,131 @@ def test_double_to_decimal_engine_boundary(spark):
     ).fetchall()
     assert [r[0] for r in rows[:3]] == [None, None, None]
     assert float(rows[3][0]) == 12.34
+
+
+# ---------------------------------------------------------------------------
+# r10 non-finite / ill-formed VECTOR axis — NaN, ±inf, float32-overflow
+# (1e38), NULL-vector, NULL-element, and wrong-dimension rows in
+# embeddings. The sweep crashed all six oracled similarity entries three
+# ways: ragged numpy stacks in the signature matmul (wrong dim), ANSI
+# int64 overflow in the quantized dot (1e38 elements), and PythonException
+# / NaN-ordered top-k divergence (NaN/±inf elements).
+#
+# Resolution: the WELL-FORMED VECTOR contract
+# (operators/similarity.well_formed_vectors + sql_well_formed_vectors) —
+# non-NULL vector, declared dim, every element non-NULL with
+# |x| <= EMB_BOUND (=100; keeps the micro-unit dot exact in int64 to
+# dim ≈ 900). Ill-formed vectors are excluded from the similarity family
+# like NULL text is from the text family, identically on both engines
+# (queries/llm._emb + _WF_SQL in every embedding oracle).
+# ---------------------------------------------------------------------------
+
+NANVEC_ENTRIES = [
+    "q44_cosine_topk",
+    "q44b_lsh_ann_neardup",
+    "q44c_embedding_neardup",
+    "q44e_ivf_ann",
+    "q54_semantic_dedup",
+]
+
+
+@pytest.fixture(scope="session")
+def nanvec_sf_dir(tmp_path_factory):
+    """sf0.001 with six ill-formed embedding rows: NaN element, +inf
+    element, -inf element, 1e38 elements (finite float32, int64-dot
+    overflow), NULL vector, wrong-dimension vector — plus a NULL-ELEMENT
+    vector appended via pyarrow (pandas float32 arrays cannot carry
+    None)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sfnanvec")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            shutil.copy(os.path.join(src, f), d / f)
+    emb = pd.read_parquet(os.path.join(src, "embeddings.parquet"))
+    dim = len(emb.embedding.iloc[0])
+    mxv = int(emb.vec_id.max())
+    v_nan = np.ones(dim, dtype=np.float32); v_nan[3] = np.nan
+    v_inf = np.ones(dim, dtype=np.float32); v_inf[0] = np.inf
+    v_ninf = np.ones(dim, dtype=np.float32); v_ninf[1] = -np.inf
+    extra = pd.DataFrame([
+        dict(vec_id=mxv + 1, embedding=v_nan, label=0),
+        dict(vec_id=mxv + 2, embedding=v_inf, label=1),
+        dict(vec_id=mxv + 3, embedding=v_ninf, label=2),
+        dict(vec_id=mxv + 4,
+             embedding=np.full(dim, 1e38, dtype=np.float32), label=3),
+        dict(vec_id=mxv + 5, embedding=None, label=4),
+        dict(vec_id=mxv + 6,
+             embedding=np.ones(3, dtype=np.float32), label=5),
+    ])
+    e2 = pd.concat([emb, extra], ignore_index=True)
+    e2["label"] = e2["label"].astype("int32")
+    out = str(d / "embeddings.parquet")
+    e2.to_parquet(out, index=False)
+    t = pq.read_table(out)
+    null_el = pa.table({
+        "vec_id": pa.array([mxv + 7], type=t.schema.field("vec_id").type),
+        "embedding": pa.array(
+            [[None if i == 5 else 1.0 for i in range(dim)]],
+            type=t.schema.field("embedding").type,
+        ),
+        "label": pa.array([6], type=t.schema.field("label").type),
+    })
+    pq.write_table(pa.concat_tables([t, null_el]), out)
+    return str(d)
+
+
+def test_well_formed_vectors_classification(spark, nanvec_sf_dir):
+    """The predicate excludes EXACTLY the seven ill-formed rows, on both
+    engines (the SQL mirror must flag NULL elements explicitly — a NULL
+    list_filter predicate would silently pass them)."""
+    import duckdb
+
+    from fs2_kafka_streams_spark.operators.similarity import (
+        sql_well_formed_vectors,
+        well_formed_vectors,
+    )
+
+    df = spark.read.parquet(f"{nanvec_sf_dir}/embeddings.parquet")
+    total = df.count()
+    ok_spark = df.filter(well_formed_vectors("embedding", 64)).count()
+    assert ok_spark == total - 7
+
+    con = duckdb.connect()
+    n = con.sql(
+        f"SELECT count(*) FROM read_parquet("
+        f"'{nanvec_sf_dir}/embeddings.parquet') "
+        f"WHERE {sql_well_formed_vectors('embedding', 64)}"
+    ).fetchone()[0]
+    assert n == ok_spark
+
+
+@pytest.mark.parametrize("name", NANVEC_ENTRIES)
+def test_nanvec_similarity_contract(spark, nanvec_sf_dir, name):
+    """Every oracled similarity entry hash-matches its oracle on the
+    ill-formed-vector corpus (full family confirmation: 8/8 via
+    scripts/hostile_sweep.py, including the NULL-element row)."""
+    import duckdb
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import TABLES, _canon, _hash
+
+    from fs2_kafka_streams_spark.queries import load_all
+
+    spec = load_all()[name]
+    sdf = _canon(spec.build(spark, nanvec_sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{nanvec_sf_dir}/{t}.parquet')"
+        )
+    ddf = _canon(con.sql(spec.oracle).df())
+    assert len(sdf) == len(ddf), (len(sdf), len(ddf))
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _hash(sdf) == _hash(ddf)
