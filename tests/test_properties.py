@@ -367,3 +367,85 @@ def test_bucketed_asof_equals_default_any_width(spark, inputs, width):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, base.collect())
     )
+
+
+# ---- r10: cross-engine domain predicates (measure / well-formed vector) ---
+
+_specials = st.sampled_from([
+    float("nan"), float("inf"), float("-inf"), 0.0, -0.0,
+    1e308, -1e308, 5e-324, 1e14, -1e14, 1e14 - 1.0, 99.5, -100.0,
+    100.0, 100.5, 1e38,
+])
+_doubles = st.one_of(_specials, st.floats(allow_nan=True, allow_infinity=True))
+
+
+@SET
+@given(vals=st.lists(st.one_of(st.none(), _doubles), min_size=1, max_size=12))
+def test_measure_predicate_cross_engine(spark, vals):
+    """canonical.measure ≡ sql_measure row-for-row on ANY double, special
+    values included — the whole money/metric guard rests on both engines
+    evaluating abs(x) < 1e14 identically (false for NaN/±inf/NULL)."""
+    import duckdb
+
+    from fs2_kafka_streams_spark.canonical import measure, sql_measure
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", measure("x").alias("m")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vals)])
+    want = {
+        i: m
+        for i, m in con.sql(
+            f"SELECT i, {sql_measure('x')} AS m FROM t"
+        ).fetchall()
+    }
+    assert got == want
+
+
+@SET
+@given(
+    vecs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.one_of(st.none(), _doubles), min_size=0, max_size=6),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    dim=st.sampled_from([3, 4]),
+)
+def test_well_formed_vectors_cross_engine(spark, vecs, dim):
+    """well_formed_vectors ≡ sql_well_formed_vectors on ANY array of
+    doubles (NULL vectors, NULL elements, specials, any length) — the
+    similarity family's input contract must classify identically on both
+    engines."""
+    import duckdb
+
+    from fs2_kafka_streams_spark.operators.similarity import (
+        sql_well_formed_vectors,
+        well_formed_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "i long, e array<double>"
+    )
+    got = {
+        r["i"]
+        for r in df.filter(well_formed_vectors("e", dim)).select("i").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, e DOUBLE[])")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vecs)]
+    )
+    want = {
+        r[0]
+        for r in con.sql(
+            f"SELECT i FROM t WHERE {sql_well_formed_vectors('e', dim)}"
+        ).fetchall()
+    }
+    assert got == want
