@@ -364,7 +364,7 @@ def q13_agg_tpch_q1(spark, sf_dir):
 @query(
     "q14_count_distinct",
     oracle="""
-    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
            CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
            CAST(count(*) AS BIGINT) AS n_rows
     FROM lineitem GROUP BY 1
@@ -375,11 +375,14 @@ def q14_count_distinct(spark, sf_dir):
     """COUNT(DISTINCT) per month — Spark expands to a two-stage aggregate."""
     li = _cat(spark, sf_dir).lineitem
     return li.groupBy(
-        # cast to NTZ: date_trunc yields TIMESTAMP_LTZ, whose collected
-        # rendering depends on the process timezone; NTZ is the
-        # wall-clock value the oracle computes, in any TZ
+        # DATE, not TIMESTAMP, for the truncated month: date32 carries no
+        # nanosecond range bound, so a month-start BELOW the parquet-ns
+        # floor (date_trunc('month', 1677-09-22) = 1677-09-01) survives
+        # the Arrow collection that a ns timestamp crashes on (r10
+        # relational far-date sweep; DATE is also process-TZ-independent,
+        # the property the previous NTZ cast existed for)
         F.date_trunc("month", F.col("l_shipdate"))
-        .cast("timestamp_ntz")
+        .cast("date")
         .alias("ship_month")
     ).agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
@@ -979,7 +982,7 @@ def q25_string_functions(spark, sf_dir):
            cast(o_orderdate as date) + 30 AS plus30,
            CAST(datediff('day', DATE '1995-01-01', cast(o_orderdate as date))
                 AS INTEGER) AS days_since,
-           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
            last_day(cast(o_orderdate as date)) AS month_end
     FROM orders
     """,
@@ -996,9 +999,10 @@ def q26_date_functions(spark, sf_dir):
         F.dayofmonth("o_orderdate").alias("dom"),
         F.date_add(od, 30).alias("plus30"),
         F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        # DATE, not NTZ timestamp — same Arrow ns-floor rationale as q14
         F.date_trunc("month", F.col("o_orderdate"))
-        .cast("timestamp_ntz")
-        .alias("order_month"),  # NTZ: process-TZ-independent rendering
+        .cast("date")
+        .alias("order_month"),
         F.last_day(od).alias("month_end"),
     )
 
