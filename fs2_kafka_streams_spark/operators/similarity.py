@@ -491,7 +491,13 @@ def _train_centroids(
     X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     if len(X) < nlist:
-        raise ValueError(f"need >= nlist={nlist} training vectors, got {len(X)}")
+        # fewer vectors than requested cells: k-means cannot place more
+        # centroids than points. Shrink to one centroid per vector; the
+        # caller widens nprobe to ALL cells, so the degenerate regime
+        # degrades to exact exhaustive search instead of failing loudly
+        # (r10 tiny-corpus sweep) — the speed premise corpus >> nlist is
+        # absent here, so correctness wins
+        nlist = len(X)
     C = X[:nlist].copy()
     for _ in range(iters):
         assign = np.argmax(X @ C.T, axis=1)  # ties -> lowest cell id
@@ -548,6 +554,10 @@ def ivf_topk(
     exact tier); recall vs :func:`cosine_topk` is asserted in the suite.
     """
     C = _train_centroids(embeddings, id_col, vec_col, nlist)
+    if C is not None and C.shape[0] < nlist:
+        # trainer shrank nlist (corpus smaller than the requested cell
+        # count): probe every cell — exhaustive, exact at this scale
+        nprobe = C.shape[0]
     if C is None:  # empty corpus — exact result is the empty top-k
         q_idt = queries.schema[id_col].dataType.simpleString()
         n_idt = embeddings.schema[id_col].dataType.simpleString()

@@ -1414,7 +1414,10 @@ def q44b_lsh_ann(spark, sf_dir):
     )
     SELECT query_id,
            CAST(neighbor_id AS BIGINT) AS exact_top1,
-           CAST(5 AS BIGINT) AS n_ivf,
+           -- k results per query, bounded by the eligible-neighbor count
+           -- (corpus minus self) so a corpus smaller than k still agrees
+           -- (r10 tiny-corpus sweep)
+           CAST(LEAST(5, (SELECT count(*) FROM e) - 1) AS BIGINT) AS n_ivf,
            TRUE AS ivf_top1_ok,
            TRUE AS recall_ok
     FROM (
