@@ -258,3 +258,69 @@ def test_tws_pattern_recovers_mid_replay(spark, tmp_path):
     )
     batch = pattern_match_batch(Catalog(spark, SF_SMOKE).events, gap=GAP)
     assert _multiset(got.select(*batch.columns)) == _multiset(batch)
+
+
+# ---- streaming dedup + watermarked session windows -------------------------
+# The remaining stateful shapes: the seen-key dedup set, and session-
+# window state whose APPEND emission depends on the RESTORED watermark
+# (a resume that lost it would emit sessions early/late or duplicate
+# them across the crash boundary).
+
+
+def test_stream_dedup_recovers_mid_replay(spark, tmp_path):
+    from fs2_kafka_streams_spark.queries.streaming_ext import _events_stream
+
+    got = _multi_crash_run(
+        spark,
+        lambda: _events_stream(spark, SF_SMOKE, files_per_trigger=2)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"]),
+        tmp_path / "out", tmp_path / "ck",
+        crash_points=[1],
+    )
+    ev = Catalog(spark, SF_SMOKE).events
+    want = _multiset(ev.select("user_id", "event_type").distinct())
+    assert _multiset(got) == want
+
+
+def test_session_window_append_recovers_mid_replay(spark, tmp_path):
+    import datetime
+
+    from fs2_kafka_streams_spark.queries.streaming_ext import _events_stream
+
+    def build():
+        src = _events_stream(
+            spark, SF_SMOKE, files_per_trigger=2, time_ordered=True,
+            ts_type="timestamp",
+        ).withWatermark("ts", "10 minutes")
+        return (
+            src.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"),
+                F.col("user_id"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    got = _multi_crash_run(
+        spark, build, tmp_path / "out", tmp_path / "ck",
+        crash_points=[1],
+        extra_conf={"spark.sql.session.timeZone": "UTC"},
+    )
+    # expectation = the duality test's: batch sessions closed by the
+    # final watermark (max ts - delay); open sessions stay withheld
+    from fs2_kafka_streams_spark.queries import load_all
+
+    batch = load_all()["q35_session_window"].build(spark, SF_SMOKE)
+    max_ts = Catalog(spark, SF_SMOKE).events.agg(F.max("ts")).collect()[0][0]
+    final_wm = max_ts - datetime.timedelta(minutes=10)
+    want = sorted(
+        tuple(r) for r in batch.collect() if r["session_end"] <= final_wm
+    )
+    assert sorted(map(tuple, got.select(*batch.columns).collect())) == want
+    assert len(want) > 0
