@@ -757,18 +757,28 @@ def test_empty_topic_contract(spark, empty_sf_dir, name):
     assert sorted(sdf.columns) == sorted(ddf.columns)
 
 
-def test_ivf_small_corpus_still_loud(spark):
-    """The 0 < n < nlist regime keeps its loud guard — a result is
-    expected there but training is degenerate; only n == 0 returns the
-    exact empty set."""
-    from fs2_kafka_streams_spark.operators.similarity import ivf_topk
+def test_ivf_small_corpus_exhaustive_fallback(spark):
+    """The 0 < n < nlist regime — POLICY REVISED by the r10 tiny-corpus
+    sweep: the earlier loud ValueError made the entry crash where its
+    oracle returned rows. k-means cannot place more centroids than
+    points, so the trainer shrinks nlist to n and probes every cell:
+    exhaustive, hence EXACT (equality with brute force pinned here and
+    in test_ivf_degenerate_corpus_is_exhaustive). n == 0 still returns
+    the exact empty set."""
+    from fs2_kafka_streams_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
 
     emb = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(3)],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(ValueError, match="need >= nlist"):
-        ivf_topk(emb, emb, k=1, nlist=16).collect()
+    ivf = sorted(map(tuple, ivf_topk(emb, emb, k=1, nlist=16)
+                     .select("query_id", "neighbor_id", "rank").collect()))
+    ex = sorted(map(tuple, cosine_topk(emb, emb, k=1)
+                    .select("query_id", "neighbor_id", "rank").collect()))
+    assert ivf == ex and len(ivf) == 3
     assert ivf_topk(emb.limit(0), emb, k=1, nlist=16).count() == 0
 
 
