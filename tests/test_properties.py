@@ -449,3 +449,73 @@ def test_well_formed_vectors_cross_engine(spark, vecs, dim):
         ).fetchall()
     }
     assert got == want
+
+
+# ---- r10: as-of join vs DuckDB's native ASOF JOIN on random corpora --------
+
+_keys = st.one_of(st.none(), st.integers(0, 3))
+_times = st.one_of(st.none(), st.integers(0, 20))
+
+
+@SET
+@given(
+    left=st.lists(st.tuples(_keys, _times), min_size=1, max_size=25),
+    right=st.lists(
+        st.tuples(_keys, _times, st.integers(0, 5)), min_size=0, max_size=25
+    ),
+)
+def test_asof_join_equals_duckdb_asof(spark, left, right):
+    """asof_join ≡ DuckDB's native ASOF LEFT JOIN on arbitrary (key, time)
+    multisets — ties at equal times, duplicate rows, NULL keys and times
+    on both sides. The right side is pre-deduped to max-payload per
+    (key, time) so both engines' tie rules coincide (our documented rule:
+    greatest payload struct). The documented NULL contract applies: a
+    NULL-time or NULL-key probe stays unmatched (DuckDB's raw ASOF would
+    hand a NULL probe the latest right row — r10 NULL-ts axis), and
+    NULL-time/NULL-key right rows never match."""
+    import duckdb
+
+    from fs2_kafka_streams_spark.operators.asof_join import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "i long, k long, t long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t, v) in right], "k long, t long, v long"
+    )
+    got = {
+        (r["i"], r["v"])
+        for r in asof_join(
+            ldf, rdf, "t", "t", ["k"], ["k"], right_values=["v"]
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (i BIGINT, k BIGINT, t BIGINT)")
+    con.execute("CREATE TABLE r (k BIGINT, t BIGINT, v BIGINT)")
+    if left:
+        con.executemany(
+            "INSERT INTO l VALUES (?, ?, ?)",
+            [(i, k, t) for i, (k, t) in enumerate(left)],
+        )
+    if right:
+        con.executemany("INSERT INTO r VALUES (?, ?, ?)", list(right))
+    want = {
+        (i, v)
+        for i, v in con.sql(
+            """
+            WITH r2 AS (
+              SELECT k, t, max(v) AS v FROM r
+              WHERE k IS NOT NULL AND t IS NOT NULL GROUP BY k, t
+            ), l2 AS (
+              SELECT * FROM l WHERE k IS NOT NULL AND t IS NOT NULL
+            ), m AS (
+              SELECT l2.i, r2.v
+              FROM l2 ASOF LEFT JOIN r2
+                ON l2.k = r2.k AND l2.t >= r2.t
+            )
+            SELECT l.i, m.v FROM l LEFT JOIN m USING (i)
+            """
+        ).fetchall()
+    }
+    assert got == want
