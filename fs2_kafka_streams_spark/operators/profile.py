@@ -32,8 +32,16 @@ def _render(col: F.Column, dtype: T.DataType) -> F.Column:
         return F.date_format(col, _TS_FMT)
     if isinstance(dtype, T.DoubleType):
         # test-table doubles carry <= 2 decimal digits (FIXTURES.md);
-        # exact decimal rendering is identical in both engines
-        return col.cast("decimal(18,2)").cast("string")
+        # exact decimal rendering is identical in both engines. Routed
+        # through the measure-guarded dec2, not a raw decimal cast (r10
+        # advisory): the raw cast is the exact engine-divergent /
+        # ANSI-throwing cast the measure-domain policy eliminated — a
+        # NaN/±inf/overflow extremum renders as NULL ("no usable
+        # measurement") instead of crashing the exported operator on
+        # hostile data. Identity on in-contract ≤2-dp values.
+        from fs2_kafka_streams_spark.canonical import dec2
+
+        return dec2(col).cast("string")
     return col.cast("string")
 
 

@@ -39,6 +39,14 @@ QUANT = 1_000_000
 #: to at most d·1e16, exact in int64 up to d ≈ 900.
 EMB_BOUND = 100.0
 
+#: Fixture embedding dimensionality (FIXTURES.md) — the ONE declaration of
+#: the well-formed-vector contract's dim. Every consumer (queries/llm.py's
+#: batch family, queries/streaming_ext.py's streaming ANN) imports THIS
+#: constant (r10 advisory): a hardcoded copy that drifted from the fixture
+#: dim would silently filter every vector into an empty corpus instead of
+#: failing loudly.
+EMB_DIM = 64
+
 
 def well_formed_vectors(
     col: str | Column, dim: int, bound: float = EMB_BOUND

@@ -1159,9 +1159,10 @@ def q47_multimodal_features(spark, sf_dir):
 
 _N_QUERIES = 3
 
-#: fixture embedding dimensionality (FIXTURES.md) — the well-formed-vector
-#: contract is declared against this
-_EMB_DIM = 64
+#: fixture embedding dimensionality — single source of truth lives next to
+#: the well-formed-vector contract itself (r10 advisory: a second hardcoded
+#: copy in the streaming ANN path could drift and silently empty the corpus)
+from fs2_kafka_streams_spark.operators.similarity import EMB_DIM as _EMB_DIM
 
 
 def _emb(spark, sf_dir):
@@ -1416,7 +1417,11 @@ def q44b_lsh_ann(spark, sf_dir):
            CAST(neighbor_id AS BIGINT) AS exact_top1,
            -- k results per query, bounded by the eligible-neighbor count
            -- (corpus minus self) so a corpus smaller than k still agrees
-           -- (r10 tiny-corpus sweep)
+           -- (r10 tiny-corpus sweep). ASSUMPTION (r10 advisory): every
+           -- query vector IS a well-formed corpus member — true here by
+           -- construction (q = e filtered to vec_id < N), so "minus
+           -- self" is exactly -1 per query; a disjoint query set would
+           -- need count(e WHERE neighbor_id <> query_id) per query
            CAST(LEAST(5, (SELECT count(*) FROM e) - 1) AS BIGINT) AS n_ivf,
            TRUE AS ivf_top1_ok,
            TRUE AS recall_ok

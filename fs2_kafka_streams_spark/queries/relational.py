@@ -377,13 +377,13 @@ def q14_count_distinct(spark, sf_dir):
     return li.groupBy(
         # DATE, not TIMESTAMP, for the truncated month: date32 carries no
         # nanosecond range bound, so a month-start BELOW the parquet-ns
-        # floor (date_trunc('month', 1677-09-22) = 1677-09-01) survives
-        # the Arrow collection that a ns timestamp crashes on (r10
-        # relational far-date sweep; DATE is also process-TZ-independent,
-        # the property the previous NTZ cast existed for)
-        F.date_trunc("month", F.col("l_shipdate"))
-        .cast("date")
-        .alias("ship_month")
+        # floor (trunc(1677-09-22, 'month') = 1677-09-01) survives the
+        # Arrow collection that a ns timestamp crashes on (r10 relational
+        # far-date sweep). F.trunc is DATE->DATE with no timestamp
+        # intermediate at all (r10 advisory): the previous
+        # date_trunc+cast roundtrip relied on empirically-pinned
+        # TZ-invariance of an LTZ hop; trunc is TZ-free by construction
+        F.trunc(F.col("l_shipdate").cast("date"), "month").alias("ship_month")
     ).agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -494,15 +494,18 @@ def q15b_approx_percentile(spark, sf_dir):
         .agg(
             F.expr("percentile(l_quantity, 0.5)").alias("median_exact"),
             F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("_approx"),
-            # the sketch's reference point: approx_percentile at int32-max
-            # accuracy is the EXACT DISCRETE median (a group member). The
-            # interpolated median is the wrong yardstick for tiny groups —
-            # a 2-row group interpolates to a value no sketch can return,
-            # failing the 5% claim spuriously (r10 tiny-corpus sweep); at
-            # scale the discrete and interpolated medians coincide to well
-            # under the tolerance
+            # the sketch's reference point: a DISCRETE median (a group
+            # member). The interpolated median is the wrong yardstick for
+            # tiny groups — a 2-row group interpolates to a value no
+            # sketch can return, failing the 5% claim spuriously (r10
+            # tiny-corpus sweep). Accuracy 1e6 keeps the sketch buffer
+            # BOUNDED (r10 advisory: int32-max accuracy ≈ exact aggregate
+            # whose buffer grows with the group, contradicting the
+            # one-pass-mergeable rationale): exact for groups ≤ 1M rows,
+            # rank error ≤ 1e-6 beyond — orders of magnitude inside the
+            # 5% tolerance band either way
             F.expr(
-                "approx_percentile(l_quantity, 0.5, 2147483647)"
+                "approx_percentile(l_quantity, 0.5, 1000000)"
             ).alias("_exact_disc"),
         )
         .select(
@@ -1015,10 +1018,9 @@ def q26_date_functions(spark, sf_dir):
         F.dayofmonth("o_orderdate").alias("dom"),
         F.date_add(od, 30).alias("plus30"),
         F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since"),
-        # DATE, not NTZ timestamp — same Arrow ns-floor rationale as q14
-        F.date_trunc("month", F.col("o_orderdate"))
-        .cast("date")
-        .alias("order_month"),
+        # DATE, not NTZ timestamp — same Arrow ns-floor rationale as q14;
+        # F.trunc is DATE->DATE, no TZ roundtrip (r10 advisory)
+        F.trunc(od, "month").alias("order_month"),
         F.last_day(od).alias("month_end"),
     )
 

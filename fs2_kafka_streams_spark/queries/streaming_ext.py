@@ -335,14 +335,16 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
     import tempfile
 
     from fs2_kafka_streams_spark.operators.similarity import (
+        EMB_DIM,
         cosine_topk,
         well_formed_vectors,
     )
 
     # same well-formed-vector contract as the batch family (queries/llm.py
-    # _emb): ill-formed corpus vectors would crash the per-batch scorer
+    # _emb): ill-formed corpus vectors would crash the per-batch scorer.
+    # EMB_DIM is the shared constant, not a local copy (r10 advisory)
     corpus = Catalog(spark, sf_dir).embeddings.filter(
-        well_formed_vectors("embedding", 64)
+        well_formed_vectors("embedding", EMB_DIM)
     )
     qdir = replay_dir(sf_dir, table="embeddings", id_col="vec_id")
     schema = spark.read.parquet(qdir).schema

@@ -153,15 +153,34 @@ def replay_dir(
         # tests/test_review_r10_fixes.py) — so the second sentinel was one
         # whole wasted trigger of state-store commits per run.
         arrays, names = [], []
+        any_ts_advanced = False
         for f in t.schema:
             if pa.types.is_timestamp(f.type):
                 mx = pc.max(t.column(f.name)).as_py()
-                arrays.append(
-                    pa.array(
-                        [mx + _dt.timedelta(minutes=sentinel_minutes)],
-                        f.type,
+                if mx is None:
+                    # all-NULL timestamp column (r11, VERDICT Next #5):
+                    # max() of zero non-NULL values is None and
+                    # None + timedelta is a TypeError. A secondary ts
+                    # column that carries no data gets a NULL sentinel
+                    # value — but if it is THE replay order column, a
+                    # silent NULL sentinel means the watermark never
+                    # advances and outer/timeout state never flushes:
+                    # fail loudly instead of hanging the consumer.
+                    if order_col == f.name:
+                        raise ValueError(
+                            f"replay_dir: order column {order_col!r} is "
+                            "all-NULL; the sentinel cannot advance a "
+                            "watermark off it"
+                        )
+                    arrays.append(pa.array([None], f.type))
+                else:
+                    any_ts_advanced = True
+                    arrays.append(
+                        pa.array(
+                            [mx + _dt.timedelta(minutes=sentinel_minutes)],
+                            f.type,
+                        )
                     )
-                )
             elif pa.types.is_string(f.type):
                 arrays.append(pa.array(["__sentinel__"], f.type))
             elif pa.types.is_floating(f.type):
@@ -169,6 +188,15 @@ def replay_dir(
             else:
                 arrays.append(pa.array([-1], f.type))
             names.append(f.name)
+        if not any_ts_advanced:
+            # every timestamp column is all-NULL (or absent): the
+            # sentinel row cannot advance ANY watermark, so the caller's
+            # "flush pending state" intent is unsatisfiable — loud, not
+            # a silently inert extra trigger (r11, VERDICT Next #5)
+            raise ValueError(
+                "replay_dir: sentinel_minutes requested but no timestamp "
+                "column has a non-NULL max; no watermark can advance"
+            )
         parts.append(pa.table(arrays, names=names))
 
     for k, part in enumerate(parts):
