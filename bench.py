@@ -59,9 +59,21 @@ if _REPO not in sys.path:
 #: case per-entry (run-relative) flags structurally cannot see.
 HOST_QUIET_BAND_200M = (0.23, 0.27)
 
+#: Quiet-host band for the small-file write+fsync probe (ms/op), measured
+#: in SCALE.md: certified-quiet windows read io_calib medians 0.46-0.56,
+#: degraded windows ≥ 0.99. The r10 driver run sat at 0.647 — above every
+#: quiet reading but below every per-entry relative-flag threshold, so
+#: q48's +30% regression rode through UNFLAGGED (r10 verdict "What's
+#: wrong #1"). The band top is the absolute line the run-gated uniform-
+#: elevation flag below measures against.
+IO_QUIET_BAND_MS = (0.40, 0.60)
+
 
 def noise_flags(
-    names: list[str], calib_trace: list[float], abs_floor: float = 0.05
+    names: list[str],
+    calib_trace: list[float],
+    abs_floor: float = 0.05,
+    quiet_band_top: float | None = None,
 ) -> tuple[dict[str, list[float]], float]:
     """Per-entry noise flags from the inter-entry calibration ticks.
 
@@ -84,9 +96,22 @@ def noise_flags(
     entries — callers pass a floor scaled to their unit (r9, per the
     round-8 advisory).
 
+    ``quiet_band_top`` (r11, per the r10 verdict's q48 finding) closes
+    the uniform-elevation gap the median-relative rule structurally
+    cannot see: a run whose WHOLE trace sits moderately above the quiet
+    band (r10 driver: io_med 0.647 vs the 0.46-0.56 quiet readings) has
+    a median that rises WITH the load, so no bracket ever clears
+    1.6×median — q48 regressed +30% and rode through unflagged. When the
+    run's own median exceeds the band top, any entry whose BOTH brackets
+    sit above the band top self-flags with its bracket values. The gate
+    on the run median keeps quiet-run discrimination intact (measured on
+    the r10 quiet artifact: 3/83 entries have both brackets > 0.60 at a
+    0.46 median — zero flagged, because the run gate is closed).
+
     Returns ``(noisy, median_tick)``.
     """
     mid = _median(calib_trace)
+    elevated_run = quiet_band_top is not None and mid > quiet_band_top
 
     def _hot(t: float) -> bool:
         return t > max(1.6 * mid, mid + abs_floor)
@@ -94,7 +119,11 @@ def noise_flags(
     noisy: dict[str, list[float]] = {}
     for i, name in enumerate(names):
         before, after = calib_trace[i], calib_trace[i + 1]
-        if _hot(before) or _hot(after):
+        if (
+            _hot(before)
+            or _hot(after)
+            or (elevated_run and min(before, after) > quiet_band_top)
+        ):
             noisy[name] = [before, after]
     return noisy, mid
 
@@ -395,7 +424,19 @@ def main() -> None:
     # IO trace is in ms/op (CPU trace is in seconds): pass an absolute
     # floor scaled to the unit, else sub-millisecond fsync jitter over a
     # fast median spuriously flags entries (r8 advisory)
-    noisy_io, io_median = noise_flags(names, io_trace, abs_floor=0.25)
+    noisy_io, io_median = noise_flags(
+        names,
+        io_trace,
+        abs_floor=0.25,
+        # run-gated absolute flag (r11): under an elevated-IO run the
+        # median-relative rule is blind to uniform elevation — q48's r10
+        # +30% driver reading carried no flag at io_med 0.647
+        quiet_band_top=IO_QUIET_BAND_MS[1],
+    )
+    # run-level IO twin of host_loaded: the whole run was measured above
+    # the SCALE.md-certified quiet fsync band — streaming-family totals
+    # are host-IO-inflated, not code regressions
+    io_loaded = io_median > IO_QUIET_BAND_MS[1]
     quiet = min(calib_trace)
     # run-LEVEL load flag: per-entry flags are relative to the run's own
     # median, so a UNIFORMLY loaded run (external co-tenant pinning the
@@ -435,6 +476,8 @@ def main() -> None:
         # a single inflated streaming entry
         "io_trace_ms": io_trace,
         "io_median_ms": io_median,
+        "io_loaded": io_loaded,
+        "io_quiet_band_ms": list(IO_QUIET_BAND_MS),
         "noisy_io": noisy_io,
         # cheap per-entry host-throughput probe: calib_trace[i] ran just
         # before entry i (trace[i+1] just after); entries bracketed by a
@@ -512,6 +555,7 @@ def main() -> None:
                 "noisy_io_names": flag_names(noisy_io, io_median),
                 "io_med_ms": io_median,
                 "host_loaded": host_loaded,
+                "io_loaded": io_loaded,
                 "io_ms": [io_before, io_after],
                 "stream_sec": stream_family_sec,
                 "queries": slowest,

@@ -215,3 +215,58 @@ def test_q15b_tiny_group_still_within_tol(spark, tmp_path):
         for r in spec.build(spark, str(tmp_path)).collect()
     }
     assert got == {"A": True, "B": True}
+
+
+# ---------------------------------------------------------------------------
+# r10 verdict Next #1 (flagging half) — run-gated uniform-IO-elevation flag
+# ---------------------------------------------------------------------------
+
+
+def test_noise_flags_uniform_io_elevation_self_flags():
+    """The r10 driver run measured q48 +30% at io_med 0.647 ms/op with NO
+    flag: under a uniformly elevated run the median rises with the load,
+    so no bracket ever clears 1.6×median. With quiet_band_top set, an
+    entry whose BOTH brackets sit above the absolute quiet band must
+    self-flag when the run median is itself above the band."""
+    import bench
+
+    names = [f"q{i}" for i in range(5)]
+    # the r10 shape: every tick moderately elevated (median 0.65 > 0.60
+    # band top), no single spike — the old rule flags nothing
+    elevated = [0.65, 0.66, 0.64, 0.67, 0.63, 0.65]
+    noisy_old, _ = bench.noise_flags(names, elevated, abs_floor=0.25)
+    assert noisy_old == {}, "sanity: the relative rule is blind to this"
+    noisy_new, mid = bench.noise_flags(
+        names, elevated, abs_floor=0.25,
+        quiet_band_top=bench.IO_QUIET_BAND_MS[1],
+    )
+    assert sorted(noisy_new) == names
+    assert noisy_new["q0"] == [0.65, 0.66]  # bracket values ride along
+
+
+def test_noise_flags_quiet_run_gate_stays_closed():
+    """Quiet-run discrimination (the r8 min-tick lesson): at a median
+    inside the band, an entry with both brackets above the band top must
+    NOT flag — local bursts at a quiet median are fsync jitter, and
+    flagging them would mass-flag quiet runs (3/83 such entries in the
+    r10 quiet artifact)."""
+    import bench
+
+    names = [f"q{i}" for i in range(4)]
+    quiet = [0.45, 0.46, 0.65, 0.63, 0.44]  # median 0.46: gate closed
+    noisy, _ = bench.noise_flags(
+        names, quiet, abs_floor=0.25,
+        quiet_band_top=bench.IO_QUIET_BAND_MS[1],
+    )
+    assert noisy == {}
+
+
+def test_bench_summary_carries_io_loaded():
+    """The run-level io_loaded flag (IO twin of host_loaded) must ride
+    the driver-visible summary, so a cross-round reader can attribute a
+    stream-family swing to host IO without the local artifact."""
+    import bench
+
+    src = open(bench.__file__).read()
+    assert '"io_loaded": io_loaded,' in src
+    assert "io_median > IO_QUIET_BAND_MS[1]" in src
