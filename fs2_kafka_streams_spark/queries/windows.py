@@ -139,7 +139,8 @@ def q35_session_window(spark, sf_dir):
 @query(
     "q37_dedup",
     oracle="""
-    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+    FROM events
     WHERE event_id IS NOT NULL
     UNION ALL
     SELECT event_id, ts, user_id, event_type, value, props FROM events
@@ -155,6 +156,18 @@ def q37_dedup(spark, sf_dir):
     deduplicates back to the original — rows among duplicates are identical,
     so the kept row is deterministic. Streaming counterpart
     (`dropDuplicatesWithinWatermark`) is exercised in the streaming tests.
+
+    The oracle's keyed half is DISTINCT, not the raw table (r11
+    all-duplicates-events sweep): the raw-table oracle silently assumed
+    event_id is UNIQUE in the source — true of the fixtures, not of a
+    hostile topic. With repeated ids the engine keeps one row per id
+    (50 of 200 on the all-dup corpus) while the raw-table oracle
+    replayed all 200. DISTINCT over all six columns is identity on
+    unique-id corpora (event_id alone distinguishes every row) and
+    equals one-row-per-id whenever duplicate ids carry identical
+    payloads — the exact-dedup contract. Duplicate ids with DIFFERENT
+    payloads are out of contract on BOTH engines (dropDuplicates keeps
+    an arbitrary row; any deterministic oracle would be a coin-flip).
 
     NULL-id contract (r10 cold review of this file): a NULL id is an
     UNKEYED record — Kafka itself rejects unkeyed produce to a compacted

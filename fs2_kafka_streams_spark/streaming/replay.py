@@ -121,17 +121,31 @@ def replay_dir(
     else:
         id_arrow = t.column(id_col)
         if id_arrow.null_count:
-            # loud, not lossy (r10 cold review): a NULL id converts to NaN
-            # in numpy, NaN % n matches NO bucket, and the row would
-            # silently vanish from the replay — breaking the multiset
-            # equality the whole harness rests on
-            raise ValueError(
-                f"replay_dir: id column {id_col!r} has "
-                f"{id_arrow.null_count} NULLs; hash-bucket replay needs a "
-                "non-null id (pass order_col=... for a sort-based split)"
+            # total, not lossy (r11, superseding the r10 loud-rejection):
+            # a NULL id converted to NaN in numpy, NaN % n matched NO
+            # bucket, and the row silently VANISHED from the replay —
+            # breaking the multiset equality the whole harness rests on.
+            # r10 made that a loud ValueError; r11 makes the split TOTAL
+            # instead: NULL-id rows bucket deterministically by ROW
+            # POSITION % n (parquet row order is stable), the same
+            # round-robin last resort the wire source uses for unkeyed
+            # records — a real topic does not reject unkeyed consumption,
+            # and neither should its replay twin. Multiset equality and
+            # run-to-run determinism both hold.
+            import numpy as np
+
+            null_mask = pc.is_null(id_arrow).to_numpy(zero_copy_only=False)
+            filled = (
+                pc.fill_null(id_arrow, 0)
+                .to_numpy(zero_copy_only=False)
+                .astype("int64")
             )
-        ids = id_arrow.to_numpy()
-        bucket = ids % n_files
+            bucket = filled % n_files
+            pos = np.arange(t.num_rows, dtype="int64")
+            bucket[null_mask] = pos[null_mask] % n_files
+        else:
+            ids = id_arrow.to_numpy()
+            bucket = ids % n_files
         parts = [t.filter(pa.array(bucket == k)) for k in range(n_files)]
     if sentinel_minutes and t.num_rows == 0:
         # empty topic: there is no real event whose outer/timeout state

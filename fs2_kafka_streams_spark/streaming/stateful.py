@@ -67,8 +67,12 @@ def _pick_latest(pdf: pd.DataFrame, tombstone_col: str | None = None):
     stays None (``float()`` would store NaN). A NULL ts orders SMALLEST —
     the numpy iNaT sentinel is the most-negative int64, which matches the
     batch ``max_by``'s NULLS-FIRST struct ordering — and round-trips back
-    out as NaT/NULL. ``event_id`` is the changelog position and must be
-    non-null (as in the reference, where it is the Kafka offset).
+    out as NaT/NULL. A NULL ``event_id`` is an UNKEYED record (the r10
+    NULL-id contract: its id is payload, it participates in every fold)
+    that orders SMALLEST among same-ts ties — ``na_position="first"``
+    matches the batch struct ordering's NULLS FIRST — and stays None in
+    state (r11 NULL-id streaming sweep: ``int(NaN)`` crashed all four
+    stateful engines the moment the replay became total on NULL ids).
     """
     ts_us = pd.Series(
         pdf["ts"].values.astype("datetime64[us]").astype("int64"),
@@ -76,7 +80,7 @@ def _pick_latest(pdf: pd.DataFrame, tombstone_col: str | None = None):
     )
     idx = (
         pd.DataFrame({"t": ts_us, "e": pdf["event_id"]})
-        .sort_values(["t", "e"])
+        .sort_values(["t", "e"], na_position="first")
         .index[-1]
     )
     row = pdf.loc[idx]
@@ -85,7 +89,7 @@ def _pick_latest(pdf: pd.DataFrame, tombstone_col: str | None = None):
         return None if pd.isna(v) else conv(v)
 
     cand = (
-        int(row["event_id"]),
+        _opt(row["event_id"], int),
         int(ts_us.loc[idx]),
         _opt(row["event_type"], str),
         _opt(row["value"], float),
@@ -94,6 +98,14 @@ def _pick_latest(pdf: pd.DataFrame, tombstone_col: str | None = None):
     if tombstone_col is not None:
         cand = cand + (bool(row[tombstone_col]),)
     return cand, idx
+
+
+def _fold_rank(cand) -> tuple:
+    """(ts, event_id) ordering key of a state tuple, total on NULL ids:
+    a None event_id ranks below every real id at the same ts (the batch
+    fold's NULLS-FIRST struct ordering) — a bare ``(ts, id)`` tuple
+    comparison raises TypeError on None vs int."""
+    return (cand[1], cand[0] is not None, 0 if cand[0] is None else cand[0])
 
 
 def _latest_update(key, pdf_iter, state: GroupState):
@@ -108,7 +120,7 @@ def _latest_update(key, pdf_iter, state: GroupState):
         if pdf.empty:
             continue
         cand, _ = _pick_latest(pdf)
-        if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+        if best is None or _fold_rank(cand) > _fold_rank(best):
             best = cand
     if best is not None:
         state.update(best)
@@ -154,7 +166,7 @@ def _latest_update_deletes(tombstone_col: str):
             if pdf.empty:
                 continue
             cand, _ = _pick_latest(pdf, tombstone_col)
-            if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+            if best is None or _fold_rank(cand) > _fold_rank(best):
                 best = cand
         if best is not None:
             state.update(best)
@@ -203,7 +215,7 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
                 if pdf.empty:
                     continue
                 cand, _ = _pick_latest(pdf)
-                if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+                if best is None or _fold_rank(cand) > _fold_rank(best):
                     best = cand
             if best is not None:
                 self._state.update(best)
@@ -276,7 +288,7 @@ try:  # Spark 4.x arbitrary-state API; older clusters fall back to q38.
                 if pdf.empty:
                     continue
                 cand, idx = _pick_latest(pdf, self._tombstone_col)
-                if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+                if best is None or _fold_rank(cand) > _fold_rank(best):
                     best = cand
                     best_frame = (pdf, idx)
             if best is not None:

@@ -79,7 +79,14 @@ def _run_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q36 = f"""
 WITH tagged AS (
-  SELECT *, event_id % {N_FILES} AS f,
+  -- bucket model mirrors replay_dir exactly: id % N for keyed rows,
+  -- absolute ROW POSITION % N for NULL-id rows (the r11 total split's
+  -- round-robin last resort; row_number() OVER () is scan order in
+  -- DuckDB, which preserves parquet insertion order) — an id-only model
+  -- dropped NULL-id rows from the trajectory entirely (f = NULL joins
+  -- no bucket), undercounting kept rows (r11 NULL-id streaming sweep)
+  SELECT *, CASE WHEN event_id IS NOT NULL THEN event_id % {N_FILES}
+                 ELSE (row_number() OVER () - 1) % {N_FILES} END AS f,
          time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS w_end
   FROM events
 ), allf AS (

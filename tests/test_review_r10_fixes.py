@@ -126,23 +126,44 @@ def _write_parquet(path, frame):
     return str(path)
 
 
-def test_replay_null_ids_raise_not_vanish(tmp_path):
+def test_replay_null_ids_total_not_vanish(tmp_path):
     """A NULL id used to convert to NaN, NaN % n matched no bucket, and
     the row silently vanished from every replay file — breaking the
-    multiset equality the harness rests on. Must raise loudly instead."""
+    multiset equality the harness rests on. r10 made that a loud
+    ValueError; r11 upgraded the split to TOTAL: NULL-id rows bucket
+    deterministically by row position (the wire source's round-robin
+    last resort), so the replay multiset equals the source multiset
+    with NULL ids in-band."""
+    import pyarrow.parquet as pq
+
     from fs2_kafka_streams_spark.streaming.replay import replay_dir
 
     frame = pd.DataFrame(
         {
-            "event_id": pd.array([1, 2, None], dtype="Int64"),
-            "v": [1.0, 2.0, 3.0],
+            "event_id": pd.array([1, 2, None, None, 5], dtype="Int64"),
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
         }
     )
     _write_parquet(tmp_path / "t.parquet", frame)
-    with pytest.raises(ValueError, match="NULL"):
-        replay_dir(
-            str(tmp_path), "t", cache_root=str(tmp_path / "cache")
-        )
+    d = replay_dir(str(tmp_path), "t", cache_root=str(tmp_path / "cache"))
+    got = []
+    for f in sorted(Path(d).glob("part-*.parquet")):
+        got += pq.read_table(f).column("v").to_pylist()
+    # multiset equality: nothing vanished, nothing duplicated
+    assert sorted(got) == [1.0, 2.0, 3.0, 4.0, 5.0]
+    # determinism: a rebuilt split deals identical buckets
+    import shutil
+
+    shutil.rmtree(d)
+    d2 = replay_dir(str(tmp_path), "t", cache_root=str(tmp_path / "cache"))
+    per_file = [
+        pq.read_table(f).column("v").to_pylist()
+        for f in sorted(Path(d2).glob("part-*.parquet"))
+    ]
+    assert sorted(sum(per_file, [])) == [1.0, 2.0, 3.0, 4.0, 5.0]
+    # NULL-id rows (v=3 at position 2, v=4 at position 3) land at
+    # position % n_files — stable, position-derived buckets
+    assert 3.0 in per_file[2] and 4.0 in per_file[3]
 
 
 def test_replay_cache_keyed_on_id_col(tmp_path):
