@@ -261,6 +261,99 @@ def stream_stream_join_unbounded(spark, sf_dir):
     return _stream_stream_join(spark, sf_dir, watermark=None)
 
 
+def stream_stream_join_bucketed(
+    spark, sf_dir, bucket_minutes: int = 5, watermark: str = "10 minutes"
+):
+    """q48's ±5-minute self-join with the pairing WORK of a hot key
+    spread across time buckets — the skew escape hatch the r11 join-skew
+    probe motivated (``scripts/join_skew_probe.py``).
+
+    The probe's finding: the symmetric hash join has NO state-store skew
+    cliff (state per key = rate × (delay + range), per-partition
+    max/mean 1.05 at 4 000 hot events), but a hot key's OUTPUT is
+    quadratic (0.375·H² extra pairs, measured exactly) and the plain
+    join enumerates ALL of one key's pairs in ONE state partition's
+    task — at 1 000 executors that is one straggler and 999 idle cores.
+    No salting can remove the pairs (they ARE the answer); what can be
+    fixed is WHERE they are enumerated.
+
+    Technique — the streaming twin of the batch bucketed range join
+    (q11/q12's interval-bucket trick): join equality on
+    ``(user_id, time_bucket)`` with the RIGHT side replicated into its
+    three adjacent buckets. For any pair within ±range (range ≤ bucket),
+    exactly ONE replica of b lands in a's bucket — no duplicates, no
+    misses — so the multiset equals the plain join (pinned in
+    tests/test_hostile_streaming.py). A hot key's pairs now hash across
+    ``span / bucket`` distinct join keys → that many state partitions /
+    tasks. Cost: 3× state and shuffle on the replicated side — the
+    standard replication-for-parallelism trade (same as the salted-fold
+    operator's salt factor). Use when a hot key's per-trigger pair
+    volume serializes a task; the plain q48 shape is otherwise cheaper.
+
+    Reference anchor: the deliberately hot-user fixture this guards
+    against is the reference's own test shape
+    (``ReadOnlyTableSpec.scala:41-54``)."""
+    assert bucket_minutes >= 5, "bucket must be >= the join range (5 min)"
+    a = _events_stream(
+        spark, sf_dir, files_per_trigger=2, time_ordered=True,
+        ts_type="timestamp",
+    ).withWatermark("ts", watermark)
+    b = _events_stream(
+        spark, sf_dir, files_per_trigger=2, time_ordered=True,
+        ts_type="timestamp",
+    ).withWatermark("ts", watermark)
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    bk = F.floor(
+        F.unix_micros(F.col("ts")) / F.lit(bucket_us)
+    ).cast("long")
+    a = a.withColumn("bk", bk).alias("a")
+    # replicate b into its three adjacent buckets: a pair within ±range
+    # has |a.bk - b.bk| <= 1, so replica bk' = b.bk + {-1,0,+1} meets
+    # a.bk exactly once
+    b = (
+        b.withColumn("bk0", bk)
+        .withColumn(
+            "bk",
+            F.explode(
+                F.array(
+                    F.col("bk0") - F.lit(1),
+                    F.col("bk0"),
+                    F.col("bk0") + F.lit(1),
+                )
+            ),
+        )
+        .drop("bk0")
+        .alias("b")
+    )
+    joined = a.join(
+        b,
+        on=[
+            F.col("a.user_id") == F.col("b.user_id"),
+            F.col("a.bk") == F.col("b.bk"),
+            F.col("a.event_id") < F.col("b.event_id"),
+            F.col("b.ts").between(
+                F.col("a.ts") - F.expr("INTERVAL 5 MINUTES"),
+                F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"),
+            ),
+        ],
+    ).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    )
+    return run_to_memory(
+        spark,
+        joined,
+        "q48b_sink",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.session.timeZone": "UTC",
+        },
+    )
+
+
 def session_window_append(spark, sf_dir, delay: str = "10 minutes"):
     """Watermarked APPEND-mode session windows — the 100 TB deployment shape
     of q35b (complete mode holds all session state forever; append+watermark

@@ -615,11 +615,27 @@ class _StreamReader(DataSourceStreamReader):
                 # whole backlog into one unbounded batch — the A18 pacing
                 # bypass this first-sight rule fixes)
                 tc = cur.get(topic, {})
+                if not isinstance(tc, dict):  # hostile cursor shape (r11)
+                    tc = {}
                 floors = None
                 npmap = {}
                 for p in ends:
                     sp = str(p)
                     base = tc.get(sp)
+                    # hostile-cursor hardening (r11): the cursor file is
+                    # plain JSON on disk — a hand-edited/corrupted entry
+                    # (non-numeric, negative, or beyond the log end) used
+                    # to crash int() or plan nonsense ranges. Non-numeric
+                    # → re-floor as if unseen; numeric → clamp into
+                    # [0, end]. Exactly-once is unaffected either way:
+                    # partitions() plans from Spark's COMMITTED starts,
+                    # so a regressed cursor only wastes triggers and a
+                    # runaway one only ends pacing early.
+                    if base is not None:
+                        try:
+                            base = max(0, min(int(base), ends[p]))
+                        except (TypeError, ValueError):
+                            base = None
                     if base is None:
                         if floors is None:
                             floors = self._pacing_floor(topic, ends, not cur)
@@ -653,6 +669,30 @@ class _StreamReader(DataSourceStreamReader):
         out = []
         for topic, pmap in end.items():
             spmap = start.get(topic, {})
+            # partition-level revocation (r11 hostile-wire sweep): the
+            # `partitions` option shrinking between restarts leaves
+            # committed offsets for partition ids the new layout no longer
+            # serves — the records beyond them were being dropped
+            # SILENTLY (measured: 30 of 40 rows delivered across a 4→2
+            # restart). Kafka cannot shrink a topic, so a smaller layout
+            # is a rewritten broker = data loss, the same class as the
+            # topic-level check above (reference Revoke,
+            # client/commands.scala:29-35). failOnDataLoss=false ends the
+            # vanished partitions' streams cleanly at their committed
+            # offsets, like the topic-level path.
+            lost = [p for p in spmap if p not in pmap]
+            if lost and topic in paths and self.fail_on_data_loss:
+                raise RuntimeError(
+                    f"partition(s) {sorted(int(p) for p in lost)} of "
+                    f"topic {topic!r} with committed offsets "
+                    f"{ {p: spmap[p] for p in sorted(lost)} } are gone — "
+                    "some data may have been missed. The partition layout "
+                    "shrank between restarts (a real broker cannot shrink "
+                    "a topic; re-create the query against the new layout, "
+                    "or set failOnDataLoss=false to end the vanished "
+                    "partitions' streams cleanly at their last served "
+                    "offsets)"
+                )
             # a topic/partition ABSENT from the committed start (it appeared
             # mid-query via pattern subscription) begins at its RESOLVED
             # seek point when the topic is EXPLICITLY named in the dict form

@@ -242,3 +242,24 @@ def test_alldup_multiset_roundtrip(spark, alldup_events_dir):
     out = _run_to_memory(stream.select("event_id"))
     got = sorted(r[0] for r in out.collect())
     assert got == sorted(k % 50 for k in range(200))
+
+
+def test_bucketed_join_equals_plain(spark, hot_events_dir):
+    """The skew escape hatch (stream_stream_join_bucketed: pairing work
+    spread over (user_id, time-bucket) join keys, right side replicated
+    into adjacent buckets) is EQUALITY-pinned against the plain q48 join
+    on both the fixture and the single-user corpus — same multiset, no
+    duplicated and no missed pairs (each in-range pair meets in exactly
+    one replica bucket). Probe evidence: scripts/join_skew_probe.py +
+    SCALE.md 'Stream-stream join skew'."""
+    from fs2_kafka_streams_spark.queries.streaming_ext import (
+        q48_stream_stream_join,
+        stream_stream_join_bucketed,
+    )
+
+    for sf in (SRC, hot_events_dir):
+        plain = sorted(map(tuple, q48_stream_stream_join(spark, sf).collect()))
+        buck = sorted(
+            map(tuple, stream_stream_join_bucketed(spark, sf).collect())
+        )
+        assert plain == buck, sf
