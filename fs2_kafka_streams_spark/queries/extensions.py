@@ -39,8 +39,17 @@ from fs2_kafka_streams_spark.queries.stateful import LATEST_BY_KEY_ORACLE
     oracle="""
     WITH parsed AS (
       SELECT event_id, event_type,
-             CASE WHEN event_id % 20 = 0 THEN NULL
-                  ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+             -- json_valid guard (r11 cold review): Spark's
+             -- try_parse_json yields NULL on a SOURCE-corrupt payload,
+             -- but DuckDB's json_extract THROWS — without the guard a
+             -- hostile props value crashes the oracle half only
+             -- TRY_CAST, same rationale: a valid-JSON non-numeric $.k is
+             -- NULL through Spark's try_variant_get(..., 'bigint') but a
+             -- thrown ConversionException through a plain CAST
+             CASE WHEN event_id % 20 = 0 OR NOT json_valid(props)
+                  THEN NULL
+                  ELSE TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+             END AS k,
              (event_id % 20 = 0) AS is_corrupt
       FROM (
         SELECT event_id, event_type,
@@ -388,15 +397,23 @@ def q74_observe_metrics(spark, sf_dir):
     # noop sink — the same execution shape as any downstream consumer)
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+    # sum over an empty / all-out-of-domain table is None (r11 cold
+    # review: float(None) crashed; SQL's sum-of-nothing is NULL on both
+    # engines) — keep it None and declare the schema explicitly, since
+    # a None field defeats Row-based type inference
     return spark.createDataFrame(
         [
             Row(
                 n_rows=int(m["n_rows"]),
                 n_large=int(m["n_large"]),
-                sum_price=float(m["sum_price"]),
+                sum_price=(
+                    None if m["sum_price"] is None else float(m["sum_price"])
+                ),
                 n_null_status=int(m["n_null_status"]),
             )
-        ]
+        ],
+        "n_rows bigint, n_large bigint, sum_price double, "
+        "n_null_status bigint",
     )
 
 

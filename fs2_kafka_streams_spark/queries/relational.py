@@ -1287,8 +1287,15 @@ def q31_json_functions(spark, sf_dir):
              AS n_good,
            CAST(count(*) FILTER (WHERE NOT json_valid(payload)) AS BIGINT)
              AS n_bad,
+           -- TRY_CAST (r11 cold review): a VALID-JSON payload whose $.k
+           -- is non-numeric ('{"k": "abc"}') is a good record with a
+           -- NULL metric, not a crash — the plain CAST threw
+           -- ConversionException here and CAST_INVALID_INPUT on the
+           -- Spark half (ANSI), the exact jagged boundary the decode
+           -- family exists to absorb
            CAST(sum(CASE WHEN json_valid(payload)
-                         THEN CAST(json_extract_string(payload, '$.k') AS INTEGER)
+                         THEN TRY_CAST(json_extract_string(payload, '$.k')
+                                       AS INTEGER)
                     END) AS BIGINT) AS sum_k
     FROM payloads GROUP BY event_type
     """,
@@ -1312,7 +1319,10 @@ def q32_dead_letter_split(spark, sf_dir):
         F.col("event_id") % 20 == 0, F.concat(F.lit("x"), F.col("props"))
     ).otherwise(F.col("props"))
     valid = F.try_parse_json(payload).isNotNull()
-    k = F.when(valid, F.get_json_object(payload, "$.k").cast("int"))
+    # try_cast mirrors the oracle's TRY_CAST: valid JSON with a
+    # non-numeric $.k is a good record with a NULL metric (r11 cold
+    # review — the plain cast threw under ANSI)
+    k = F.when(valid, F.get_json_object(payload, "$.k").try_cast("int"))
     return (
         e.select(
             "event_type",

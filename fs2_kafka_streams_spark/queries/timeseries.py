@@ -297,7 +297,12 @@ def q62_anomaly(spark, sf_dir):
     ),
     agg AS (
       SELECT user_id,
-             sum(cents * (t_next - t)) AS wsum,
+             -- HUGEINT product (r11 cold review): a cent value near the
+             -- 1e14 measure bound times a multi-year gap (~1.8e10 s at
+             -- the calendar extremes) reaches ~1.8e26 cent-seconds —
+             -- past BIGINT, where both engines THROW. HUGEINT/decimal38
+             -- keeps the identity exact to ~1e38 on both halves.
+             sum(CAST(cents AS HUGEINT) * (t_next - t)) AS wsum,
              sum(t_next - t) AS wtot,
              count(*) AS n_events
       FROM seq WHERE t_next IS NOT NULL GROUP BY 1
@@ -336,11 +341,17 @@ def q63_time_weighted_avg(spark, sf_dir):
         F.lead(ntz_epoch_seconds("ts")).over(w).alias("t_next"),
     )
     gap = F.col("t_next") - F.col("t")
+    # decimal(38,0) cent-second products (r11 cold review, mirroring the
+    # oracle's HUGEINT): BIGINT products overflow (both engines throw) at
+    # in-measure-domain cents (~1e16) times calendar-extreme gaps
+    # (~1.8e10 s) — the q62 sufficient-statistics posture applied here
     agg = (
         seq.filter(F.col("t_next").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.sum(F.col("cents") * gap).alias("wsum"),
+            F.sum(
+                F.col("cents").cast("decimal(19,0)") * gap
+            ).cast("decimal(38,0)").alias("wsum"),
             F.sum(gap).alias("wtot"),
             F.count(F.lit(1)).alias("n_events"),
         )

@@ -270,3 +270,175 @@ def test_bench_summary_carries_io_loaded():
     src = open(bench.__file__).read()
     assert '"io_loaded": io_loaded,' in src
     assert "io_median > IO_QUIET_BAND_MS[1]" in src
+
+
+# ---------------------------------------------------------------------------
+# r11 cold-review campaign (VERDICT Next #7) — findings in the never-
+# reviewed files, each pinned on the corpus shape that exposed it
+# ---------------------------------------------------------------------------
+
+import os as _os
+import shutil as _shutil
+import sys as _sys
+
+_SRC = "/root/testdata/sf0.001"
+
+
+def _oracle_match(spark, sf_dir, name):
+    import duckdb
+
+    _sys.path.insert(0, str(REPO / "scripts"))
+    from driver_sim import TABLES, _canon, _hash
+
+    from fs2_kafka_streams_spark.queries import load_all
+
+    spec = load_all()[name]
+    sdf = _canon(spec.build(spark, sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    ddf = _canon(con.sql(spec.oracle).df())
+    assert len(sdf) == len(ddf), (len(sdf), len(ddf))
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert _hash(sdf) == _hash(ddf)
+
+
+@pytest.fixture(scope="session")
+def bigcents_sf_dir(tmp_path_factory):
+    """The overflow-intersection corpus: in-measure-domain extreme cents
+    (|value| just under the 1e14 bound) at calendar-extreme gaps (1950 →
+    2260, ~9.8e9 s) on ONE user — cent-second products ~9.7e25, past
+    BIGINT on both engines."""
+    d = tmp_path_factory.mktemp("sfbigcents")
+    for f in _os.listdir(_SRC):
+        if f.endswith(".parquet") and f != "events.parquet":
+            _shutil.copy(_os.path.join(_SRC, f), d / f)
+    e = pd.read_parquet(_os.path.join(_SRC, "events.parquet"))
+    extra = pd.DataFrame([
+        dict(event_id=10**6 + 1, ts=pd.Timestamp("1950-01-01T00:00:00"),
+             user_id=999999, event_type="view", value=9.9e13, props="{}"),
+        dict(event_id=10**6 + 2, ts=pd.Timestamp("2260-01-01T00:00:00"),
+             user_id=999999, event_type="view", value=-9.9e13, props="{}"),
+    ])
+    e2 = pd.concat([e, extra], ignore_index=True)
+    e2["ts"] = e2["ts"].astype("datetime64[us]")
+    e2.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["q63_time_weighted_avg", "q62_anomaly"])
+def test_twa_cent_seconds_wide_arithmetic(spark, bigcents_sf_dir, name):
+    """q63's cent-second products ran in BIGINT: an in-domain extreme
+    value times a multi-year gap overflows int64 and BOTH engines threw
+    (ANSI ARITHMETIC_OVERFLOW / DuckDB OutOfRange) — the r10
+    extreme-numerics and far-date axes each passed alone; their
+    INTERSECTION crashed. Now decimal(38,0)/HUGEINT on the two halves;
+    q62 (already wide) rides as the control."""
+    _oracle_match(spark, bigcents_sf_dir, name)
+
+
+@pytest.fixture(scope="session")
+def badprops_sf_dir(tmp_path_factory):
+    """Source-corrupt props: truncated JSON, non-JSON, empty string, bare
+    number, and VALID-JSON-non-numeric $.k on every 7th event."""
+    d = tmp_path_factory.mktemp("sfbadprops")
+    for f in _os.listdir(_SRC):
+        if f.endswith(".parquet") and f != "events.parquet":
+            _shutil.copy(_os.path.join(_SRC, f), d / f)
+    e = pd.read_parquet(_os.path.join(_SRC, "events.parquet"))
+    bad = ['{"k": 1, ', "not json", "", "42", '{"k": "abc"}']
+    n_bad = (len(e) + 6) // 7
+    e.loc[e.index % 7 == 0, "props"] = [bad[i % len(bad)] for i in range(n_bad)]
+    e["ts"] = e["ts"].astype("datetime64[us]")
+    e.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name", ["q65_variant_json", "q32_dead_letter_split", "q32_dlq_map_hof"]
+)
+def test_json_decode_total_on_source_corrupt_props(
+    spark, badprops_sf_dir, name
+):
+    """The decode family must be TOTAL on source-corrupt payloads:
+    q65's oracle called json_extract unguarded (DuckDB throws where
+    Spark's try_parse_json NULLs) and both q32 halves CAST a valid-JSON
+    non-numeric $.k (ANSI CAST_INVALID_INPUT vs ConversionException —
+    crashes on both engines). Now json_valid-guarded + TRY_CAST on the
+    oracle halves, try_cast on the Spark half."""
+    _oracle_match(spark, badprops_sf_dir, name)
+
+
+@pytest.fixture(scope="session")
+def empty_orders_sf_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("sfemptyorders")
+    for f in _os.listdir(_SRC):
+        if not f.endswith(".parquet"):
+            continue
+        p = _os.path.join(_SRC, f)
+        if f == "orders.parquet":
+            pq.write_table(pq.read_table(p).slice(0, 0), str(d / f))
+        else:
+            _shutil.copy(p, d / f)
+    return str(d)
+
+
+def test_observe_metrics_empty_table(spark, empty_orders_sf_dir):
+    """q74 crashed on an empty (or all-out-of-domain) orders table:
+    float(None) on the observed sum — SQL's sum-of-nothing is NULL on
+    both engines, so the metric row must carry NULL, not crash (and the
+    row needs an explicit schema, since a None field defeats Row-based
+    inference)."""
+    _oracle_match(spark, empty_orders_sf_dir, "q74_observe_metrics")
+
+
+def test_zorder_degenerate_inputs(spark):
+    """Cold-review probes of operators/layout.py: an all-NULL z-column
+    (empty quantile edge list → zero-arg F.array) and an empty frame
+    must both code cleanly — the all-NULL dimension degrades to one bin
+    (clusters nothing, prunes nothing) rather than failing analysis."""
+    from fs2_kafka_streams_spark.operators.layout import zorder_code
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [None] * 10, "y": [1.0] * 10}).astype(
+            {"x": "float64"}
+        )
+    )
+    assert df.select(zorder_code(df, ["x", "y"], 4)).distinct().count() == 1
+    df2 = spark.createDataFrame([], "x double, y double")
+    assert df2.select(zorder_code(df2, ["x", "y"], 4)).count() == 0
+
+
+def test_md5_int64_null_and_word_independence(spark):
+    """Cold-review pin of functions/hashing.py: NULL hashes to NULL on
+    both engines, and the two 60-bit words come from DISJOINT md5 hex
+    ranges (chars 1-15 / 16-30) — an overlap would correlate SimHash
+    bit planes."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from fs2_kafka_streams_spark.functions.hashing import (
+        SQL_MD5_INT64,
+        SQL_MD5_INT64_HI,
+        md5_int64,
+        md5_int64_hi,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"s": ["hello", None, ""]})
+    )
+    got = df.select(
+        md5_int64(F.col("s")).alias("lo"), md5_int64_hi(F.col("s")).alias("hi")
+    ).collect()
+    exp = duckdb.sql(
+        f"SELECT {SQL_MD5_INT64('s')} AS lo, {SQL_MD5_INT64_HI('s')} AS hi "
+        "FROM (VALUES ('hello'), (NULL), ('')) t(s)"
+    ).fetchall()
+    assert [(r["lo"], r["hi"]) for r in got] == [tuple(r) for r in exp]
+    assert got[1]["lo"] is None and got[1]["hi"] is None
+    assert got[0]["lo"] != got[0]["hi"]
