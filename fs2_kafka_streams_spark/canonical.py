@@ -109,7 +109,17 @@ def sql_dec2(expr: str) -> str:
     )
 
 
-SQL_REVENUE = f"{sql_dec2('l_extendedprice')} * (1 - {sql_dec2('l_discount')})"
+# the (1 - disc) factor is widened to DECIMAL(19,2): width >= 19 is
+# hugeint-backed in DuckDB, so the product runs in int128 — the plain
+# DECIMAL(18) x DECIMAL(20) multiply executes in int64 and throws
+# OutOfRange once |price x (1-disc)| scaled passes 2^63 (r11 fuzz,
+# seed 9: in-measure-domain +/-9.99e13 money values). 18+20 = 38 keeps
+# the result inside DuckDB's max width; Spark's own widening caps at
+# (38,4) the same way.
+SQL_REVENUE = (
+    f"{sql_dec2('l_extendedprice')}"
+    f" * (1 - cast({sql_dec2('l_discount')} as decimal(19,2)))"
+)
 
 
 def sql_measure(expr: str, bound: str = "1e14") -> str:
@@ -118,15 +128,89 @@ def sql_measure(expr: str, bound: str = "1e14") -> str:
 
 
 def sql_dsum(expr: str) -> str:
-    return f"cast(sum({sql_dec2(expr)}) as double)"
+    # via text (spelled `string` — the one alias BOTH parsers accept;
+    # Spark rejects bare `varchar`, and q49b runs this helper's output
+    # through spark.sql verbatim): DuckDB's hugeint-backed
+    # DECIMAL(38,2) -> DOUBLE cast
+    # is incorrectly rounded once the scaled sum exceeds 2^53 (int128 /
+    # then divide; 99900000029099.03 -> .05), while the text parse is
+    # correctly rounded and matches Spark's BigDecimal.doubleValue
+    # (r11 fuzz, seed 8)
+    return f"cast(cast(sum({sql_dec2(expr)}) as string) as double)"
 
 
 def sql_davg(expr: str) -> str:
     """Oracle mirror of :func:`davg` — measure-domain mean (the count is
     over the guarded value, excluding out-of-domain rows)."""
-    return f"cast(sum({sql_dec2(expr)}) as double) / count({sql_dec2(expr)})"
+    return (
+        f"cast(cast(sum({sql_dec2(expr)}) as string) as double)"
+        f" / count({sql_dec2(expr)})"
+    )
 
 
 def sql_dsum_expr(expr: str) -> str:
     """Sum of an already-decimal SQL expression, as double."""
-    return f"cast(sum({expr}) as double)"
+    return f"cast(cast(sum({expr}) as string) as double)"
+
+
+# ---- Arrow-collectable timestamp saturation --------------------------------
+#
+# The driver collects results through Arrow/pandas, whose timestamp unit
+# is NANOSECONDS: a COMPUTED time bound (window end = bucket + width,
+# session end = last ts + gap) for an event within one window-length of
+# the ns range crosses 2262-04-11 23:47:16.854775 / 1677-09-21
+# 00:12:43.145225 and crashes the us->ns cast at collection, while the
+# DuckDB twin returns the us value happily (r11 fuzz, seed 6 — the same
+# boundary the r10 far-date sweep hit on month TRUNCATION, fixed there
+# by collecting DATEs). Raw event timestamps are always collectable
+# (they were READ through the same us parquet), so only computed bounds
+# need the clamp. Saturation, not NULL: the window identity is its
+# grouping key (the raw bucket — entries clamp in the PROJECTION only),
+# and a saturated bound states "past the representable range" without
+# losing the row.
+
+ARROW_TS_MAX = "2262-04-11 23:47:16.854775"
+ARROW_TS_MIN = "1677-09-21 00:12:43.145225"
+
+
+def clamp_ts(col: str | Column, ts_type: str = "timestamp_ntz") -> Column:
+    """Saturate a computed time bound into the Arrow-ns-representable
+    range (identity for every collectable value)."""
+    c = _c(col)
+    return F.least(
+        F.greatest(c, F.lit(ARROW_TS_MIN).cast(ts_type)),
+        F.lit(ARROW_TS_MAX).cast(ts_type),
+    )
+
+
+def sql_clamp_ts(expr: str) -> str:
+    """Oracle mirror of :func:`clamp_ts`."""
+    return (
+        f"least(greatest({expr}, TIMESTAMP '{ARROW_TS_MIN}'),"
+        f" TIMESTAMP '{ARROW_TS_MAX}')"
+    )
+
+
+def sql_json_strict(expr: str) -> str:
+    """Oracle mirror of Spark's STRICT JSON validity (try_parse_json):
+    DuckDB's yyjson leniently accepts bare NaN/Infinity number tokens
+    that Spark's parser rejects (r11 fuzz, seed 10: '{"k": NaN}' was
+    good on DuckDB, a dead letter on Spark). Exact encoding: normalize
+    (json() — strings re-escaped, whitespace dropped), BLANK OUT every
+    string literal, then any remaining NaN/Infinity text must be a bare
+    token. NULL propagates (counts in neither DLQ bucket, like Spark)."""
+    norm = f"json({expr})::VARCHAR"
+    no_strings = (
+        f"regexp_replace({norm}, '\"(?:[^\"\\\\]|\\\\.)*\"', '\"\"', 'g')"
+    )
+    # CASE, not AND: json() THROWS on invalid input, so the normalize
+    # branch must be unreachable unless json_valid already passed
+    return (
+        f"(CASE WHEN {expr} IS NULL THEN NULL"
+        f" WHEN NOT json_valid({expr}) THEN FALSE"
+        # coalesce: a literal-null doc normalizes to SQL NULL
+        # (json('null')::VARCHAR) but IS strict — Spark parses it to a
+        # non-null variant
+        f" ELSE NOT coalesce("
+        f"regexp_matches({no_strings}, 'NaN|Infinity'), FALSE) END)"
+    )

@@ -469,6 +469,15 @@ def lsh_cosine_topk(
 #: assignment pass over the full corpus stays distributed.
 IVF_TRAIN_SAMPLE = 100_000
 
+#: below this corpus size the IVF index probes EVERY cell. An inverted
+#: file is an approximation whose quality premise is corpus >> nlist ·
+#: cell-occupancy; at a few hundred rows the cells are a handful of
+#: vectors each and recall@k has no statistical floor (r11 fuzz, seed 3:
+#: a 70-row corpus at nprobe=4/nlist=16 scored ~17 rows per query and
+#: missed top-5 recall). Exhaustive search at this scale costs less than
+#: the quantizer itself; at 100 TB the floor is never reached.
+IVF_EXHAUSTIVE_FLOOR = 256
+
 
 def _train_centroids(
     embeddings: DataFrame,
@@ -479,8 +488,11 @@ def _train_centroids(
 ):
     """Spherical k-means on a deterministic sample (first IVF_TRAIN_SAMPLE
     rows by id; init = first nlist samples; fixed iteration count) — every
-    run, every engine, same centroids. Returns (nlist, dim) float64, rows
-    L2-normalized."""
+    run, every engine, same centroids. Returns ``(C, n_seen)``: a
+    (nlist, dim) float64 centroid matrix (rows L2-normalized) or None,
+    and the number of sample rows seen — ``n_seen < IVF_TRAIN_SAMPLE``
+    means n_seen IS the corpus size, which the caller's small-regime
+    policy needs."""
     import numpy as np
 
     rows = (
@@ -495,7 +507,7 @@ def _train_centroids(
         # than crashing in np.stack (the 0 < n < nlist case below stays a
         # loud error: a result IS expected there but training is not
         # meaningful)
-        return None
+        return None, 0
     X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     if len(X) < nlist:
@@ -516,7 +528,7 @@ def _train_centroids(
                 n = np.linalg.norm(c)
                 if n > 0:
                     C[j] = c / n
-    return C
+    return C, len(X)
 
 
 def _cell_udf(C, nprobe: int):
@@ -561,10 +573,14 @@ def ivf_topk(
     Exact-cosine scoring within cells (same quantized arithmetic as the
     exact tier); recall vs :func:`cosine_topk` is asserted in the suite.
     """
-    C = _train_centroids(embeddings, id_col, vec_col, nlist)
-    if C is not None and C.shape[0] < nlist:
+    C, n_seen = _train_centroids(embeddings, id_col, vec_col, nlist)
+    if C is not None and (
+        C.shape[0] < nlist or n_seen < IVF_EXHAUSTIVE_FLOOR
+    ):
         # trainer shrank nlist (corpus smaller than the requested cell
-        # count): probe every cell — exhaustive, exact at this scale
+        # count) OR the corpus sits under the small-regime floor: probe
+        # every cell — exhaustive, exact at this scale, and the only way
+        # the recall contract is total (r11 fuzz seed 3)
         nprobe = C.shape[0]
     if C is None:  # empty corpus — exact result is the empty top-k
         q_idt = queries.schema[id_col].dataType.simpleString()

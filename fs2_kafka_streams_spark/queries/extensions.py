@@ -27,6 +27,7 @@ from fs2_kafka_streams_spark.canonical import (
     SQL_REVENUE,
     dec2,
     sql_dsum,
+    sql_json_strict,
     sql_dsum_expr,
 )
 from fs2_kafka_streams_spark.catalog import Catalog
@@ -36,7 +37,7 @@ from fs2_kafka_streams_spark.queries.stateful import LATEST_BY_KEY_ORACLE
 
 @query(
     "q65_variant_json",
-    oracle="""
+    oracle=f"""
     WITH parsed AS (
       SELECT event_id, event_type,
              -- json_valid guard (r11 cold review): Spark's
@@ -46,7 +47,7 @@ from fs2_kafka_streams_spark.queries.stateful import LATEST_BY_KEY_ORACLE
              -- TRY_CAST, same rationale: a valid-JSON non-numeric $.k is
              -- NULL through Spark's try_variant_get(..., 'bigint') but a
              -- thrown ConversionException through a plain CAST
-             CASE WHEN event_id % 20 = 0 OR NOT json_valid(props)
+             CASE WHEN event_id % 20 = 0 OR NOT {sql_json_strict('props')}
                   THEN NULL
                   ELSE TRY_CAST(json_extract(props, '$.k') AS BIGINT)
              END AS k,
@@ -112,8 +113,14 @@ def q65_variant_json(spark, sf_dir):
     "q66_python_udtf",
     oracle="""
     WITH parts AS (
+      -- one row per doc_id: the per-document sentence ordinal is an
+      -- entity property — duplicate document rows would interleave two
+      -- rows' sentences into ONE row_number sequence while the UDTF
+      -- restarts idx per input row (r11 fuzz, seed 3); min(text) is
+      -- the family-wide deterministic survivor rule
       SELECT doc_id, string_split(text, '.') AS ps
-      FROM documents WHERE doc_id % 10 = 0
+      FROM (SELECT doc_id, min(text) AS text FROM documents
+            WHERE doc_id % 10 = 0 GROUP BY doc_id)
     ),
     pos AS (
       SELECT doc_id, ps,
@@ -163,7 +170,15 @@ def q66_python_udtf(spark, sf_dir):
                     idx += 1
 
     spark.udtf.register("split_sentences", SplitSentences)
-    d = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") % 10 == 0)
+    # one row per doc_id (min text — see the oracle's parts CTE): the
+    # sentence ordinal restarts per UDTF input row, so duplicate
+    # document rows must collapse before the lateral join
+    d = (
+        Catalog(spark, sf_dir)
+        .documents.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+    )
     d.createOrReplaceTempView("_udtf_docs")
     return spark.sql(
         """

@@ -1097,12 +1097,18 @@ def _q47_oracle() -> str:
     )
     return f"""
     WITH m AS (
+      -- one media row per doc_id: duplicate document rows would UNNEST
+      -- both payloads into the per-media byte aggregation (n_bytes
+      -- doubled) while the Spark mapInPandas path derives per-row
+      -- (r11 fuzz, seed 3); min(text) is the same deterministic
+      -- survivor rule as the embedding family's _EMB_SQL
       SELECT doc_id AS media_id,
              CASE WHEN doc_id % 3 = 0 THEN 'image'
                   WHEN doc_id % 3 = 1 THEN 'audio'
                   ELSE 'video' END AS kind,
              encode(text) AS payload
-      FROM documents
+      FROM (SELECT doc_id, min(text) AS text
+            FROM documents GROUP BY doc_id)
     ),
     b AS (
       SELECT media_id, i,
@@ -1143,7 +1149,13 @@ def q47_multimodal_features(spark, sf_dir):
         synthesize_media,
     )
 
-    docs = Catalog(spark, sf_dir).documents
+    # one row per doc_id (min text — see the oracle's m CTE): a media
+    # entity has ONE payload; duplicate source rows are upstream dirt
+    docs = (
+        Catalog(spark, sf_dir)
+        .documents.groupBy("doc_id")
+        .agg(F.min("text").alias("text"))
+    )
     media = synthesize_media(docs, "doc_id", "text")
     feats = extract_features(media)
     return feats.select(
@@ -1166,19 +1178,31 @@ from fs2_kafka_streams_spark.operators.similarity import EMB_DIM as _EMB_DIM
 
 
 def _emb(spark, sf_dir):
-    """The WELL-FORMED view of the embeddings table: the similarity
-    family's input contract (non-NULL vector, exactly _EMB_DIM elements,
-    every element non-NULL with |x| <= EMB_BOUND). On hostile corpora the
-    raw table crashes the family three ways — ragged numpy stacks,
-    ANSI int64 dot overflow, NaN-ordered top-k ranks (r10 non-finite-
-    vector sweep); ill-formed vectors are excluded like NULL text is
-    from the text family. Mirrored in SQL by _WF_SQL in every oracle."""
+    """The WELL-FORMED, ID-UNIQUE view of the embeddings table: the
+    similarity family's input contract (non-NULL vector, exactly
+    _EMB_DIM elements, every element non-NULL with |x| <= EMB_BOUND,
+    then ONE row per vec_id). On hostile corpora the raw table crashes
+    the family three ways — ragged numpy stacks, ANSI int64 dot
+    overflow, NaN-ordered top-k ranks (r10 non-finite-vector sweep);
+    ill-formed vectors are excluded like NULL text is from the text
+    family. Duplicate vec_id rows (r11 randomized fuzz, seed 1) are
+    collapsed to the lexicographically-least embedding — without this
+    the oracle's GROUP BY signature aggregation SUMS duplicate rows'
+    bits while the Spark LSH path signs per-row, and pair multiplicity
+    diverges; min() is deterministic, identical on both engines
+    (verified: lexicographic on array/list), and map-side combinable
+    (one cheap keyed aggregation — at 100 TB entity-key dedup is
+    exactly the pre-pass you'd run). Mirrored in SQL by _EMB_SQL in
+    every oracle."""
     from fs2_kafka_streams_spark.operators.similarity import (
         well_formed_vectors,
     )
 
-    return Catalog(spark, sf_dir).embeddings.filter(
-        well_formed_vectors("embedding", _EMB_DIM)
+    return (
+        Catalog(spark, sf_dir)
+        .embeddings.filter(well_formed_vectors("embedding", _EMB_DIM))
+        .groupBy("vec_id")
+        .agg(F.min("embedding").alias("embedding"))
     )
 
 
@@ -1191,6 +1215,14 @@ def _wf_sql() -> str:
 
 
 _WF_SQL = _wf_sql()
+
+#: the SQL mirror of ``_emb``: well-formed filter, then one row per
+#: vec_id via min(embedding) — a FROM-able derived table every
+#: embedding oracle reads instead of the raw ``embeddings`` view.
+_EMB_SQL = (
+    "(SELECT vec_id, min(embedding) AS embedding FROM embeddings "
+    f"WHERE {_WF_SQL} GROUP BY vec_id)"
+)
 
 
 # ---- shared quantized-cosine oracle SQL ------------------------------------
@@ -1225,10 +1257,10 @@ def _cos_sql(a: str, b: str) -> str:
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, {_QUANT_SQL} AS v
-      FROM embeddings WHERE {_WF_SQL} AND vec_id < {_N_QUERIES}
+      FROM {_EMB_SQL} WHERE vec_id < {_N_QUERIES}
     ), e AS (
       SELECT vec_id AS neighbor_id, {_QUANT_SQL} AS v
-      FROM embeddings WHERE {_WF_SQL}
+      FROM {_EMB_SQL}
     ), scored AS (
       SELECT query_id, neighbor_id, {_cos_sql('q', 'e')} AS cos
       FROM e CROSS JOIN q
@@ -1257,7 +1289,7 @@ def q44_cosine_topk(spark, sf_dir):
     oracle=f"""
     WITH e AS (
       SELECT vec_id, {_QUANT_SQL} AS v
-      FROM embeddings WHERE {_WF_SQL}
+      FROM {_EMB_SQL}
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql('a', 'b')} AS cos
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -1301,7 +1333,7 @@ def _hyperplane_ctes() -> str:
     return f"""
     qv AS (
       SELECT vec_id, {_QUANT_SQL} AS v
-      FROM embeddings WHERE {_WF_SQL}
+      FROM {_EMB_SQL}
     ),
     planes AS (
       SELECT b, list_transform(range(1, 65),
@@ -1404,10 +1436,10 @@ def q44b_lsh_ann(spark, sf_dir):
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, {_QUANT_SQL} AS v
-      FROM embeddings WHERE {_WF_SQL} AND vec_id < {_N_QUERIES}
+      FROM {_EMB_SQL} WHERE vec_id < {_N_QUERIES}
     ), e AS (
       SELECT vec_id AS neighbor_id, {_QUANT_SQL} AS v
-      FROM embeddings WHERE {_WF_SQL}
+      FROM {_EMB_SQL}
     ), scored AS (
       SELECT query_id, neighbor_id, {_cos_sql('q', 'e')} AS cos
       FROM e CROSS JOIN q

@@ -259,7 +259,7 @@ def q32_dlq_map_hof(spark, sf_dir):
     "q02_filter_project",
     oracle=f"""
     SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice,
-           cast({SQL_REVENUE} as double) AS revenue
+           cast(cast({SQL_REVENUE} as string) as double) AS revenue
     FROM lineitem
     WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.08
     """,

@@ -22,6 +22,7 @@ from fs2_kafka_streams_spark.canonical import (
     sql_davg,
     sql_dec2,
     sql_dsum,
+    sql_json_strict,
     sql_dsum_expr,
     sql_measure,
 )
@@ -91,7 +92,7 @@ def q03_filter_in_null(spark, sf_dir):
     "q04_project_expression",
     oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           cast({SQL_REVENUE} as double) AS revenue
+           cast(cast({SQL_REVENUE} as string) as double) AS revenue
     FROM lineitem
     """,
     tags=("project",),
@@ -422,11 +423,13 @@ def q15_approx_count_distinct(spark, sf_dir):
       SELECT l_returnflag,
              CAST(count(*) AS BIGINT) AS n,
              {sql_dsum('l_quantity')} AS sx,
-             cast(sum({sql_dec2('l_quantity')}
-                      * {sql_dec2('l_quantity')}) as double) AS sxx,
+             cast(cast(sum({sql_dec2('l_quantity')}
+                      * cast({sql_dec2('l_quantity')} as decimal(19,2)))
+                  as string) as double) AS sxx,
              {sql_dsum('l_discount')} AS sy,
-             cast(sum({sql_dec2('l_quantity')}
-                      * {sql_dec2('l_discount')}) as double) AS sxy
+             cast(cast(sum({sql_dec2('l_quantity')}
+                      * cast({sql_dec2('l_discount')} as decimal(19,2)))
+                  as string) as double) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -602,12 +605,12 @@ def q13b_percentiles(spark, sf_dir):
     "q16c_pivot",
     oracle=f"""
     SELECT o_orderpriority,
-           cast(sum({sql_dec2('o_totalprice')})
-                FILTER (WHERE o_orderstatus = 'F') as double) AS F,
-           cast(sum({sql_dec2('o_totalprice')})
-                FILTER (WHERE o_orderstatus = 'O') as double) AS O,
-           cast(sum({sql_dec2('o_totalprice')})
-                FILTER (WHERE o_orderstatus = 'P') as double) AS P
+           cast(cast(sum({sql_dec2('o_totalprice')})
+                FILTER (WHERE o_orderstatus = 'F') as string) as double) AS F,
+           cast(cast(sum({sql_dec2('o_totalprice')})
+                FILTER (WHERE o_orderstatus = 'O') as string) as double) AS O,
+           cast(cast(sum({sql_dec2('o_totalprice')})
+                FILTER (WHERE o_orderstatus = 'P') as string) as double) AS P
     FROM orders GROUP BY o_orderpriority
     """,
     tags=("agg", "pivot"),
@@ -742,7 +745,7 @@ def q18_multi_get(spark, sf_dir):
            CAST(dense_rank() OVER w2 AS INTEGER) AS drnk
     FROM orders
     WINDOW w1 AS (PARTITION BY o_custkey
-                  ORDER BY o_orderdate NULLS FIRST, o_orderkey),
+                  ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST),
            w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST)
     """,
     tags=("window",),
@@ -772,14 +775,15 @@ def q19_window_ranking(spark, sf_dir):
     SELECT o_custkey, o_orderkey, o_orderdate,
            lag(o_totalprice) OVER w AS prev_price,
            lead(o_totalprice) OVER w AS next_price,
-           cast(sum({sql_dec2('o_totalprice')}) OVER (
+           cast(cast(sum({sql_dec2('o_totalprice')}) OVER (
              PARTITION BY o_custkey
-             ORDER BY o_orderdate NULLS FIRST, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             as string) as double)
              AS running_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_orderdate NULLS FIRST, o_orderkey)
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST)
     """,
     tags=("window",),
 )
@@ -807,8 +811,8 @@ def q20_window_analytic(spark, sf_dir):
              sum({SQL_REVENUE}) AS rev_dec
       FROM lineitem GROUP BY 1
     )
-    SELECT day, cast(rev_dec as double) AS daily_revenue,
-           cast(sum(rev_dec) OVER w as double)
+    SELECT day, cast(cast(rev_dec as string) as double) AS daily_revenue,
+           cast(cast(sum(rev_dec) OVER w as string) as double)
              / count(rev_dec) OVER w AS avg7
     FROM daily
     WINDOW w AS (ORDER BY (day - DATE '1970-01-01')
@@ -846,7 +850,7 @@ def q21_window_range_frame(spark, sf_dir):
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (
                PARTITION BY o_custkey
-               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST) AS rn
       FROM orders
     ) WHERE rn <= 3
     """,
@@ -1275,7 +1279,7 @@ def q31_json_functions(spark, sf_dir):
 
 @query(
     "q32_dead_letter_split",
-    oracle="""
+    oracle=f"""
     WITH payloads AS (
       SELECT event_type,
              CASE WHEN event_id % 20 = 0 THEN 'x' || props ELSE props END
@@ -1283,17 +1287,17 @@ def q31_json_functions(spark, sf_dir):
       FROM events
     )
     SELECT event_type,
-           CAST(count(*) FILTER (WHERE json_valid(payload)) AS BIGINT)
+           CAST(count(*) FILTER (WHERE {sql_json_strict('payload')}) AS BIGINT)
              AS n_good,
-           CAST(count(*) FILTER (WHERE NOT json_valid(payload)) AS BIGINT)
+           CAST(count(*) FILTER (WHERE NOT {sql_json_strict('payload')}) AS BIGINT)
              AS n_bad,
            -- TRY_CAST (r11 cold review): a VALID-JSON payload whose $.k
-           -- is non-numeric ('{"k": "abc"}') is a good record with a
+           -- is non-numeric ('{{"k": "abc"}}') is a good record with a
            -- NULL metric, not a crash — the plain CAST threw
            -- ConversionException here and CAST_INVALID_INPUT on the
            -- Spark half (ANSI), the exact jagged boundary the decode
            -- family exists to absorb
-           CAST(sum(CASE WHEN json_valid(payload)
+           CAST(sum(CASE WHEN {sql_json_strict('payload')}
                          THEN TRY_CAST(json_extract_string(payload, '$.k')
                                        AS INTEGER)
                     END) AS BIGINT) AS sum_k
@@ -1359,7 +1363,7 @@ def q32_dead_letter_split(spark, sf_dir):
            cume_dist() OVER w1 AS cd
     FROM orders
     WINDOW w1 AS (PARTITION BY o_custkey
-                  ORDER BY o_totalprice NULLS FIRST, o_orderkey)
+                  ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)
     """,
     tags=("window",),
 )
@@ -1464,7 +1468,7 @@ def q16d_unpivot(spark, sf_dir):
            nth_value(o_totalprice, 2) OVER w AS second_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_orderdate NULLS FIRST, o_orderkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     tags=("window",),
@@ -1553,11 +1557,11 @@ def q27b_bitwise(spark, sf_dir):
     )
     SELECT l_orderkey,
            coalesce(array_to_string(list_transform(qtys,
-             x -> CAST(CAST(x * 2 AS BIGINT) AS VARCHAR)), '|'), '')
+             x -> CAST(CAST(trunc(x * 2) AS BIGINT) AS VARCHAR)), '|'), '')
              AS doubled,
            coalesce(array_to_string(
              list_transform(list_filter(qtys, x -> x > 25),
-               x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), '|'), '') AS big,
+               x -> CAST(CAST(trunc(x) AS BIGINT) AS VARCHAR)), '|'), '') AS big,
            CAST(len(list_filter(qtys, x -> x > 45)) > 0 AS BOOLEAN)
              AS any_huge,
            CAST(len(list_filter(qtys, x -> x > 0)) = len(qtys) AS BOOLEAN)
@@ -1575,6 +1579,10 @@ def q29c_array_hof(spark, sf_dir):
     tie-break makes the arrays deterministic; quantities are integer-valued
     doubles so the fold is exact). Array outputs are array_join-ed to
     strings: top-level array columns crash the driver's canonicalizer.
+    The oracle's int casts go through trunc(): Spark's double->int cast
+    TRUNCATES while DuckDB's ROUNDS — invisible on integer-valued
+    fixtures, divergent on fractional hostile quantities (r11 fuzz,
+    seed 9: 123456.789).
 
     NULL contract (r10 hostile-TPCH sweep): NULL quantities never enter
     qtys (the ``when`` guard makes collect_list skip them — a NULL element

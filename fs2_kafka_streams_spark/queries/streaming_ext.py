@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from fs2_kafka_streams_spark.canonical import clamp_ts, sql_clamp_ts
 from fs2_kafka_streams_spark.catalog import Catalog
 from fs2_kafka_streams_spark.queries import query
 from fs2_kafka_streams_spark.streaming.replay import replay_dir
@@ -68,7 +69,7 @@ def q45_stream_table_join(spark, sf_dir):
 
 @query(
     "q35b_session_window_streaming",
-    oracle="""
+    oracle=f"""
     WITH gaps AS (
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -84,7 +85,7 @@ def q45_stream_table_join(spark, sf_dir):
     )
     SELECT user_id,
            min(ts) AS session_start,
-           max(ts) + INTERVAL '30 minutes' AS session_end,
+           {sql_clamp_ts("max(ts) + INTERVAL '30 minutes'")} AS session_end,
            CAST(count(*) AS BIGINT) AS n_events
     FROM sessions GROUP BY user_id, sid
     """,
@@ -107,7 +108,7 @@ def q35b_session_window_streaming(spark, sf_dir):
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            clamp_ts(F.col("w.end")).alias("session_end"),
             "n_events",
         )
     )
@@ -116,15 +117,17 @@ def q35b_session_window_streaming(spark, sf_dir):
 
 @query(
     "q33b_tumbling_window_streaming",
-    oracle="""
-    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'
-             AS window_end,
-           user_id,
-           CAST(count(*) AS BIGINT) AS n,
-           cast(sum(cast((CASE WHEN abs(value) < 1e14 THEN value END)
-                    as decimal(18,2))) as double) AS sum_value
-    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+    oracle=f"""
+    SELECT {sql_clamp_ts("bk")} AS window_start,
+           {sql_clamp_ts("bk + INTERVAL '5 minutes'")} AS window_end,
+           user_id, n, sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS bk, user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             cast(cast(sum(cast((CASE WHEN abs(value) < 1e14 THEN value END)
+                      as decimal(18,2))) as string) as double) AS sum_value
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    )
     """,
     tags=("streaming", "window"),
 )
@@ -141,8 +144,8 @@ def q33b_tumbling_window_streaming(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"),
              dsum(measure("value")).alias("sum_value"))
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            clamp_ts(F.col("w.start")).alias("window_start"),
+            clamp_ts(F.col("w.end")).alias("window_end"),
             "user_id",
             "n",
             "sum_value",
@@ -152,13 +155,18 @@ def q33b_tumbling_window_streaming(spark, sf_dir):
 
 
 _Q48_ORACLE = """
-    -- ts >= epoch: the engine's watermark floor (see q72's oracle note)
+    -- ts > epoch, STRICT: the engine's watermark floor (see q72's
+    -- oracle note) admits join-state rows only ABOVE the initial
+    -- 0-watermark — an event at exactly 1970-01-01 00:00:00 is dropped
+    -- by the join's late filter while aggregations/dedup admit it
+    -- (r11 fuzz seed 6, probed: epoch-exact pair dropped, epoch+1s
+    -- pair emitted)
     SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
            a.event_type AS type_a, b.event_type AS type_b
     FROM (SELECT * FROM events
-          WHERE ts >= TIMESTAMP '1970-01-01 00:00:00') a
+          WHERE ts > TIMESTAMP '1970-01-01 00:00:00') a
     JOIN (SELECT * FROM events
-          WHERE ts >= TIMESTAMP '1970-01-01 00:00:00') b
+          WHERE ts > TIMESTAMP '1970-01-01 00:00:00') b
       ON a.user_id = b.user_id AND a.event_id < b.event_id
      AND b.ts BETWEEN a.ts - INTERVAL '5 minutes'
                   AND a.ts + INTERVAL '5 minutes'
@@ -433,11 +441,16 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
         well_formed_vectors,
     )
 
-    # same well-formed-vector contract as the batch family (queries/llm.py
-    # _emb): ill-formed corpus vectors would crash the per-batch scorer.
-    # EMB_DIM is the shared constant, not a local copy (r10 advisory)
-    corpus = Catalog(spark, sf_dir).embeddings.filter(
-        well_formed_vectors("embedding", EMB_DIM)
+    # same well-formed + id-unique contract as the batch family
+    # (queries/llm.py _emb): ill-formed corpus vectors would crash the
+    # per-batch scorer, and duplicate vec_id rows would diverge from
+    # the batch top-k (r11 fuzz). EMB_DIM is the shared constant, not
+    # a local copy (r10 advisory)
+    corpus = (
+        Catalog(spark, sf_dir)
+        .embeddings.filter(well_formed_vectors("embedding", EMB_DIM))
+        .groupBy("vec_id")
+        .agg(F.min("embedding").alias("embedding"))
     )
     qdir = replay_dir(sf_dir, table="embeddings", id_col="vec_id")
     schema = spark.read.parquet(qdir).schema
@@ -516,18 +529,19 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
 @query(
     "q72_stream_outer_join",
     oracle="""
-    -- ts >= epoch: Spark's initial watermark is 0 ms, so a pre-1970
-    -- event time is late-by-construction and never enters join state
-    -- (the time-ordered replay serves it in batch 1, where the
-    -- 0-watermark drops it; r10 far-date sweep)
+    -- ts > epoch, STRICT: Spark's initial watermark is 0 ms, so a
+    -- pre-1970 OR epoch-exact event time is late-by-construction and
+    -- never enters join state (the time-ordered replay serves it in
+    -- batch 1, where the 0-watermark drops it; r10 far-date sweep +
+    -- r11 fuzz seed 6 for the epoch-exact boundary)
     SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
            a.event_type AS type_a, b.event_type AS type_b
     FROM (SELECT * FROM events
           WHERE ts IS NOT NULL AND user_id IS NOT NULL
-            AND ts >= TIMESTAMP '1970-01-01 00:00:00') a
+            AND ts > TIMESTAMP '1970-01-01 00:00:00') a
     LEFT JOIN (SELECT * FROM events
                WHERE ts IS NOT NULL AND user_id IS NOT NULL
-                 AND ts >= TIMESTAMP '1970-01-01 00:00:00') b
+                 AND ts > TIMESTAMP '1970-01-01 00:00:00') b
       ON a.user_id = b.user_id AND a.event_id < b.event_id
      AND b.ts BETWEEN a.ts - INTERVAL '5 minutes'
                   AND a.ts + INTERVAL '5 minutes'

@@ -14,21 +14,31 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from fs2_kafka_streams_spark.catalog import Catalog
-from fs2_kafka_streams_spark.canonical import dsum, measure
+from fs2_kafka_streams_spark.canonical import (
+    clamp_ts,
+    dsum,
+    measure,
+    sql_clamp_ts,
+)
 from fs2_kafka_streams_spark.queries import query
 
 
 @query(
     "q33_tumbling_window",
-    oracle="""
-    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'
-             AS window_end,
-           user_id,
-           CAST(count(*) AS BIGINT) AS n,
-           cast(sum(cast((CASE WHEN abs(value) < 1e14 THEN value END)
-                    as decimal(18,2))) as double) AS sum_value
-    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
+    oracle=f"""
+    -- group on the RAW bucket, clamp bounds only in the projection:
+    -- bounds past the Arrow ns range are saturated (canonical.clamp_ts,
+    -- r11 fuzz seed 6)
+    SELECT {sql_clamp_ts("bk")} AS window_start,
+           {sql_clamp_ts("bk + INTERVAL '5 minutes'")} AS window_end,
+           user_id, n, sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS bk, user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             cast(cast(sum(cast((CASE WHEN abs(value) < 1e14 THEN value END)
+                      as decimal(18,2))) as string) as double) AS sum_value
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    )
     """,
     tags=("window", "streaming-shape"),
 )
@@ -48,8 +58,8 @@ def q33_tumbling_window(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"),
              dsum(measure("value")).alias("sum_value"))
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            clamp_ts(F.col("w.start")).alias("window_start"),
+            clamp_ts(F.col("w.end")).alias("window_end"),
             "user_id",
             "n",
             "sum_value",
@@ -59,17 +69,20 @@ def q33_tumbling_window(spark, sf_dir):
 
 @query(
     "q34_sliding_window",
-    oracle="""
+    oracle=f"""
     WITH two AS (SELECT 0 AS off UNION ALL SELECT 1)
-    SELECT time_bucket(INTERVAL '5 minutes', ts)
-             - off * INTERVAL '5 minutes' AS window_start,
-           time_bucket(INTERVAL '5 minutes', ts)
-             - off * INTERVAL '5 minutes' + INTERVAL '10 minutes' AS window_end,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n
-    FROM events CROSS JOIN two
-    WHERE ts IS NOT NULL
-    GROUP BY 1, 2, 3
+    SELECT {sql_clamp_ts("ws")} AS window_start,
+           {sql_clamp_ts("ws + INTERVAL '10 minutes'")} AS window_end,
+           event_type, n
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', ts)
+               - off * INTERVAL '5 minutes' AS ws,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events CROSS JOIN two
+      WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    )
     """,
     tags=("window", "streaming-shape"),
 )
@@ -85,8 +98,8 @@ def q34_sliding_window(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            clamp_ts(F.col("w.start")).alias("window_start"),
+            clamp_ts(F.col("w.end")).alias("window_end"),
             "event_type",
             "n",
         )
@@ -95,7 +108,7 @@ def q34_sliding_window(spark, sf_dir):
 
 @query(
     "q35_session_window",
-    oracle="""
+    oracle=f"""
     WITH gaps AS (
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -111,7 +124,7 @@ def q34_sliding_window(spark, sf_dir):
     )
     SELECT user_id,
            min(ts) AS session_start,
-           max(ts) + INTERVAL '30 minutes' AS session_end,
+           {sql_clamp_ts("max(ts) + INTERVAL '30 minutes'")} AS session_end,
            CAST(count(*) AS BIGINT) AS n_events
     FROM sessions GROUP BY user_id, sid
     """,
@@ -130,7 +143,7 @@ def q35_session_window(spark, sf_dir):
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            clamp_ts(F.col("w.end")).alias("session_end"),
             "n_events",
         )
     )

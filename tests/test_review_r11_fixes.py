@@ -442,3 +442,144 @@ def test_md5_int64_null_and_word_independence(spark):
     assert [(r["lo"], r["hi"]) for r in got] == [tuple(r) for r in exp]
     assert got[1]["lo"] is None and got[1]["hi"] is None
     assert got[0]["lo"] != got[0]["hi"]
+
+
+@pytest.fixture(scope="session")
+def dupid_emb_sf_dir(tmp_path_factory):
+    """Duplicate-primary-key embeddings (r11 randomized fuzz, seed 1):
+    exact duplicate rows AND a same-id-different-vector conflict. The
+    r10 all-duplicates axis had identical VECTORS under distinct ids —
+    duplicate vec_id rows were never tested, and they broke the LSH
+    family asymmetrically: the oracle's hsigs GROUP BY vec_id SUMMED
+    duplicate rows' sign bits into garbage signatures while the Spark
+    path signed per-row."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    d = tmp_path_factory.mktemp("sfdupidemb")
+    for f in _os.listdir(_SRC):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            _shutil.copy(_os.path.join(_SRC, f), d / f)
+    t = _pq.read_table(_os.path.join(_SRC, "embeddings.parquet"))
+    dim = len(t.column("embedding")[0])
+    first = [float(x.as_py()) for x in t.column("embedding")[0]]
+    conflict_lo = [-1.0] + [0.5] * (dim - 1)   # lexicographically least
+    conflict_hi = [1.0] + [0.5] * (dim - 1)
+    extra = _pa.table(
+        {
+            "vec_id": _pa.array(
+                [int(t.column("vec_id")[0].as_py())] * 2 + [9001, 9001],
+                _pa.int64(),
+            ),
+            "embedding": _pa.array(
+                [first, first, conflict_hi, conflict_lo],
+                _pa.list_(_pa.float32()),
+            ),
+            "label": _pa.array([1, 1, 1, 1], _pa.int32()),
+        }
+    )
+    out = _pa.concat_tables([t.cast(extra.schema), extra])
+    _pq.write_table(out, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q44_cosine_topk",
+        "q44b_lsh_ann",
+        "q44b_lsh_ann_neardup",
+        "q44c_embedding_neardup",
+        "q44d_embedding_neardup_lsh",
+        "q44e_ivf_ann",
+        "q54_semantic_dedup",
+    ],
+)
+def test_similarity_duplicate_vec_ids(spark, dupid_emb_sf_dir, name):
+    """One row per vec_id is now part of the similarity input contract
+    (queries/llm.py::_emb + _EMB_SQL): well-formed filter, then
+    min(embedding) per id — deterministic and identical on both engines
+    (lexicographic array/list min), map-side combinable. Five entries
+    diverged on the fuzz corpus before the fix."""
+    _oracle_match(spark, dupid_emb_sf_dir, name)
+
+
+def test_emb_dedup_min_survivor(spark, dupid_emb_sf_dir):
+    """The same-id-different-vector conflict resolves to the
+    lexicographically-least embedding on the Spark half."""
+    from fs2_kafka_streams_spark.queries.llm import _emb
+
+    rows = (
+        _emb(spark, dupid_emb_sf_dir)
+        .filter("vec_id = 9001")
+        .collect()
+    )
+    assert len(rows) == 1
+    assert rows[0]["embedding"][0] == -1.0
+
+
+@pytest.fixture(scope="session")
+def dupdoc_sf_dir(tmp_path_factory):
+    """Duplicate-doc_id documents (r11 randomized fuzz, seed 3): exact
+    duplicate rows. Broke the two ENTITY-shaped document entries — q47's
+    oracle UNNESTED both duplicate payloads into one media_id's byte
+    aggregation (n_bytes doubled vs the per-row mapInPandas), and q66's
+    oracle row_number interleaved two rows' sentences into one ordinal
+    sequence while the UDTF restarts idx per input row. The per-row
+    document entries (q41-q43 family) were already duplicate-consistent
+    and ride as controls."""
+    d = tmp_path_factory.mktemp("sfdupdoc")
+    for f in _os.listdir(_SRC):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            _shutil.copy(_os.path.join(_SRC, f), d / f)
+    docs = pd.read_parquet(_os.path.join(_SRC, "documents.parquet"))
+    dup = docs.head(20)
+    pd.concat([docs, dup, dup.head(7)], ignore_index=True).to_parquet(
+        d / "documents.parquet", index=False
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q47_multimodal_features",
+        "q66_python_udtf",
+        "q43b_text_metrics",   # control: per-row semantics, was green
+        "q41_exact_dedup",     # control
+    ],
+)
+def test_entity_entries_duplicate_doc_ids(spark, dupdoc_sf_dir, name):
+    """One document per doc_id (min text) is now part of the two
+    entity-shaped entries' contracts on BOTH halves."""
+    _oracle_match(spark, dupdoc_sf_dir, name)
+
+
+@pytest.fixture(scope="session")
+def smallemb_sf_dir(tmp_path_factory):
+    """Small-but-not-tiny embeddings (r11 fuzz seed 3): ~80 rows — above
+    the r10 corpus<nlist shrink, below any statistical recall floor for
+    nprobe=4/nlist=16 (each query scored ~17 of 70 vectors and missed
+    top-5 recall)."""
+    import pyarrow.parquet as _pq
+
+    d = tmp_path_factory.mktemp("sfsmallemb")
+    for f in _os.listdir(_SRC):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            _shutil.copy(_os.path.join(_SRC, f), d / f)
+    t = _pq.read_table(_os.path.join(_SRC, "embeddings.parquet"))
+    _pq.write_table(t.slice(0, min(80, t.num_rows)),
+                    str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_ivf_small_corpus_exhaustive_floor(spark, smallemb_sf_dir):
+    """Below IVF_EXHAUSTIVE_FLOOR the index probes every cell (an IVF's
+    quality premise corpus >> nlist*occupancy is absent) — the recall
+    contract is total again."""
+    from fs2_kafka_streams_spark.operators.similarity import (
+        IVF_EXHAUSTIVE_FLOOR,
+    )
+
+    assert IVF_EXHAUSTIVE_FLOOR >= 128
+    _oracle_match(spark, smallemb_sf_dir, "q44e_ivf_ann")
