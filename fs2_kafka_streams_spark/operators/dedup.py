@@ -251,6 +251,12 @@ def ngram_jaccard_pairs(
             .select("_sh")
         )
         sh = sh.join(rare, "_sh", "left_semi")
+    # Materialize the shingle table ONCE: the self-join (a, b) plus the
+    # sizes aggregate reference this subtree three times, and Spark
+    # re-executes it per reference — the corpus was tokenized + shingled
+    # + hashed 3× per call (8 parquet scans in the r11 q42 plan). Same
+    # truncation minhash_lsh_pairs already applies to its shared shingles.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
 
     a = sh.alias("a")
@@ -425,6 +431,11 @@ def minhash_lsh_pairs(
         )
         banded = banded.join(small, ["band", "bh"], "left_semi")
 
+    # Materialize the banded keys ONCE before the self-join: both join
+    # sides reference this subtree and Spark re-executes it per side, so
+    # the 64-min signature aggregation (the pipeline's big shuffle) ran
+    # twice per call. O(docs·bands) rows of three scalars.
+    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -554,7 +565,13 @@ def simhash_pairs(
     """Near-dup candidates by SimHash: band the 64 bits into 4×16-bit chunks
     (any pair within hamming ≤ 3 shares ≥1 exact chunk — pigeonhole), then
     verify hamming distance on candidates."""
-    sh = simhash(df, text_col, id_col, portable)
+    # Materialize the per-doc signature ONCE: the chunk self-join below
+    # references this subtree twice, and Spark re-executes it per side —
+    # with the §4.4-style filter/project duplication of the pack UDF that
+    # adds, the corpus was tokenized + md5-hashed + packed FOUR times per
+    # run (plan-verified at r11: 4 ArrowEvalPython nodes). One row of
+    # (id, int64) per doc is the cheapest possible thing to materialize.
+    sh = simhash(df, text_col, id_col, portable).localCheckpoint(eager=True)
     chunks = sh.select(
         F.col(id_col).alias("_id"),
         "simhash",

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fs2_kafka_streams_spark.operators.dedup import _spread
+
 __all__ = ["table_profile"]
 
 #: explicit cross-engine renderings per type family; never rely on the
@@ -64,7 +66,12 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             _render(F.min(F.col(c)), dtypes[c]).alias(f"_mn_{c}"),
             _render(F.max(F.col(c)), dtypes[c]).alias(f"_mx_{c}"),
         ]
-    one = df.agg(*aggs)
+    # The multi-distinct plan Expands the input N-ways and (with string
+    # min/max buffers) SORT-aggregates it — per-row work far heavier than
+    # the scan itself, so it must not serialize on the scan's split count
+    # (a single-row-group parquet delivers every row to ONE task; guide
+    # §2.5 input skew). Same guard as the text/similarity pipelines.
+    one = _spread(df).agg(*aggs)
     entries = F.array(
         *[
             F.struct(

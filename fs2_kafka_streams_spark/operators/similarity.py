@@ -343,6 +343,12 @@ def embedding_neardup_pairs_lsh(
             .select("band", "sig")
         )
         tagged = tagged.join(ok_buckets, on=["band", "sig"], how="left_semi")
+    # Materialize the tagged table ONCE before the self-join: both sides
+    # reference this subtree and Spark re-executes it per side — with the
+    # §4.4 filter/project duplication of the signature UDF that adds, the
+    # corpus was scanned, quantized and signature-matmul'd four times per
+    # call (plan-verified at r11: 4 ArrowEvalPython nodes, 2 scans).
+    tagged = tagged.localCheckpoint(eager=True)
     cand = (
         tagged.alias("a")
         .join(

@@ -163,6 +163,12 @@ def pattern_matches_stream(
         # drop NULL event times. Without this, NaT → int64 µs is the
         # int64-min sentinel and the fold crashes or mis-sequences.
         .filter(F.col("ts").isNotNull())
+        # the fold touches only these four columns; value/props would
+        # otherwise ride the state shuffle AND the per-trigger Arrow
+        # JVM→Python transfer as dead weight (guide §4: pass only the
+        # columns the function needs — the grouped-state boundary ships
+        # every input column, opaque to Catalyst's pruning)
+        .select("event_id", "ts", "user_id", "event_type")
     )
     return src.groupBy("user_id").applyInPandasWithState(
         _pattern_update_fn(base_type, trigger_type, gap_us),
@@ -398,10 +404,11 @@ def pattern_matches_stream_tws(
         .withColumn("_utc_us", F.unix_micros(F.col("_evt")))
         .withWatermark("_evt", "0 seconds")
         # _utc_us LAST: the processor reads it positionally (TWS renames
-        # derived columns in the Arrow transfer)
+        # derived columns in the Arrow transfer). value/props are pruned —
+        # the processor touches neither, and the state boundary ships
+        # every listed column through Arrow per trigger (guide §4).
         .select(
-            "event_id", "ts", "user_id", "event_type", "value", "props",
-            "_utc_us",
+            "event_id", "ts", "user_id", "event_type", "_utc_us",
         )
     )
     return src.groupBy("user_id").transformWithStateInPandas(
@@ -601,6 +608,9 @@ def funnel_matches_stream(
         .parquet(replay_dir(sf_dir, "events", order_col="ts"))
         # NULL event-time contract — see pattern_matches_stream
         .filter(F.col("ts").isNotNull())
+        # column pruning through the opaque state boundary — see
+        # pattern_matches_stream (the fold reads only these four)
+        .select("event_id", "ts", "user_id", "event_type")
     )
     return src.groupBy("user_id").applyInPandasWithState(
         _funnel_update_fn(stages, gap_us),
