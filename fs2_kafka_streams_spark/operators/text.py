@@ -115,12 +115,16 @@ def lang_id(tok: Column) -> Column:
     return F.when(tok.isNotNull(), F.array_max(scored)["lang"])
 
 
-def quality_score(text_col: str | Column) -> Column:
+def quality_score(
+    text_col: str | Column, tok: Column | None = None
+) -> Column:
     """Deterministic quality heuristic in exact integer/IEEE arithmetic:
     len_score + stopword_ratio − non_alnum_ratio (all double divisions of
-    exact ints — bit-identical cross-engine)."""
+    exact ints — bit-identical cross-engine). Pass ``tok`` to reuse an
+    already-materialized token array (see :func:`analyze`)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    tok = tokens(c)
+    if tok is None:
+        tok = tokens(c)
     n_tok = F.size(tok)
     n_chars = F.length(c)
     n_alnum = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", ""))
@@ -208,16 +212,24 @@ def ngrams(tok: Column, n: int) -> Column:
     )
 
 
+def _dup_frac(g: Column) -> Column:
+    """Repeat fraction of an ALREADY-materialized n-gram array column —
+    see :func:`dup_ngram_frac`. Split out so gopher_metrics can build
+    each gram array once per row instead of three times (the inline form
+    re-evaluated ``ngrams`` for total, distinct and denominator; lambda
+    subtrees are not folded by subexpression elimination)."""
+    total = F.size(g)
+    return (total - F.size(F.array_distinct(g))).cast("double") / F.greatest(
+        total, F.lit(1)
+    ).cast("double")
+
+
 def dup_ngram_frac(tok: Column, n: int) -> Column:
     """Fraction of the document's word n-grams that are repeats of an
     earlier n-gram — the Gopher `duplicate n-gram fraction` repetition
     signal. Row-local array arithmetic: zero shuffle, exact integer
     ratio."""
-    g = ngrams(tok, n)
-    total = F.size(g)
-    return (total - F.size(F.array_distinct(g))).cast("double") / F.greatest(
-        total, F.lit(1)
-    ).cast("double")
+    return _dup_frac(ngrams(tok, n))
 
 
 #: Gopher-style acceptance thresholds (Rae et al. 2021, "Scaling Language
@@ -272,7 +284,17 @@ def gopher_metrics(
         n_hash.alias("_nh"),
         n_ellipsis.cast("bigint").alias("_ne"),
     )
-    row = base.select(
+    # gram arrays materialized once per row: the inline dup_ngram_frac
+    # re-built each n-gram transform three times (total, distinct,
+    # denominator) — per-row work, and the heaviest expressions in the
+    # projection (plan-verified at r11). A non-cheap multi-referenced
+    # alias is not re-inlined by CollapseProject.
+    grams = base.select(
+        "*",
+        ngrams(F.col("_t"), 2).alias("_g2"),
+        ngrams(F.col("_t"), 3).alias("_g3"),
+    )
+    row = grams.select(
         id_col,
         "_nul",
         F.size("_t").alias("n_words"),
@@ -280,8 +302,8 @@ def gopher_metrics(
             "_t", F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
         ).alias("_char_sum"),
         F.size(F.filter("_t", lambda t: t.rlike("[a-z]"))).alias("_n_alpha"),
-        dup_ngram_frac(F.col("_t"), 2).alias("dup_2gram_frac"),
-        dup_ngram_frac(F.col("_t"), 3).alias("dup_3gram_frac"),
+        _dup_frac(F.col("_g2")).alias("dup_2gram_frac"),
+        _dup_frac(F.col("_g3")).alias("dup_3gram_frac"),
         F.size(
             F.filter("_t", lambda t: F.array_contains(en_words, t))
         ).alias("stop_hits"),
@@ -343,13 +365,27 @@ def gopher_metrics(
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full text-analysis column family."""
-    tok = tokens(text_col)
-    return df.withColumns(
-        {
-            "n_tokens": token_count(text_col),
-            "lang_pred": lang_id(tok),
-            "quality": quality_score(text_col),
-            "fingerprint": fingerprint(tok),
-        }
+    """Attach the full text-analysis column family.
+
+    The token array is materialized as a REAL intermediate column first:
+    inlining ``tokens(text_col)`` into every metric put ~12 copies of the
+    ``regexp_extract_all`` into one projection (n_tokens + 5 stopword
+    votes + 2 quality terms + the fingerprint fold), and Catalyst's
+    subexpression elimination does not fold expressions under lambda
+    binders — each copy re-tokenized the document per row (plan-verified
+    at r11). Two projections whose shared alias is non-cheap are NOT
+    re-collapsed by CollapseProject, so the regex runs once per row.
+    """
+    tok = F.col("__tok")
+    return (
+        df.withColumn("__tok", tokens(text_col))
+        .withColumns(
+            {
+                "n_tokens": F.size(tok),
+                "lang_pred": lang_id(tok),
+                "quality": quality_score(text_col, tok),
+                "fingerprint": fingerprint(tok),
+            }
+        )
+        .drop("__tok")
     )

@@ -1511,10 +1511,14 @@ def q44e_ivf_ann(spark, sf_dir):
     # regression that returns zero candidates or zero overlap must surface
     # as ivf_top1_ok/recall_ok = false — an inner join would instead drop
     # the row and the property columns could never fire.
+    # the compare tables are O(queries) rows but sit behind localCheckpoint
+    # barriers (no stats → planner defaults to sort-merge, 2 exchanges +
+    # sorts per join): broadcast-hint the bounded sides — three BHJs, zero
+    # extra exchanges (r11 plan audit)
     return (
-        top1.join(ivf1, "query_id", "left")
-        .join(hits, "query_id", "left")
-        .join(n_ivf, "query_id", "left")
+        top1.join(F.broadcast(ivf1), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
+        .join(F.broadcast(n_ivf), "query_id", "left")
         .select(
             "query_id",
             F.col("exact_top1").cast("bigint"),
