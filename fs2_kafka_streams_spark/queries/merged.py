@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from fs2_kafka_streams_spark.canonical import SQL_REVENUE, revenue_expr
+from fs2_kafka_streams_spark.canonical import (
+    SQL_REVENUE,
+    dec2,
+    measure,
+    revenue_expr,
+)
 from fs2_kafka_streams_spark.catalog import Catalog
 from fs2_kafka_streams_spark.queries import (  # noqa: F401 — the variant
     REGISTRY,  # modules must be imported BEFORE the module-level
@@ -131,16 +136,102 @@ _register_join_merge(
     try_cast, to_json/get_json_object/from_json — one row per order.""",
 )
 
-_register_join_merge(
+@query(
     "q29_array_hof_agg",
-    ["l_orderkey"],
-    ["q29_array_functions", "q29c_array_hof", "q29d_string_agg"],
-    ("array", "hof", "agg"),
+    oracle=_join_oracle(
+        ["l_orderkey"],
+        ["q29_array_functions", "q29c_array_hof", "q29d_string_agg"],
+    ),
+    tags=("array", "hof", "agg"),
+)
+def q29_array_hof_agg(spark, sf_dir):
     """Array surface (merge of q29/q29c/q29d): collect_list + sort_array/
     size/array_contains, transform/filter/exists/forall/aggregate, ordered
     string_agg — one row per order (arrays rendered as joined strings; raw
-    array columns crash the driver canonicalizer).""",
-)
+    array columns crash the driver canonicalizer).
+
+    FUSED single-aggregation build (r11 optimization, guide §2.4): the
+    three variants are all ``groupBy(l_orderkey)`` aggregations of the
+    same lineitem scan, so the USING join of their outputs is exactly one
+    grouped aggregation carrying all three variants' buffers — one scan +
+    one shuffle instead of three of each plus two joins. Equivalence with
+    the join-merge oracle is total for EVERY corpus: grouped outputs are
+    unique per key, and the inner join's drop of the NULL-key group is
+    replayed by the pre-aggregation ``isNotNull`` filter (pinned on the
+    NULL-bearing corpus in tests/test_review_r10_fixes.py). Every
+    aggregate/post-projection expression is verbatim from the variants
+    (q29's NULL-skip contract, q29c's measure-domain element guard and
+    trunc() casts, q29d's (linenumber, quantity) sort tie-break).
+
+    ``_spread`` (guide §2.5) parallelizes the partial collect buffers —
+    a single-row-group scan would otherwise build all four buffers in ONE
+    task; at 100 TB the scan has enough splits and spread is a no-op. The
+    shuffle ships only the three pruned input columns, and every output
+    array is explicitly sorted, so collect order cannot leak through."""
+    from fs2_kafka_streams_spark.operators.dedup import _spread
+
+    li = _spread(
+        Catalog(spark, sf_dir)
+        .lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(F.col("l_orderkey").isNotNull())
+    )
+    agg = li.groupBy("l_orderkey").agg(
+        # q29: one collected+sorted linenumber array buffer
+        F.sort_array(F.collect_list("l_linenumber")).alias("_lns"),
+        # q29c: (linenumber, quantity) pairs, measure-domain guarded
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    measure("l_quantity").isNotNull(),
+                    F.struct("l_linenumber", "l_quantity"),
+                )
+            )
+        ).alias("_pairs"),
+        # q29d: ordered string_agg + group count
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("l_linenumber", "l_quantity"))
+                ),
+                lambda p: p["l_linenumber"].cast("string"),
+            ),
+            ",",
+        ).alias("lines"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # separate projection so the quantity array materializes once (the
+    # same CollapseProject-keeps-non-cheap-aliases discipline as q43b)
+    qtys = agg.withColumn(
+        "_qtys", F.transform("_pairs", lambda p: p["l_quantity"])
+    )
+    return qtys.select(
+        "l_orderkey",
+        F.array_join(
+            F.transform("_lns", lambda x: x.cast("string")), "|"
+        ).alias("lns"),
+        F.size("_lns").alias("n_lines"),
+        F.array_contains("_lns", 3).alias("has_line3"),
+        F.array_join(
+            F.transform(
+                "_qtys", lambda x: (x * 2).cast("bigint").cast("string")
+            ),
+            "|",
+        ).alias("doubled"),
+        F.array_join(
+            F.transform(
+                F.filter("_qtys", lambda x: x > 25),
+                lambda x: x.cast("bigint").cast("string"),
+            ),
+            "|",
+        ).alias("big"),
+        F.exists("_qtys", lambda x: x > 45).alias("any_huge"),
+        F.forall("_qtys", lambda x: x > 0).alias("all_positive"),
+        F.aggregate(
+            "_qtys", F.lit(0.0), lambda acc, x: acc + x
+        ).alias("total"),
+        "lines",
+        "n",
+    )
 
 _register_join_merge(
     "q19_window_ranking_dist",
@@ -215,10 +306,65 @@ def q13b_stats_percentiles(spark, sf_dir):
     (merge of q13b/q13c/q15b/q15): exact percentiles, variance/stddev/
     covariance from exact decimal cross-sums, approx_percentile-within-
     tolerance, and the global approx_count_distinct-within-tolerance
-    (cross-joined single row, columns renamed acd_*)."""
-    a = _spec("q13b_percentiles").build(spark, sf_dir)
-    b = _spec("q13c_stats_aggregates").build(spark, sf_dir)
-    c = _spec("q15b_approx_percentile").build(spark, sf_dir)
+    (cross-joined single row, columns renamed acd_*).
+
+    FUSED single-aggregation build (r11 optimization, guide §2.4): the
+    a/b/c variants are all ``groupBy(l_returnflag)`` aggregations of the
+    same lineitem scan — one scan + one shuffle carries every buffer
+    instead of three of each plus two joins. The three exact percentiles
+    and q15b's exact median share ONE sort buffer via
+    ``percentile(col, array(...))`` (same Percentile expression, same
+    interpolation — bit-identical to the scalar calls). Equivalence with
+    the join-merge oracle is total: grouped keys are unique, and the
+    inner join's drop of the NULL-returnflag group is replayed by the
+    pre-aggregation filter. All other expressions are verbatim from the
+    variants (q13c's exact decimal cross-sums and n=1 NULL guard, q15b's
+    discrete-median tolerance contract)."""
+    li = Catalog(spark, sf_dir).lineitem.filter(
+        F.col("l_returnflag").isNotNull()
+    )
+    q, d_ = dec2("l_quantity"), dec2("l_discount")
+    agg = li.groupBy("l_returnflag").agg(
+        # q13b: one shared sort buffer for all three exact percentiles
+        # (and q15b's median_exact, which is the same 0.5 probe)
+        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias(
+            "_pcts"
+        ),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        # q13c: exact decimal cross-sums
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(d_).cast("double").alias("sy"),
+        F.sum(q * d_).cast("double").alias("sxy"),
+        # q15b: bounded sketches (see the variant's accuracy rationale)
+        F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("_approx"),
+        F.expr("approx_percentile(l_quantity, 0.5, 1000000)").alias(
+            "_exact_disc"
+        ),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "sxy"])
+    # sample variance undefined for n = 1: explicit NULL on both engines
+    # (q13c's contract — ANSI Spark would throw DIVIDE_BY_ZERO)
+    var = F.when(n > 1, (sxx - sx * sx / n) / (n - 1))
+    abc = agg.select(
+        "l_returnflag",
+        F.col("_pcts")[0].alias("p25_qty"),
+        F.col("_pcts")[1].alias("median_qty"),
+        F.col("_pcts")[2].alias("p75_qty"),
+        "min_price",
+        "max_price",
+        "n",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        F.when(n > 1, (sxy - sx * sy / n) / (n - 1)).alias("covar_qty_disc"),
+        F.col("_pcts")[1].alias("median_exact"),
+        (
+            F.abs(F.col("_approx") - F.col("_exact_disc"))
+            <= 0.05 * F.greatest(F.abs(F.col("_exact_disc")), F.lit(1.0))
+        ).alias("within_tol"),
+    )
     d = (
         _spec("q15_approx_count_distinct")
         .build(spark, sf_dir)
@@ -227,9 +373,7 @@ def q13b_stats_percentiles(spark, sf_dir):
             F.col("within_tol").alias("acd_within_tol"),
         )
     )
-    return (
-        a.join(b, ["l_returnflag"]).join(c, ["l_returnflag"]).crossJoin(d)
-    )
+    return abc.crossJoin(F.broadcast(d))
 
 
 @query(

@@ -216,7 +216,9 @@ def test_join_merge_rejects_overlapping_value_columns(spark):
 def test_join_merges_have_disjoint_value_columns(spark):
     """Every registered join-merge builds clean under the new guard (the
     current merges all have disjoint value columns)."""
-    from fs2_kafka_streams_spark.queries import REGISTRY
+    from fs2_kafka_streams_spark.queries import REGISTRY, load_all
+
+    load_all()  # standalone runs must not depend on import order
 
     for name in [
         "q25_string_hash_functions",
