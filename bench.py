@@ -527,6 +527,15 @@ def main() -> None:
         "n_triggers": triggers_map,
     }
     (Path(_REPO) / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
+    # Per-cpu-count twin (r11 verdict "What's wrong #4"): the driver runs
+    # the bench at a second, lower core count and BENCH_FULL.json is
+    # overwritten by whichever run finishes last — which lost the 32-core
+    # per-entry map in r11. A suffixed copy preserves every core count's
+    # full artifact; the summary-line contract is untouched.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    (Path(_REPO) / f"BENCH_FULL_c{cpus}.json").write_text(
+        json.dumps(full, indent=1)
+    )
 
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]

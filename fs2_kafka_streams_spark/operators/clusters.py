@@ -27,6 +27,8 @@ label equals its component minimum.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from fs2_kafka_streams_spark.operators.util import materialize
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dedup_keep_best"]
@@ -72,7 +74,7 @@ def connected_components(
         # though persist reuses its execution (measured 5× loop slowdown
         # on the minhash input). Checkpointing truncates the plan to an
         # RDD scan. Production clusters: reliable .checkpoint().
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # seed each vertex with min(self, min neighbor) — one aggregation over
     # the (already materialized) edge table that is exactly the first
@@ -131,7 +133,7 @@ def connected_components(
                 ).alias("lbl"),
                 "_old",
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # every id in prop carries its own previous label (edges are
         # symmetric, so via_edges introduces no new ids) — the convergence

@@ -24,6 +24,8 @@ new-engine capabilities mandated by the 100 TB design point.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from fs2_kafka_streams_spark.operators.util import materialize
 from pyspark.sql import functions as F
 
 
@@ -282,7 +284,7 @@ def salted_join(
         # claim depends on exchange reuse canonicalizing both subplans —
         # localCheckpoint makes it structural (same technique as
         # operators/dedup.py's shared shingle frame)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     big_s = (
         big.join(F.broadcast(hot), on=key, how="left")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fs2_kafka_streams_spark.operators.dedup import _spread
+from fs2_kafka_streams_spark.operators.util import spread as _spread
 
 __all__ = ["table_profile"]
 

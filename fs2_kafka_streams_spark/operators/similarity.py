@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 # UDFs, cross-join scoring) in the SCAN stage — a coarsely-partitioned
 # input (few files, or giant single-row-group parquet) would serialize it
 # on a handful of cores. Same guard as the text-dedup pipeline.
-from fs2_kafka_streams_spark.operators.dedup import _spread
+from fs2_kafka_streams_spark.operators.util import materialize
+from fs2_kafka_streams_spark.operators.util import spread as _spread
 
 QUANT = 1_000_000
 
@@ -348,7 +349,7 @@ def embedding_neardup_pairs_lsh(
     # §4.4 filter/project duplication of the signature UDF that adds, the
     # corpus was scanned, quantized and signature-matmul'd four times per
     # call (plan-verified at r11: 4 ArrowEvalPython nodes, 2 scans).
-    tagged = tagged.localCheckpoint(eager=True)
+    tagged = materialize(tagged)
     cand = (
         tagged.alias("a")
         .join(

@@ -375,10 +375,17 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     binders — each copy re-tokenized the document per row (plan-verified
     at r11). Two projections whose shared alias is non-cheap are NOT
     re-collapsed by CollapseProject, so the regex runs once per row.
+
+    The staging column name is picked to not collide with the caller's
+    columns (r11 advisory: a caller-owned ``__tok`` was silently
+    overwritten by ``withColumn`` and then dropped).
     """
-    tok = F.col("__tok")
+    tok_name = "__tok"
+    while tok_name in df.columns:
+        tok_name += "_"
+    tok = F.col(tok_name)
     return (
-        df.withColumn("__tok", tokens(text_col))
+        df.withColumn(tok_name, tokens(text_col))
         .withColumns(
             {
                 "n_tokens": F.size(tok),
@@ -387,5 +394,5 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
                 "fingerprint": fingerprint(tok),
             }
         )
-        .drop("__tok")
+        .drop(tok_name)
     )

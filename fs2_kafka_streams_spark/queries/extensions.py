@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from fs2_kafka_streams_spark.operators.util import materialize as _materialize
 from fs2_kafka_streams_spark.canonical import (
     SQL_REVENUE,
     dec2,
@@ -315,29 +316,44 @@ def q70_listagg(spark, sf_dir):
     )
 
 
-_Q73_SQL = """
-    WITH RECURSIVE users AS (
-      SELECT user_id AS id,
+#: The non-recursive ``users`` CTE body, shared by the oracle string and
+#: the Spark build's one-time materialization (kept as ONE fragment so the
+#: two can never drift).
+_Q73_USERS_SQL = """SELECT user_id AS id,
              -- measure domain guard (canonical.sql_measure): identical
              -- SQL runs on BOTH engines, and a non-finite value otherwise
              -- throws differently on each (r10 extreme-numerics sweep)
              CAST(sum(CAST(round((CASE WHEN abs(value) < 1e14 THEN value END) * 100)
                            AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1
-    ),
+      FROM events GROUP BY 1"""
+
+#: The recursion + rollup with the users relation name templated: the
+#: oracle inlines the CTE; the Spark build points it at the materialized
+#: temp view instead (same rows by construction — see q73's docstring).
+_Q73_TREE_SQL = """
     tree(anc, node) AS (
-      SELECT id, id FROM users
+      SELECT id, id FROM {users}
       UNION ALL
       SELECT t.anc, u.id
-      FROM tree t JOIN users u
+      FROM tree t JOIN {users} u
         ON CAST(floor(u.id / 2.0) AS BIGINT) = t.node AND u.id <> t.node
     )
     SELECT t.anc AS user_id,
            CAST(count(*) AS BIGINT) AS n_subtree,
            CAST(sum(u.cents) AS DOUBLE) / 100.0 AS subtree_revenue
-    FROM tree t JOIN users u ON t.node = u.id
+    FROM tree t JOIN {users} u ON t.node = u.id
     GROUP BY 1
 """
+
+_Q73_SQL = (
+    """
+    WITH RECURSIVE users AS (
+      """
+    + _Q73_USERS_SQL
+    + """
+    ),"""
+    + _Q73_TREE_SQL.format(users="users")
+)
 
 
 @query(
@@ -349,9 +365,18 @@ def q73_recursive_cte(spark, sf_dir):
     """Hierarchical rollup via a RECURSIVE CTE (Spark 4's ``WITH
     RECURSIVE``): users form a referral tree (parent = ``id div 2``) and
     each user's subtree is expanded recursively to roll up descendant
-    count and revenue — the classic org-chart/BOM recursion, run from the
-    IDENTICAL SQL text on both engines (the Spark side registers the
-    catalog as temp views and executes the oracle string verbatim).
+    count and revenue — the classic org-chart/BOM recursion. The
+    recursion/rollup SQL is the oracle's verbatim (one shared template);
+    the non-recursive ``users`` CTE is materialized ONCE as a temp view
+    first (r12, guide §2.4/§3.3): Spark inlines non-recursive CTEs into
+    ``UnionLoop``, so the r11 plan re-scanned events.parquet and re-ran
+    the per-user aggregation at EVERY recursion level (~log₂(max id)
+    times) — plan-verified: the before-plan's recursive step contains its
+    own LogicalRelation + Aggregate; the after-plan's recursion joins a
+    checkpointed O(users) id/cents table. Same rows by construction: the
+    CTE is deterministic and referenced read-only, so computing it once
+    vs per level cannot change any value (oracle unchanged,
+    hash-checked).
 
     Determinism/termination: the recursion follows strictly increasing
     child ids (children of ``n`` are ``2n``/``2n+1``), so the UNION ALL
@@ -363,9 +388,15 @@ def q73_recursive_cte(spark, sf_dir):
     Spark executes levels as iterated joins over the previous frontier,
     the same shuffle shape as the pointer-jumping CC operator
     (`operators/clusters.py`), with state = the frontier, O(users) rows.
+    The materialized users table is the small proxy (id + cents), never
+    the event payload — guide §8 discipline.
     """
     Catalog(spark, sf_dir).register_views()
-    return spark.sql(_Q73_SQL)
+    users = spark.sql(_Q73_USERS_SQL)
+    _materialize(users).createOrReplaceTempView("q73_users_mat")
+    return spark.sql(
+        "WITH RECURSIVE" + _Q73_TREE_SQL.format(users="q73_users_mat")
+    )
 
 
 @query(
@@ -494,6 +525,6 @@ def q75_state_reader(spark, sf_dir):
             # grabs the lock next will resume the query and let RocksDB
             # maintenance delete old versions mid-scan. localCheckpoint
             # pins the (O(keys), distributed) result in executor storage.
-            return read_table_state(spark, ckpt).localCheckpoint(eager=True)
+            return read_table_state(spark, ckpt).transform(_materialize)
         finally:
             fcntl.flock(lock, fcntl.LOCK_UN)

@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from fs2_kafka_streams_spark.catalog import Catalog
+from fs2_kafka_streams_spark.operators.util import materialize as _materialize
 from fs2_kafka_streams_spark.operators.dedup import (
     MERSENNE,
     MINHASH_BANDS,
@@ -1490,10 +1491,10 @@ def q44e_ivf_ann(spark, sf_dir):
     # reference (the q42b lesson: multi-referenced subtrees re-execute).
     ivf = ivf_topk(emb, q, k=5, nlist=16, nprobe=4).select(
         "query_id", "neighbor_id", "rank"
-    ).localCheckpoint(eager=False)
+    ).transform(lambda d: _materialize(d, eager=False))
     exact = cosine_topk(emb, q, k=5).select(
         "query_id", "neighbor_id", "rank"
-    ).localCheckpoint(eager=False)
+    ).transform(lambda d: _materialize(d, eager=False))
     hits = (
         ivf.select("query_id", "neighbor_id")
         .intersect(exact.select("query_id", "neighbor_id"))

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from fs2_kafka_streams_spark.operators.util import materialize as _materialize
 from fs2_kafka_streams_spark.canonical import (
     SQL_REVENUE,
     dec2,
@@ -168,7 +169,7 @@ def q29_array_hof_agg(spark, sf_dir):
     task; at 100 TB the scan has enough splits and spread is a no-op. The
     shuffle ships only the three pruned input columns, and every output
     array is explicitly sorted, so collect order cannot leak through."""
-    from fs2_kafka_streams_spark.operators.dedup import _spread
+    from fs2_kafka_streams_spark.operators.util import spread as _spread
 
     li = _spread(
         Catalog(spark, sf_dir)
@@ -790,7 +791,7 @@ def q42b_minhash_simhash(spark, sf_dir):
     mh_pairs = (
         _spec("q42b_minhash_lsh")
         .build(spark, sf_dir)
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     mh = mh_pairs.select(
         F.lit("minhash").alias("method"),

@@ -27,6 +27,8 @@ from fs2_kafka_streams_spark.canonical import (
     sql_measure,
 )
 from fs2_kafka_streams_spark.operators.asof_join import asof_join
+from fs2_kafka_streams_spark.operators.util import materialize as _materialize
+from fs2_kafka_streams_spark.operators.util import spread as _spread
 from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
 from fs2_kafka_streams_spark.queries import query
 
@@ -1171,7 +1173,12 @@ def q29b_explode_roundtrip(spark, sf_dir):
     NULL collects to an empty array, which explode drops entirely —
     exactly the rows the oracle's WHERE excludes."""
     li = Catalog(spark, sf_dir).lineitem
-    arrs = li.groupBy("l_orderkey").agg(
+    # _spread (guide §2.5): the collect_list partial aggregation otherwise
+    # runs in ONE task over the single-row-group harness parquet (the q29
+    # finding); a no-op when the scan already parallelizes (100 TB case)
+    arrs = _spread(li.select("l_orderkey", "l_linenumber")).groupBy(
+        "l_orderkey"
+    ).agg(
         F.collect_list("l_linenumber").alias("lns")
     )
     return arrs.select(
@@ -1263,6 +1270,12 @@ def q31_json_functions(spark, sf_dir):
     emit byte-identical JSON for NULL-bearing rows (r10 hostile-TPCH
     sweep)."""
     o = Catalog(spark, sf_dir).orders
+    # _spread (guide §2.5): the JSON encode/parse projection is the
+    # expensive per-row work of the q28 merged entry and otherwise runs in
+    # ONE task over the single-row-group harness parquet; a no-op when the
+    # scan already parallelizes (r11 measured the isolated from_json
+    # spread at 0.57 -> 0.38 s)
+    o = _spread(o.select("o_orderkey", "o_orderstatus"))
     j = F.to_json(
         F.struct("o_orderkey", "o_orderstatus"),
         {"ignoreNullFields": "false"},
@@ -1405,17 +1418,28 @@ def q49_exists_subquery(spark, sf_dir):
     return spark.sql(_Q49_SQL)
 
 
-_Q49B_SQL = f"""
-WITH big_orders AS (
-  SELECT o_custkey, {sql_dsum('o_totalprice')} AS total_spend
-  FROM orders GROUP BY o_custkey
-)
+#: The ``big_orders`` CTE body, shared by the oracle string and the Spark
+#: build's one-time materialization (one fragment — no drift possible).
+_Q49B_BIG_SQL = f"""SELECT o_custkey, {sql_dsum('o_totalprice')} AS total_spend
+  FROM orders GROUP BY o_custkey"""
+
+#: Main query with the big_orders relation name templated: the oracle
+#: inlines the CTE; the Spark build points both references (join side AND
+#: the scalar avg subquery) at the materialized temp view.
+_Q49B_MAIN_SQL = """
 SELECT c.c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_big_spenders
-FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
-WHERE b.total_spend > (SELECT avg(total_spend) FROM big_orders)
+FROM customer c JOIN {big} b ON c.c_custkey = b.o_custkey
+WHERE b.total_spend > (SELECT avg(total_spend) FROM {big})
 GROUP BY c.c_mktsegment
 """
+
+_Q49B_SQL = (
+    "\nWITH big_orders AS (\n  "
+    + _Q49B_BIG_SQL
+    + "\n)"
+    + _Q49B_MAIN_SQL.format(big="big_orders")
+)
 
 
 @query("q49b_cte_scalar_subquery", oracle=_Q49B_SQL, tags=("sql", "subquery"))
@@ -1423,9 +1447,19 @@ def q49b_cte_scalar_subquery(spark, sf_dir):
     """CTE + uncorrelated scalar subquery through ``spark.sql``: the scalar
     aggregate becomes a one-row broadcast; the CTE is inlined and optimized
     like any DataFrame expression. The spend sums are exact decimals, so the
-    avg threshold compare is deterministic cross-engine."""
+    avg threshold compare is deterministic cross-engine.
+
+    The CTE is referenced twice (join side + the scalar avg subquery) and
+    Spark inlines CTEs, so the r11 plan ran the orders aggregation TWICE
+    (plan nodes 16-20 and 30-34 in ``plans/r11/q49_subqueries_before.txt``).
+    r12 materializes ``big_orders`` once (guide §2.4) and points both
+    references at the O(customers)-row proxy table; the per-key spend sums
+    are deterministic exact decimals, so computing them once vs twice
+    cannot change any value (oracle unchanged, hash-checked)."""
     Catalog(spark, sf_dir).register_views()
-    return spark.sql(_Q49B_SQL)
+    big = spark.sql(_Q49B_BIG_SQL)
+    _materialize(big).createOrReplaceTempView("q49b_big_orders_mat")
+    return spark.sql(_Q49B_MAIN_SQL.format(big="q49b_big_orders_mat"))
 
 
 @query(

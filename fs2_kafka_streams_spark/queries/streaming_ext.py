@@ -236,6 +236,15 @@ def _stream_stream_join(spark, sf_dir, watermark: str | None):
     extra = {"spark.sql.shuffle.partitions": "8"}
     if watermark is not None:
         extra["spark.sql.session.timeZone"] = "UTC"
+        # INNER stream-stream join: rows are emitted only when a match
+        # arrives in a DATA batch; the engine's final no-data batch exists
+        # to flush watermark-unlocked OUTER/timeout state and for an inner
+        # join evicts state without emitting anything. Skipping it (r12,
+        # VERDICT #3) removes one full trigger of per-batch planning +
+        # 4-stores-per-partition commits from the replay — result multiset
+        # unchanged (oracle-verified). q72 (outer) KEEPS the default: its
+        # null-extended rows are emitted exactly in that final batch.
+        extra["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
     return run_to_memory(spark, joined, "q48_sink", extra_conf=extra)
 
 
@@ -490,7 +499,7 @@ def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):
     # spread the (unchanging) corpus ONCE outside the trigger loop — the
     # width probe's driver-side RPCs and the repartition decision must not
     # repeat per micro-batch
-    from fs2_kafka_streams_spark.operators.dedup import _spread
+    from fs2_kafka_streams_spark.operators.util import spread as _spread
 
     corpus = _spread(corpus)
 

@@ -20,10 +20,11 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(__file__)),
 #: every permitted (file, reason) classic-only touch. Keys are paths
 #: relative to the package root; values describe the gate.
 ALLOWED = {
-    "operators/dedup.py": (
-        "_spread width probe: sparkContext.defaultParallelism + "
+    "operators/util.py": (
+        "spread width probe: sparkContext.defaultParallelism + "
         "df.rdd.getNumPartitions(), try/except with an inputFiles()-based "
-        "Connect fallback"
+        "Connect fallback; materialize(): sparkContext.getCheckpointDir() "
+        "probe, try/except defaulting to localCheckpoint under Connect"
     ),
     "session.py": (
         "get_spark(): sparkContext.setLogLevel, try/except no-op under "
