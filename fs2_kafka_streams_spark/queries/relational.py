@@ -28,7 +28,6 @@ from fs2_kafka_streams_spark.canonical import (
 )
 from fs2_kafka_streams_spark.operators.asof_join import asof_join
 from fs2_kafka_streams_spark.operators.util import materialize as _materialize
-from fs2_kafka_streams_spark.operators.util import spread as _spread
 from fs2_kafka_streams_spark.operators.latest_by_key import latest_by_key
 from fs2_kafka_streams_spark.queries import query
 
@@ -1173,12 +1172,11 @@ def q29b_explode_roundtrip(spark, sf_dir):
     NULL collects to an empty array, which explode drops entirely —
     exactly the rows the oracle's WHERE excludes."""
     li = Catalog(spark, sf_dir).lineitem
-    # _spread (guide §2.5): the collect_list partial aggregation otherwise
-    # runs in ONE task over the single-row-group harness parquet (the q29
-    # finding); a no-op when the scan already parallelizes (100 TB case)
-    arrs = _spread(li.select("l_orderkey", "l_linenumber")).groupBy(
-        "l_orderkey"
-    ).agg(
+    # NO _spread here (r12 measured refusal): unlike q29/q50, the
+    # collect_list partial agg is cheap enough that the added round-robin
+    # exchange LOSES — interleaved A/B mins 1.40 s (plain) vs 1.85 s
+    # (spread) over 6 rounds; see OPTIMIZATION_r12.md "left alone"
+    arrs = li.select("l_orderkey", "l_linenumber").groupBy("l_orderkey").agg(
         F.collect_list("l_linenumber").alias("lns")
     )
     return arrs.select(
@@ -1270,12 +1268,11 @@ def q31_json_functions(spark, sf_dir):
     emit byte-identical JSON for NULL-bearing rows (r10 hostile-TPCH
     sweep)."""
     o = Catalog(spark, sf_dir).orders
-    # _spread (guide §2.5): the JSON encode/parse projection is the
-    # expensive per-row work of the q28 merged entry and otherwise runs in
-    # ONE task over the single-row-group harness parquet; a no-op when the
-    # scan already parallelizes (r11 measured the isolated from_json
-    # spread at 0.57 -> 0.38 s)
-    o = _spread(o.select("o_orderkey", "o_orderstatus"))
+    # NO _spread here (r12 measured refusal): the isolated from_json probe
+    # won with a spread (0.57 → 0.38 s, r11), but inside the q28 merged
+    # entry the added exchange LOSES end-to-end — interleaved A/B mins
+    # 2.03 s (plain) vs 2.21 s (spread) over 6 rounds; see
+    # OPTIMIZATION_r12.md "left alone"
     j = F.to_json(
         F.struct("o_orderkey", "o_orderstatus"),
         {"ignoreNullFields": "false"},
