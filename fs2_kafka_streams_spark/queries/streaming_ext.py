@@ -112,7 +112,16 @@ def q35b_session_window_streaming(spark, sf_dir):
             "n_events",
         )
     )
-    return run_to_memory(spark, agg, "q35b_sink", output_mode="complete")
+    # 8 state partitions (r12 probe, scripts/stream_partitions_probe.py):
+    # SQL-native window state pays per-trigger store open/commit per
+    # partition and has no Python round-trips to spread — mins 1.79 s
+    # @16 vs 1.59 s @8 (4 loses: 1.83 s, session-merge parallelism pays
+    # here). Same fewer-larger-stores rationale as the q48/q72 joins;
+    # a real cluster sets this higher before first start (conf.py note).
+    return run_to_memory(
+        spark, agg, "q35b_sink", output_mode="complete",
+        extra_conf={"spark.sql.shuffle.partitions": "8"},
+    )
 
 
 @query(
@@ -151,7 +160,12 @@ def q33b_tumbling_window_streaming(spark, sf_dir):
             "sum_value",
         )
     )
-    return run_to_memory(spark, agg, "q33b_sink", output_mode="complete")
+    # 8 state partitions (r12 probe): mins 2.16 s @16 vs 1.69 s @8
+    # (1.28×; 4 loses at 1.87 s) — see q35b's note for the rationale.
+    return run_to_memory(
+        spark, agg, "q33b_sink", output_mode="complete",
+        extra_conf={"spark.sql.shuffle.partitions": "8"},
+    )
 
 
 _Q48_ORACLE = """
@@ -419,7 +433,14 @@ def q46_stream_dedup(spark, sf_dir):
     deduped = src.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    return run_to_memory(spark, deduped, "q46_sink")
+    # 4 state partitions (r12 probe): mins 1.59 s @16 / 1.19 @8 / 1.12 @4
+    # (1.42×) — the dedup state rows are two small columns and the work
+    # per trigger is trivial, so store open/commit dominates outright;
+    # see q35b's note for the shared rationale + the scale posture.
+    return run_to_memory(
+        spark, deduped, "q46_sink",
+        extra_conf={"spark.sql.shuffle.partitions": "4"},
+    )
 
 
 def streaming_ann_topk(spark, sf_dir, k: int = 3, sink=None):

@@ -73,8 +73,17 @@ def _run_watermark_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # the caller (tumbling_with_watermark) already pinned UTC +
-    # STREAM_PERF_CONF; run_to_memory re-pins the same values, a no-op
-    return run_to_memory(spark, agg, "q36_sink")
+    # STREAM_PERF_CONF; run_to_memory re-pins the same values, a no-op.
+    # 4 state partitions (r12 probe, scripts/stream_partitions_probe.py):
+    # mins 3.52 s @16 / 2.96 @8 / 2.58 @4 (1.36×) — 5 triggers
+    # (1 file/trigger + the load-bearing no-data finalization batch)
+    # multiply the per-store open/commit cost, and the global-window agg
+    # has no key parallelism worth 16 stores. A real cluster sets this
+    # higher before first start (streaming/conf.py note).
+    return run_to_memory(
+        spark, agg, "q36_sink",
+        extra_conf={"spark.sql.shuffle.partitions": "4"},
+    )
 
 
 ORACLE_Q36 = f"""
